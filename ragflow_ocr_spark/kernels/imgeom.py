@@ -1,0 +1,359 @@
+"""numpy implementations of the cv2 geometry primitives the reference
+relies on (cv2 is unavailable here):
+
+- ``resize_bilinear``     ⇔ cv2.resize (INTER_LINEAR)
+- ``warp_perspective``    ⇔ cv2.getPerspectiveTransform + warpPerspective
+                            with BORDER_REPLICATE (``/root/reference/ocr/ocr.py:425-432``)
+- ``min_area_rect``       ⇔ cv2.minAreaRect + boxPoints
+                            (``/root/reference/ocr/postprocess.py:171-192``)
+- ``connected_components``⇔ cv2.findContours(RETR_LIST) at the use site
+                            (``/root/reference/ocr/postprocess.py:125-130``) —
+                            we label regions instead of tracing contours;
+                            downstream only needs each region's point set.
+- ``quad_mask_mean``      ⇔ box_score_fast's fillPoly + cv2.mean
+                            (``/root/reference/ocr/postprocess.py:194-209``)
+
+All functions are deterministic pure numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ---------------------------------------------------------------- resize
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resample, align-corners=False convention (like cv2)."""
+    h, w = img.shape[:2]
+    if h == out_h and w == out_w:
+        return img.astype(np.float32) if img.dtype != np.float32 else img.copy()
+    ys = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w) - 0.5
+    ys = np.clip(ys, 0, h - 1)
+    xs = np.clip(xs, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0).astype(np.float32)[:, None]
+    wx = (xs - x0).astype(np.float32)[None, :]
+    im = img.astype(np.float32)
+    if im.ndim == 3:
+        wy = wy[..., None]
+        wx = wx[..., None]
+    top = im[y0][:, x0] * (1 - wx) + im[y0][:, x1] * wx
+    bot = im[y1][:, x0] * (1 - wx) + im[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+# ------------------------------------------------------------ perspective
+def perspective_matrix(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """3×3 homography mapping 4 src points to 4 dst points."""
+    a = np.zeros((8, 8), dtype=np.float64)
+    b = np.zeros(8, dtype=np.float64)
+    for i in range(4):
+        x, y = float(src[i, 0]), float(src[i, 1])
+        u, v = float(dst[i, 0]), float(dst[i, 1])
+        a[2 * i] = [x, y, 1, 0, 0, 0, -u * x, -u * y]
+        a[2 * i + 1] = [0, 0, 0, x, y, 1, -v * x, -v * y]
+        b[2 * i] = u
+        b[2 * i + 1] = v
+    coef = np.linalg.solve(a, b)
+    return np.append(coef, 1.0).reshape(3, 3)
+
+
+def warp_perspective(
+    img: np.ndarray, m: np.ndarray, out_w: int, out_h: int
+) -> np.ndarray:
+    """Inverse-map the destination grid through m⁻¹; bilinear sample with
+    border replicate (matches the reference's warp flags,
+    ``/root/reference/ocr/ocr.py:425-431`` modulo INTER_CUBIC→LINEAR —
+    goldens are pinned to this implementation)."""
+    minv = np.linalg.inv(m)
+    xs, ys = np.meshgrid(
+        np.arange(out_w, dtype=np.float64), np.arange(out_h, dtype=np.float64)
+    )
+    denom = minv[2, 0] * xs + minv[2, 1] * ys + minv[2, 2]
+    sx = (minv[0, 0] * xs + minv[0, 1] * ys + minv[0, 2]) / denom
+    sy = (minv[1, 0] * xs + minv[1, 1] * ys + minv[1, 2]) / denom
+    h, w = img.shape[:2]
+    sx = np.clip(sx, 0, w - 1)
+    sy = np.clip(sy, 0, h - 1)
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fx = (sx - x0).astype(np.float32)
+    fy = (sy - y0).astype(np.float32)
+    im = img.astype(np.float32)
+    if im.ndim == 3:
+        fx = fx[..., None]
+        fy = fy[..., None]
+    out = (
+        im[y0, x0] * (1 - fx) * (1 - fy)
+        + im[y0, x1] * fx * (1 - fy)
+        + im[y1, x0] * (1 - fx) * fy
+        + im[y1, x1] * fx * fy
+    )
+    return out
+
+
+# ------------------------------------------------------- hull + min rect
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain. points (N,2) float → hull CCW (M,2)."""
+    pts = np.unique(points.astype(np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list[np.ndarray] = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list[np.ndarray] = []
+    for p in pts[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def min_area_rect(points: np.ndarray) -> tuple[np.ndarray, float]:
+    """Minimum-area enclosing rectangle via rotating calipers.
+
+    Returns (4 corner points (4,2) float64 in rotation order, min side
+    length) — the contract of the reference's ``get_mini_boxes``
+    (``/root/reference/ocr/postprocess.py:171-192``), which also
+    re-orders corners; we apply the same x-sort + y-disambiguation.
+    """
+    hull = convex_hull(points)
+    if len(hull) == 1:
+        p = hull[0]
+        box = np.array([p, p, p, p])
+        return _order_rect_points(box), 0.0
+    if len(hull) == 2:
+        a, b = hull
+        box = np.array([a, b, b, a])
+        return _order_rect_points(box), 0.0
+    n = len(hull)
+    best_area = np.inf
+    best_box = None
+    for i in range(n):
+        e = hull[(i + 1) % n] - hull[i]
+        norm = np.hypot(e[0], e[1])
+        if norm == 0:
+            continue
+        ux, uy = e / norm               # edge direction
+        # rotate all hull points into edge frame
+        rot = hull @ np.array([[ux, -uy], [uy, ux]])
+        x0, x1 = rot[:, 0].min(), rot[:, 0].max()
+        y0, y1 = rot[:, 1].min(), rot[:, 1].max()
+        area = (x1 - x0) * (y1 - y0)
+        if area < best_area:
+            best_area = area
+            corners = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+            best_box = corners @ np.array([[ux, uy], [-uy, ux]])
+    assert best_box is not None
+    w = np.linalg.norm(best_box[0] - best_box[1])
+    h = np.linalg.norm(best_box[1] - best_box[2])
+    return _order_rect_points(best_box), float(min(w, h))
+
+
+def _order_rect_points(box: np.ndarray) -> np.ndarray:
+    """x-sort then y-disambiguate corner order — same rule as the
+    reference (``/root/reference/ocr/postprocess.py:173-188``):
+    output order is [top-left, top-right, bottom-right, bottom-left]."""
+    pts = box[np.argsort(box[:, 0], kind="stable")]
+    if pts[1][1] > pts[0][1]:
+        i1, i4 = 0, 1
+    else:
+        i1, i4 = 1, 0
+    if pts[3][1] > pts[2][1]:
+        i2, i3 = 2, 3
+    else:
+        i2, i3 = 3, 2
+    return np.array([pts[i1], pts[i2], pts[i3], pts[i4]])
+
+
+# --------------------------------------------------- connected components
+def connected_components(mask: np.ndarray, max_regions: int = 1000) -> list[np.ndarray]:
+    """Label 8-connected regions of a boolean mask via run-length
+    union-find. Returns per-region point arrays (N,2) as (x, y) —
+    document order (top-to-bottom scan) capped at ``max_regions``,
+    mirroring the reference's ``max_candidates`` slice
+    (``/root/reference/ocr/postprocess.py:132``)."""
+    h, w = mask.shape
+    parent: list[int] = []
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    runs: list[tuple[int, int, int, int]] = []  # (row, x0, x1, label)
+    prev_row_runs: list[tuple[int, int, int]] = []  # (x0, x1, label)
+    for y in range(h):
+        row = mask[y]
+        if not row.any():
+            prev_row_runs = []
+            continue
+        d = np.diff(np.concatenate(([0], row.view(np.uint8), [0])))
+        starts = np.flatnonzero(d == 1)
+        ends = np.flatnonzero(d == -1)
+        cur: list[tuple[int, int, int]] = []
+        for x0, x1 in zip(starts, ends):
+            lbl = len(parent)
+            parent.append(lbl)
+            # 8-connectivity: overlap with [x0-1, x1+1) of previous row
+            for px0, px1, plbl in prev_row_runs:
+                if px0 < x1 + 1 and px1 > x0 - 1:
+                    union(lbl, plbl)
+            runs.append((y, int(x0), int(x1), lbl))
+            cur.append((int(x0), int(x1), lbl))
+        prev_row_runs = cur
+
+    groups: dict[int, list[tuple[int, int, int]]] = {}
+    region_order: list[int] = []
+    for y, x0, x1, lbl in runs:
+        root = find(lbl)
+        if root not in groups:
+            groups[root] = []
+            region_order.append(root)
+        groups[root].append((y, x0, x1))
+
+    regions: list[np.ndarray] = []
+    for root in region_order[:max_regions]:
+        pts = []
+        for y, x0, x1 in groups[root]:
+            xs = np.arange(x0, x1, dtype=np.int64)
+            pts.append(np.stack([xs, np.full_like(xs, y)], axis=1))
+        regions.append(np.concatenate(pts, axis=0))
+    return regions
+
+
+# ------------------------------------------------------------ quad masks
+def quad_mask(quad: np.ndarray, x0: int, y0: int, hh: int, ww: int) -> np.ndarray:
+    """Boolean mask of a convex quad rasterized over window
+    [y0, y0+hh) × [x0, x0+ww) — half-plane intersection test."""
+    xs, ys = np.meshgrid(
+        np.arange(x0, x0 + ww, dtype=np.float64) + 0.0,
+        np.arange(y0, y0 + hh, dtype=np.float64) + 0.0,
+    )
+    inside = np.ones((hh, ww), dtype=bool)
+    q = quad.astype(np.float64)
+    # quad is ordered (either orientation); use sign of the first edge
+    area2 = 0.0
+    for i in range(4):
+        j = (i + 1) % 4
+        area2 += q[i, 0] * q[j, 1] - q[j, 0] * q[i, 1]
+    sgn = 1.0 if area2 >= 0 else -1.0
+    for i in range(4):
+        j = (i + 1) % 4
+        ex, ey = q[j, 0] - q[i, 0], q[j, 1] - q[i, 1]
+        cross = ex * (ys - q[i, 1]) - ey * (xs - q[i, 0])
+        inside &= sgn * cross >= 0
+    return inside
+
+
+def quad_mask_mean(prob: np.ndarray, quad: np.ndarray) -> float:
+    """Mean of prob map inside the quad's filled polygon, evaluated over
+    the quad's clipped bbox — semantics of ``box_score_fast``
+    (``/root/reference/ocr/postprocess.py:194-209``)."""
+    h, w = prob.shape
+    xmin = int(np.clip(np.floor(quad[:, 0].min()), 0, w - 1))
+    xmax = int(np.clip(np.ceil(quad[:, 0].max()), 0, w - 1))
+    ymin = int(np.clip(np.floor(quad[:, 1].min()), 0, h - 1))
+    ymax = int(np.clip(np.ceil(quad[:, 1].max()), 0, h - 1))
+    hh, ww = ymax - ymin + 1, xmax - xmin + 1
+    m = quad_mask(quad, xmin, ymin, hh, ww)
+    if not m.any():
+        return 0.0
+    return float(prob[ymin : ymax + 1, xmin : xmax + 1][m].mean())
+
+
+def unclip_quad(quad: np.ndarray, ratio: float) -> np.ndarray:
+    """Offset a convex quad outward by area·ratio/perimeter.
+
+    The reference uses pyclipper round-join offsetting
+    (``/root/reference/ocr/postprocess.py:163-169``); pyclipper is not
+    available, so we use the miter-join equivalent for convex quads
+    (each edge pushed out by delta along its outward normal, corners at
+    half-plane intersections). For the (near-)rectangles DB produces the
+    result is the same rectangle grown by delta on each side; goldens
+    are pinned to this (SURVEY.md §7 hard-part 5).
+    """
+    q = quad.astype(np.float64)
+    area = 0.0
+    perim = 0.0
+    for i in range(4):
+        j = (i + 1) % 4
+        area += q[i, 0] * q[j, 1] - q[j, 0] * q[i, 1]
+        perim += np.hypot(q[j, 0] - q[i, 0], q[j, 1] - q[i, 1])
+    area = abs(area) / 2.0
+    if perim == 0:
+        return q.copy()
+    delta = area * ratio / perim
+    sgn = 1.0 if area >= 0 else -1.0
+    # outward normal per edge, then intersect consecutive offset lines
+    lines = []
+    orient = 0.0
+    for i in range(4):
+        j = (i + 1) % 4
+        orient += q[i, 0] * q[j, 1] - q[j, 0] * q[i, 1]
+    sgn = 1.0 if orient >= 0 else -1.0
+    for i in range(4):
+        j = (i + 1) % 4
+        e = q[j] - q[i]
+        n = np.hypot(e[0], e[1])
+        if n == 0:
+            nrm = np.zeros(2)
+        else:
+            # CCW polygon → outward normal is (ey, -ex)/|e| ... sign-fixed
+            nrm = sgn * np.array([e[1], -e[0]]) / n
+        p0 = q[i] + delta * nrm
+        lines.append((p0, e))
+    out = np.zeros_like(q)
+    for i in range(4):
+        (p1, d1) = lines[(i - 1) % 4]
+        (p2, d2) = lines[i]
+        a = np.array([[d1[0], -d2[0]], [d1[1], -d2[1]]])
+        b = p2 - p1
+        try:
+            t = np.linalg.solve(a, b)
+            out[i] = p1 + t[0] * d1
+        except np.linalg.LinAlgError:
+            out[i] = q[i]
+    return out
+
+
+# --------------------------------------------------------- clip / order
+def order_points_clockwise(pts: np.ndarray) -> np.ndarray:
+    """TL,TR,BR,BL via sum/diff heuristic — exact semantics of the
+    reference (``/root/reference/ocr/ocr.py:290-299``)."""
+    s = pts.sum(axis=1)
+    tl = pts[np.argmin(s)]
+    br = pts[np.argmax(s)]
+    d = np.diff(pts, axis=1).ravel()
+    tr = pts[np.argmin(d)]
+    bl = pts[np.argmax(d)]
+    return np.array([tl, tr, br, bl], dtype=pts.dtype)
+
+
+def clip_quad(pts: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Clamp quad into [0, w-1] × [0, h-1]
+    (``/root/reference/ocr/ocr.py:301-305``)."""
+    out = pts.copy()
+    out[:, 0] = np.clip(np.round(out[:, 0]), 0, w - 1)
+    out[:, 1] = np.clip(np.round(out[:, 1]), 0, h - 1)
+    return out

@@ -1,0 +1,203 @@
+"""Per-document detect→recognize orchestration.
+
+This is the kernel-level equivalent of ``OCR.__call__``
+(``/root/reference/ocr/ocr.py:535-578``) — one document in, its
+extracted lines out — plus the payload router and the PDF stub route.
+It is pure Python/numpy; the Spark layer feeds it Arrow batches.
+
+Stage order (reference lifecycle, SURVEY.md §3.1):
+  decode → det preprocess → det net → DB postprocess → filter boxes →
+  reading-order sort → per-box perspective crop (+ rotation probe) →
+  rec (ratio-sort, micro-batch 16, dynamic pad width) → CTC decode →
+  scatter back → drop_score filter → join lines.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from ragflow_ocr_spark.config import OCRConfig
+from ragflow_ocr_spark.kernels import pngcodec
+from ragflow_ocr_spark.kernels.crop import get_rotate_crop_image, rotation_probe
+from ragflow_ocr_spark.kernels.ctc import ctc_greedy_decode
+from ragflow_ocr_spark.kernels.db_postprocess import (
+    boxes_from_prob_map,
+    filter_tag_det_res,
+)
+from ragflow_ocr_spark.kernels.det_preprocess import det_preprocess
+from ragflow_ocr_spark.kernels.imgeom import resize_bilinear
+from ragflow_ocr_spark.kernels.infer import get_det_net, get_rec_net, run_with_retry
+from ragflow_ocr_spark.kernels.reading_order import sorted_boxes
+from ragflow_ocr_spark.kernels.stubnet import REC_CHARSET
+
+
+@dataclass
+class OcrResult:
+    text: str | None
+    n_blocks: int
+    status: str
+    boxes: list[list[list[float]]]  # (n, 4, 2) quads in source coords
+    scores: list[float]
+
+
+def _to_rgb(img: np.ndarray) -> np.ndarray:
+    if img.ndim == 2:
+        return np.repeat(img[:, :, None], 3, axis=2)
+    return img
+
+
+def detect(img_rgb: np.ndarray, cfg: OCRConfig) -> np.ndarray:
+    """RGB uint8 → reading-ordered quads (N,4,2) in source coords.
+    Kernel equivalent of ``OCR.detect`` (``/root/reference/ocr/ocr.py:490-509``)."""
+    src_h, src_w = img_rgb.shape[:2]
+    nchw, _ = det_preprocess(img_rgb, cfg.det_limit_side_len)
+    prob = run_with_retry(get_det_net(), nchw)[0, 0]
+    boxes, _scores = boxes_from_prob_map(prob, src_h, src_w, cfg)
+    boxes = filter_tag_det_res(boxes, src_h, src_w)
+    if boxes.shape[0] == 0:
+        return boxes
+    return np.stack(sorted_boxes(boxes))
+
+
+def resize_norm_img(
+    img: np.ndarray, max_wh_ratio: float, rec_h: int = 48
+) -> np.ndarray:
+    """Rec crop → (3, rec_h, W) float32 in [-1,1], zero-padded right.
+
+    Semantics of ``TextRecognizer.resize_norm_img``
+    (``/root/reference/ocr/ocr.py:161-185``): W = ceil(rec_h ·
+    max_wh_ratio); resize to h=rec_h, w=min(ceil(rec_h·ar), W);
+    normalize /255 → −0.5 → /0.5; pad right with zeros.
+    """
+    img_w = int(math.ceil(rec_h * max_wh_ratio))
+    h, w = img.shape[:2]
+    ratio = w / float(h)
+    resized_w = img_w if math.ceil(rec_h * ratio) > img_w else int(
+        math.ceil(rec_h * ratio)
+    )
+    resized_w = max(resized_w, 1)
+    resized = resize_bilinear(img, rec_h, resized_w)
+    if resized.ndim == 2:
+        resized = np.repeat(resized[:, :, None], 3, axis=2)
+    resized = resized.astype(np.float32) / 255.0
+    resized = (resized - 0.5) / 0.5
+    chw = resized.transpose(2, 0, 1)
+    out = np.zeros((3, rec_h, img_w), dtype=np.float32)
+    out[:, :, :resized_w] = chw
+    return out
+
+
+def recognize_crops(
+    crops: list[np.ndarray], cfg: OCRConfig
+) -> list[tuple[str, float]]:
+    """Batch recognition with the reference's exact micro-batching:
+    argsort by aspect ratio (``ocr/ocr.py:196-201``), micro-batches of
+    ``rec_batch_num``=16, per-micro-batch dynamic pad width from the
+    max ratio (``ocr/ocr.py:209-215``), scatter results back to input
+    order via the sort permutation (``ocr/ocr.py:236-237``)."""
+    n = len(crops)
+    results: list[tuple[str, float] | None] = [None] * n
+    if n == 0:
+        return []
+    ratios = [c.shape[1] / float(c.shape[0]) for c in crops]
+    indices = np.argsort(np.array(ratios), kind="stable")
+    rec_h = cfg.rec_image_height
+    net = get_rec_net()
+    for beg in range(0, n, cfg.rec_batch_num):
+        end = min(n, beg + cfg.rec_batch_num)
+        # per-micro-batch pad width — bytes-affecting, kept verbatim
+        max_wh_ratio = rec_h * 1.0 / rec_h  # == 1.0 base like w/h of square
+        for k in range(beg, end):
+            max_wh_ratio = max(max_wh_ratio, ratios[indices[k]])
+        batch = np.stack(
+            [
+                resize_norm_img(crops[indices[k]], max_wh_ratio, rec_h)
+                for k in range(beg, end)
+            ]
+        )
+        logits = run_with_retry(net, batch)
+        decoded = ctc_greedy_decode(logits, REC_CHARSET)
+        for k in range(beg, end):
+            results[indices[k]] = decoded[k - beg]
+    return [r if r is not None else ("", 0.0) for r in results]
+
+
+def _rec_one(crop: np.ndarray, cfg: OCRConfig) -> tuple[str, float]:
+    return recognize_crops([crop], cfg)[0]
+
+
+def ocr_image(img: np.ndarray, cfg: OCRConfig | None = None) -> OcrResult:
+    """Full per-image pipeline — ``OCR.__call__`` semantics
+    (``/root/reference/ocr/ocr.py:535-578``)."""
+    cfg = cfg or OCRConfig()
+    if img is None or img.size == 0:
+        return OcrResult(None, 0, "error:null", [], [])
+    rgb = _to_rgb(img)
+    boxes = detect(rgb, cfg)
+    if boxes.shape[0] == 0:
+        return OcrResult("", 0, "empty", [], [])
+    crops = []
+    for box in boxes:
+        crop = get_rotate_crop_image(rgb, box)
+        crop = rotation_probe(crop, lambda c: _rec_one(c, cfg))
+        crops.append(crop)
+    rec_res = recognize_crops(crops, cfg)
+    # drop-score filter, full-pipeline semantics: the line is DROPPED
+    # (not emptied) below threshold (``ocr/ocr.py:566-571``; contrast
+    # the batch-rec API which emits "" — ``ocr/ocr.py:529-532``).
+    kept_lines: list[str] = []
+    kept_boxes: list[list[list[float]]] = []
+    kept_scores: list[float] = []
+    for box, (text, score) in zip(boxes, rec_res):
+        if score >= cfg.drop_score:
+            kept_lines.append(text)
+            kept_boxes.append(box.tolist())
+            kept_scores.append(score)
+    return OcrResult("\n".join(kept_lines), len(kept_lines), "ok", kept_boxes, kept_scores)
+
+
+def extract_pdf_payload(data: bytes) -> np.ndarray | None:
+    """PDF stub route: our synthetic PDFs embed one PNG page image in a
+    stream object (FIXTURES.md §1 pdf_stub). A full PDF parser is out
+    of scope for this sandbox (no pdf libs); we locate the embedded
+    PNG and hand it to the OCR path. Production swaps this for a real
+    rasterizer behind the same signature."""
+    i = data.find(pngcodec.PNG_MAGIC)
+    if i < 0:
+        return None
+    try:
+        return pngcodec.decode_png(data[i:])
+    except ValueError:
+        return None
+
+
+def extract_payload(data: bytes | None, cfg: OCRConfig | None = None) -> OcrResult:
+    """Route one payload by magic bytes (F10) and extract.
+
+    HTML routing is handled a level up (the Spark stage splits HTML
+    rows to the html_extract kernel); this function owns the binary
+    routes: png/jpeg/pdf/null.
+    """
+    cfg = cfg or OCRConfig()
+    kind = pngcodec.sniff_payload(data)
+    if kind == "null":
+        return OcrResult(None, 0, "error:null", [], [])
+    if kind == "png":
+        try:
+            img = pngcodec.decode_png(data)
+        except ValueError:
+            return OcrResult(None, 0, "error:decode", [], [])
+        return ocr_image(img, cfg)
+    if kind == "jpeg":
+        # no JPEG decoder in-sandbox; deterministic error row, never a
+        # task failure (F9 guard semantics)
+        return OcrResult(None, 0, "error:unsupported_codec", [], [])
+    if kind == "pdf":
+        img = extract_pdf_payload(data)
+        if img is None:
+            return OcrResult(None, 0, "error:decode", [], [])
+        return ocr_image(img, cfg)
+    return OcrResult(None, 0, "error:route", [], [])

@@ -1,0 +1,157 @@
+"""Minimal pure-Python PNG codec (stdlib ``zlib`` + ``struct`` + numpy).
+
+cv2 is unavailable in this environment, so the reference's
+``cv2.imdecode``/``cv2.imencode`` (``/root/reference/ocr/operators.py:41-46``)
+is replaced by this codec. Scope: 8-bit grayscale (color type 0) and
+8-bit RGB (color type 2), no interlace — exactly what our synthetic
+page images use. Decode handles all five PNG scanline filters so that
+any conforming encoder's output of those color types also decodes.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """HW (gray) or HWC-RGB uint8 ndarray → PNG bytes (filter 0)."""
+    if img.dtype != np.uint8:
+        raise ValueError("encode_png expects uint8")
+    if img.ndim == 2:
+        color_type, channels = 0, 1
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color_type, channels = 2, 3
+    else:
+        raise ValueError(f"unsupported shape {img.shape}")
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = img.reshape(h, w * channels)
+    # filter byte 0 (None) per scanline
+    scanlines = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), raw], axis=1
+    ).tobytes()
+    idat = zlib.compress(scanlines, level=6)
+    return (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters. raw is (h, 1+stride) uint8."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        cur = np.zeros(stride, dtype=np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (line[x] + a) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad filter {ftype}")
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → uint8 ndarray, HW for gray or HWC for RGB.
+
+    Raises ValueError on malformed input — callers guard, mirroring the
+    reference's None-image guard (``/root/reference/ocr/operators.py:47-48``).
+    """
+    if not data.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos = len(PNG_MAGIC)
+    width = height = None
+    color_type = bit_depth = None
+    idat = bytearray()
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) < length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    if bit_depth != 8 or color_type not in (0, 2):
+        raise ValueError(f"unsupported PNG (depth={bit_depth}, color={color_type})")
+    channels = 1 if color_type == 0 else 3
+    stride = width * channels
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != height * (stride + 1):
+        raise ValueError("bad PNG payload size")
+    raw = raw.reshape(height, stride + 1)
+    # Fast path: no filtering anywhere (our own encoder's output).
+    if not raw[:, 0].any():
+        out = raw[:, 1:].copy()
+    else:
+        out = _unfilter(raw, height, stride, channels)
+    if channels == 1:
+        return out.reshape(height, width)
+    return out.reshape(height, width, 3)
+
+
+def sniff_payload(data: bytes | None) -> str:
+    """Magic-byte payload router (SURVEY.md §2.2 F10).
+
+    Returns one of: 'null', 'png', 'jpeg', 'pdf', 'html'.
+    The reference routes by file extension at the CLI
+    (``/root/reference/examples/batch_processing.py:28``); content
+    sniffing is the scale-safe equivalent.
+    """
+    if data is None or len(data) == 0:
+        return "null"
+    if data.startswith(PNG_MAGIC[:4]):
+        return "png"
+    if data.startswith(b"\xff\xd8"):
+        return "jpeg"
+    if data.startswith(b"%PDF"):
+        return "pdf"
+    return "html"

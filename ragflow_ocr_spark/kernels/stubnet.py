@@ -1,0 +1,281 @@
+"""Deterministic stub networks with the reference's ONNX I/O contract.
+
+The real models (``det.onnx``/``rec.onnx``/``ocr.res``) come from a HF
+download (``/root/reference/download_models.py:23-57``) that is
+unavailable in this offline sandbox, so SURVEY.md §7 hard-part 3 calls
+for a first-class stub with identical shapes:
+
+- det:  NCHW float32 (ImageNet-normalized) → prob map (N, 1, H, W)
+        — DBNet's output contract (``/root/reference/ocr/ocr.py:339-353``)
+- rec:  (B, 3, 48, W) float32 in [-1, 1] → logits (B, T, C)
+        with class 0 = CTC blank — CRNN's contract
+        (``/root/reference/ocr/ocr.py:216-235``,
+        ``postprocess.py:355-366``)
+
+The stubs are *real* in the sense that the end-to-end pipeline round
+trips: text drawn with ``font5x7`` is detected (ink dilation → DB
+postprocess finds line regions) and recognized (glyph segmentation +
+template matching → one-hot logits → real CTC greedy decode), so golden
+outputs assert genuine detect→crop→recognize behavior, not canned
+strings. A production deployment swaps these for onnxruntime sessions
+behind the same ``run()`` surface (see ``infer.py``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ragflow_ocr_spark.kernels import font5x7
+from ragflow_ocr_spark.kernels.det_preprocess import denormalize_to_gray
+
+# CTC charset: blank + glyph classes + space — same construction as the
+# reference charset load (``/root/reference/ocr/postprocess.py:280-281``
+# appends ' ' for use_space_char; ``:368-370`` prepends 'blank').
+REC_CHARSET: list[str] = list(font5x7.CHARSET) + [" "]
+N_CLASSES = 1 + len(REC_CHARSET)  # blank + chars
+_EMIT_LOGIT = np.float32(12.0)
+_BLANK_LOGIT = np.float32(6.0)
+_MATCH_MAX_DIST = 0.45  # worse matches emit uniform logits → low conf
+
+
+def _max_filter_1d(mask: np.ndarray, k: int, axis: int) -> np.ndarray:
+    """Boolean sliding-window maximum (dilation) along one axis."""
+    if k <= 1:
+        return mask
+    r = k // 2
+    pad_width = [(0, 0)] * mask.ndim
+    pad_width[axis] = (r, r)
+    padded = np.pad(mask, pad_width, mode="constant")
+    out = np.zeros_like(mask)
+    n = mask.shape[axis]
+    sl = [slice(None)] * mask.ndim
+    for s in range(k):
+        sl[axis] = slice(s, s + n)
+        out |= padded[tuple(sl)]
+    return out
+
+
+class DetStubNet:
+    """Ink-density 'detector': probability 0.95 on a dilated ink mask.
+
+    The horizontal dilation window (w/64) merges inter-glyph and
+    inter-word gaps into line regions — emulating DBNet emitting one
+    region per text line.
+    """
+
+    def run(self, nchw: np.ndarray) -> np.ndarray:
+        gray = denormalize_to_gray(nchw)  # HW in [0,1], paper≈1 ink≈0
+        ink = gray < 0.5
+        h, w = ink.shape
+        # window wide enough to bridge word gaps (≤ ~11 advance units at
+        # glyph scale ≤3) so one region == one text line
+        kx = max(3, (w // 24) | 1)
+        dil = _max_filter_1d(ink, kx, axis=1)
+        dil = _max_filter_1d(dil, 3, axis=0)
+        prob = np.where(dil, np.float32(0.95), np.float32(0.0))
+        return prob[None, None, :, :]
+
+
+def _resample_grid(mask: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-average resample of a float mask onto an out_h×out_w grid,
+    then threshold — stable canonicalization for template matching."""
+    h, w = mask.shape
+    m = mask.astype(np.float64)
+    out = np.zeros((out_h, out_w), dtype=np.float64)
+    ye = np.linspace(0, h, out_h + 1)
+    xe = np.linspace(0, w, out_w + 1)
+    csum = np.zeros((h + 1, w + 1))
+    csum[1:, 1:] = m.cumsum(0).cumsum(1)
+
+    def integral(y0: float, y1: float, x0: float, x1: float) -> float:
+        # integral over fractional window via whole-pixel approximation:
+        # sample at pixel granularity with proportional edge weights
+        iy0, iy1 = int(np.floor(y0)), int(np.ceil(y1))
+        ix0, ix1 = int(np.floor(x0)), int(np.ceil(x1))
+        sub = m[iy0:iy1, ix0:ix1]
+        if sub.size == 0:
+            return 0.0
+        wy = np.ones(iy1 - iy0)
+        wy[0] -= y0 - iy0
+        wy[-1] -= iy1 - y1
+        wx = np.ones(ix1 - ix0)
+        wx[0] -= x0 - ix0
+        wx[-1] -= ix1 - x1
+        return float(wy @ sub @ wx)
+
+    for i in range(out_h):
+        for j in range(out_w):
+            area = (ye[i + 1] - ye[i]) * (xe[j + 1] - xe[j])
+            out[i, j] = integral(ye[i], ye[i + 1], xe[j], xe[j + 1]) / max(area, 1e-9)
+    return out
+
+
+def _trim(mask: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Trim a bool mask to its ink bbox; returns (sub, r0, c0)."""
+    rows = np.flatnonzero(mask.any(axis=1))
+    cols = np.flatnonzero(mask.any(axis=0))
+    if rows.size == 0:
+        return mask[:0, :0], 0, 0
+    return (
+        mask[rows[0] : rows[-1] + 1, cols[0] : cols[-1] + 1],
+        int(rows[0]),
+        int(cols[0]),
+    )
+
+
+class _Template:
+    __slots__ = ("char", "grid", "rel_cy", "rel_h")
+
+    def __init__(self, char: str):
+        g = font5x7.glyph_grid(char)
+        sub, r0, _ = _trim(g)
+        self.char = char
+        self.grid = _resample_grid(sub, 7, 5)
+        r1 = r0 + sub.shape[0] - 1
+        self.rel_cy = ((r0 + r1) / 2.0) / (font5x7.GLYPH_H - 1)
+        self.rel_h = sub.shape[0] / font5x7.GLYPH_H
+
+
+_TEMPLATES: list[_Template] | None = None
+
+
+def _templates() -> list[_Template]:
+    global _TEMPLATES
+    if _TEMPLATES is None:
+        _TEMPLATES = [_Template(c) for c in font5x7.CHARSET]
+    return _TEMPLATES
+
+
+def _classify(seg: np.ndarray, line_r0: int, line_r1: int) -> tuple[int, float]:
+    """Match one glyph segment against the font templates.
+
+    Returns (class index into REC_CHARSET, distance). Position features
+    (rel_cy, rel_h within the line's row band) disambiguate glyphs whose
+    trimmed shapes collapse to the same grid ('.', '-', full blobs).
+    """
+    sub, r0, _ = _trim(seg)
+    if sub.size == 0:
+        return -1, 1.0
+    grid = _resample_grid(sub, 7, 5)
+    line_h = max(line_r1 - line_r0, 1)
+    rel_cy = ((r0 + r0 + sub.shape[0] - 1) / 2.0) / line_h
+    rel_h = sub.shape[0] / (line_h + 1)
+    best_i, best_d = -1, np.inf
+    for i, t in enumerate(_templates()):
+        d = (
+            float(np.abs(grid - t.grid).mean())
+            + 1.5 * abs(rel_cy - t.rel_cy)
+            + 1.0 * abs(rel_h - t.rel_h)
+        )
+        if d < best_d:
+            best_d, best_i = d, i
+    return best_i, float(best_d)
+
+
+def _dominant_row_band(ink: np.ndarray) -> np.ndarray:
+    """Keep only the row band (run of consecutive inked rows) with the
+    most ink mass. Detection boxes are unclip-expanded
+    (postprocess.py:148-149 semantics), so a crop can catch a sliver of
+    the neighboring text line at its top/bottom edge; a real CRNN
+    attends to the dominant line — the stub does it explicitly."""
+    rowink = ink.any(axis=1)
+    if not rowink.any():
+        return ink
+    d = np.diff(np.concatenate(([0], rowink.view(np.uint8), [0])))
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1)
+    if starts.size <= 1:
+        return ink
+    masses = [int(ink[r0:r1].sum()) for r0, r1 in zip(starts, ends)]
+    k = int(np.argmax(masses))
+    out = np.zeros_like(ink)
+    out[starts[k] : ends[k]] = ink[starts[k] : ends[k]]
+    return out
+
+
+def _segment_line(ink: np.ndarray) -> list[tuple[int, int, bool]]:
+    """Column-projection glyph segmentation.
+
+    Returns [(c0, c1, space_before)] — contiguous ink column runs. A
+    run is flagged space_before via the glyph ADVANCE (start-to-start
+    distance): consecutive letters advance exactly 6 font units, a
+    word gap 12, so gaps > 1.5 × the median advance are spaces. The
+    advance is scale-invariant and — unlike trimmed-ink gap widths —
+    insensitive to narrow glyphs ('.', '1', ':').
+    """
+    colink = ink.any(axis=0)
+    d = np.diff(np.concatenate(([0], colink.view(np.uint8), [0])))
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1)
+    if starts.size == 0:
+        return []
+    segs: list[tuple[int, int, bool]] = []
+    if starts.size == 1:
+        return [(int(starts[0]), int(ends[0]), False)]
+    deltas = np.diff(starts)
+    med_adv = float(np.median(deltas))
+    for i, (c0, c1) in enumerate(zip(starts, ends)):
+        space = bool(i > 0 and (c0 - starts[i - 1]) > 1.5 * med_adv)
+        segs.append((int(c0), int(c1), space))
+    return segs
+
+
+class RecStubNet:
+    """Glyph-template 'recognizer' emitting CTC-shaped logits.
+
+    Output (B, T, N_CLASSES): per recognized glyph the sequence
+    [blank, class] so real CTC greedy decode (adjacent-dup + blank
+    removal, ``/root/reference/ocr/postprocess.py:311-341``) recovers
+    the text, including doubled letters. Unmatchable segments
+    (distance > 0.45) emit uniform logits → low per-step confidence →
+    the line lands under drop_score and is filtered (F2).
+    """
+
+    def run(self, batch: np.ndarray) -> np.ndarray:
+        b = batch.shape[0]
+        per_img: list[list[tuple[int, float]]] = []
+        for i in range(b):
+            gray = batch[i].mean(axis=0)  # [-1, 1]; ink ≈ −1, paper ≈ +1
+            # right zero-padding (reference pads zeros,
+            # ocr/ocr.py:180-184) sits at exactly 0 — strip it before
+            # thresholding so a permissive ink cutoff can't eat the pad
+            content = np.flatnonzero(np.abs(gray).max(axis=0) > 0.5)
+            if content.size == 0:
+                per_img.append([])
+                continue
+            gray = gray[:, : content[-1] + 1]
+            # permissive cutoff keeps thin antialiased strokes (X/V
+            # diagonals) connected after bilinear rescale
+            ink = gray < 0.25
+            ink = _dominant_row_band(ink)
+            sub, r0, c0 = _trim(ink)
+            emits: list[tuple[int, float]] = []
+            if sub.size:
+                segs = _segment_line(sub)
+                space_cls = REC_CHARSET.index(" ") + 1  # +1 for blank
+                for cs, ce, space in segs:
+                    if space:
+                        emits.append((space_cls, 0.0))
+                    cls, dist = _classify(
+                        sub[:, cs:ce], 0, sub.shape[0] - 1
+                    )
+                    if cls >= 0:
+                        emits.append((cls + 1, dist))
+            per_img.append(emits)
+
+        t = max((2 * len(e) + 1 for e in per_img), default=1)
+        logits = np.zeros((b, t, N_CLASSES), dtype=np.float32)
+        logits[:, :, 0] = _BLANK_LOGIT
+        for i, emits in enumerate(per_img):
+            for j, (cls, dist) in enumerate(emits):
+                step = 2 * j + 1
+                if dist <= _MATCH_MAX_DIST:
+                    logits[i, step, :] = 0.0
+                    logits[i, step, cls] = _EMIT_LOGIT
+                else:
+                    # garbage: uniform logits → argmax picks class 0 is
+                    # ambiguous; bias the matched class epsilon above
+                    # blank so the step emits with ~1/C confidence.
+                    logits[i, step, :] = 0.0
+                    logits[i, step, cls] = np.float32(0.01)
+        return logits
