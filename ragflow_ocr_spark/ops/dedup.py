@@ -1,0 +1,305 @@
+"""Deduplication operators over the ``documents`` table — the
+training-data-pipeline core set: exact, n-gram Jaccard, MinHash+LSH,
+SimHash.
+
+Scale notes:
+- exact dedup is one hash-groupBy (map-side combine does the work);
+- n-gram Jaccard is the *verification* primitive — quadratic if used
+  alone, so at scale it only runs on LSH candidate pairs;
+- MinHash+LSH is the scale path: shingles → K minhashes → B bands →
+  bucket-join. The band bucket-join shuffles (band_id, band_hash)
+  which is uniformly distributed — no skew. Candidates are then
+  verified with exact Jaccard, so the output is exact (LSH recall at
+  J≥0.5 with 64 bands × 2 rows ≈ 1-1e-8) and the DuckDB oracle can be
+  the exact-Jaccard query;
+- SimHash uses xxhash64 (not portable to the oracle) → rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ------------------------------------------------------------ exact dedup
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by md5(text); keeper = min doc_id.
+    Output includes singletons (group_size 1) so the result is a full
+    dedup assignment, not only the dup report."""
+    d = _docs(spark, sf_dir)
+    h = F.md5(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"))
+    return (
+        d.withColumn("fp", h)
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+ORACLE_EXACT = """
+SELECT md5(COALESCE(text, '')) AS fp,
+       MIN(doc_id) AS keeper_id, COUNT(*) AS group_size
+FROM documents GROUP BY 1
+"""
+
+
+# ------------------------------------------------- word-3-gram shingles
+def _shingles(d: DataFrame) -> DataFrame:
+    """doc_id → exploded distinct word-3-gram shingles."""
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), n - 3)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+            F.element_at(words, i + 3),
+        ),
+    )
+    return (
+        d.where(n >= 3)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs with J ≥ 0.5.
+
+    Relational formulation (no quadratic cross join): shingle-level
+    self-join counts the intersection; |A∪B| = |A|+|B|−|A∩B|. The
+    shingle join key is high-cardinality → well-distributed shuffle.
+    """
+    d = _docs(spark, sf_dir)
+    sh = _shingles(d).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    j = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+    return j
+
+
+ORACLE_NGRAM = """
+WITH sh AS (
+  SELECT doc_id, UNNEST(list_distinct([
+           w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+           FOR i IN RANGE(1, len(w) - 1)])) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+"""
+
+
+# ------------------------------------------------------------ MinHash+LSH
+N_HASHES = 128
+N_BANDS = 64  # 2 rows/band → recall ≈ 1 − (1−J²)^64; @J=0.5 ≈ 1−1e-8
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate generation + exact-Jaccard verification.
+
+    Same output contract as q_dedup_ngram_jaccard (J ≥ 0.5 pairs) but
+    near-linear: signatures are one groupBy over shingles; banding
+    buckets are joined on (band, band_signature). The oracle is the
+    exact-Jaccard SQL — valid because verified candidates are exact
+    and band recall at the threshold is ≈1 (miss prob < 1e-8).
+    """
+    d = _docs(spark, sf_dir)
+    sh = _shingles(d)
+    # K permutation-free minhashes: h_i(s) = xxhash64(s, seed=i)
+    hashes = F.array(
+        *[F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(N_HASHES)]
+    )
+    sig = (
+        sh.withColumn("hs", hashes)
+        .groupBy("doc_id")
+        .agg(
+            F.array(
+                *[F.min(F.element_at(F.col("hs"), i + 1)) for i in range(N_HASHES)]
+            ).alias("sig"),
+            F.count(F.lit(1)).alias("n_sh"),
+        )
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        "n_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at(F.col("sig"), b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bsig"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "n_sh", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    # exact verification of candidates only
+    sh_a = _shingles(d).select(F.col("doc_id").alias("id_a"), "shingle")
+    sh_b = _shingles(d).select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = _shingles(d).groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document + hamming-near pairs (≤ 6 bits).
+
+    xxhash64 per token, per-bit weighted vote, then a band join on four
+    16-bit sub-keys (a ≤6-bit difference leaves at least one of the 4
+    sub-keys identical only probabilistically — we use all (4 choose 1)
+    single-band buckets, the standard Charikar trick at this distance).
+    Hash is engine-specific → no SQL oracle (rows-only check).
+    """
+    d = _docs(spark, sf_dir)
+    tokens = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).where(F.length("tok") > 0)
+    h = tokens.withColumn("h", F.xxhash64("tok"))
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    votes = h.groupBy("doc_id").agg(*bit_cols)
+    sim = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for i in range(63)  # bit 63 omitted: sign bit, keep positive
+            ]
+        ).alias("simhash"),
+    )
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright(F.col("simhash"), 16 * k)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= 6)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs
+
+
+QUERIES = {
+    "dedup_exact": (q_dedup_exact, ORACLE_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_NGRAM),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_NGRAM),
+    "dedup_simhash": (q_dedup_simhash, None),
+}

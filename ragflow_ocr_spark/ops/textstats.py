@@ -1,0 +1,177 @@
+"""Text analysis operators over ``documents`` — language-ID heuristic,
+quality scoring, token counting, fingerprinting. All computed with
+built-in JVM functions (no Python), each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token count, mean token length,
+    stopword ratio, alpha ratio, plus a composite keep/drop flag —
+    the standard pretraining-corpus filter shape."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), " +")
+    n_tok = F.when(F.length(F.trim(F.col("text"))) == 0, 0).otherwise(F.size(toks))
+    n_chars = F.length(F.col("text"))
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(_STOPWORDS))
+    )
+    out = d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(
+            F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(0.0), 6
+        ).alias("chars_per_token"),
+        F.round(
+            F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(0.0), 6
+        ).alias("alpha_ratio"),
+        F.round(
+            F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(0.0), 6
+        ).alias("stopword_ratio"),
+    )
+    return out.withColumn(
+        "keep",
+        (
+            (F.col("n_tokens") >= 10)
+            & (F.col("alpha_ratio") >= 0.6)
+            & (F.col("chars_per_token") >= 3.0)
+        ).cast("int"),
+    )
+
+
+_SW_SQL = "('" + "','".join(_STOPWORDS) + "')"
+
+ORACLE_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), ' +')) END AS n_tokens,
+         LENGTH(text) AS n_chars,
+         LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+         len(list_filter(regexp_split_to_array(TRIM(text), ' +'),
+                         t -> LOWER(t) IN {_SW_SQL})) AS n_stop
+  FROM documents
+), feats AS (
+  SELECT doc_id, n_tokens,
+         ROUND(CASE WHEN n_tokens > 0 THEN n_chars / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 6) AS chars_per_token,
+         ROUND(CASE WHEN n_chars > 0 THEN n_alpha / CAST(n_chars AS DOUBLE) ELSE 0.0 END, 6) AS alpha_ratio,
+         ROUND(CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 6) AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, n_tokens, chars_per_token, alpha_ratio, stopword_ratio,
+       CAST(n_tokens >= 10 AND alpha_ratio >= 0.6 AND chars_per_token >= 3.0 AS INT) AS keep
+FROM feats
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-free language-ID heuristic: English stopword density.
+    Emits per-(lang) accuracy of the guess against the labeled column —
+    the evaluation shape of a real lang-ID stage."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), " +")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(_STOPWORDS)))
+    guess = F.when(
+        (n_tok > 0) & (n_stop.cast("double") / n_tok >= 0.08), F.lit("en")
+    ).otherwise(F.lit("other"))
+    return (
+        d.withColumn("guess", guess)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("guess") == "en") == (F.col("lang") == "en"), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_correct"),
+        )
+    )
+
+
+ORACLE_LANG = f"""
+WITH g AS (
+  SELECT lang,
+         CASE WHEN len(regexp_split_to_array(TRIM(text), ' +')) > 0
+               AND len(list_filter(regexp_split_to_array(TRIM(text), ' +'),
+                                   t -> LOWER(t) IN {_SW_SQL}))
+                   / CAST(len(regexp_split_to_array(TRIM(text), ' +')) AS DOUBLE) >= 0.08
+              THEN 'en' ELSE 'other' END AS guess
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN (guess = 'en') = (lang = 'en') THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+FROM g GROUP BY lang
+"""
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token budgeting: whitespace words split into ≤4-char
+    subword pieces (ceil(len/4)) — the corpus-level token-count shape
+    used for training-data budgeting. Aggregated per source."""
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "doc_id", "source", F.explode(F.split(F.trim(F.col("text")), " +")).alias("w")
+    ).where(F.length("w") > 0)
+    pieces = F.ceil(F.length("w") / 4.0).cast("long")
+    return (
+        words.withColumn("pieces", pieces)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("pieces").alias("n_bpe_tokens"),
+        )
+    )
+
+
+ORACLE_BPE = """
+WITH w AS (
+  SELECT source, UNNEST(regexp_split_to_array(TRIM(text), ' +')) AS w
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_words,
+       CAST(SUM(CAST(CEIL(LENGTH(w) / 4.0) AS BIGINT)) AS BIGINT) AS n_bpe_tokens
+FROM w WHERE LENGTH(w) > 0 GROUP BY source
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization fingerprint: md5 of lowercased alphanumeric-only
+    text — robust doc identity under formatting noise. Per-source
+    distinct-fingerprint counts = dedup-rate report."""
+    d = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z0-9]", "")
+    fp = F.md5(F.encode(norm, "UTF-8"))
+    return (
+        d.withColumn("fp", fp)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+        )
+    )
+
+
+ORACLE_FP = """
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(REGEXP_REPLACE(LOWER(COALESCE(text, '')), '[^a-z0-9]', '', 'g'))) AS n_unique
+FROM documents GROUP BY source
+"""
+
+
+QUERIES = {
+    "text_quality": (q_text_quality, ORACLE_QUALITY),
+    "lang_id": (q_lang_id, ORACLE_LANG),
+    "token_count_bpe": (q_token_count_bpe, ORACLE_BPE),
+    "fingerprint": (q_fingerprint, ORACLE_FP),
+}

@@ -1,0 +1,142 @@
+"""End-to-end extraction pipeline (the flagship job — P1 in SURVEY.md
+§2.9, Spark lifecycle in §3.1).
+
+    pages ──(anti-join done buckets)──> size-aware spread ──>
+    mapInPandas(extract) ──> extracted rows + per-partition metrics
+
+Scale design (SURVEY.md §4):
+- **Size-aware skew spread**: per-document cost is unknown pre-detect
+  but correlates with payload bytes. Heavy rows
+  (``length(html) > salt_heavy_bytes``) are hash-spread across ALL
+  partitions on (url, salt) while light rows use plain hash(url) —
+  AQE cannot rebalance inside a mapInPandas stage, so this is manual
+  (a 100× skew row otherwise pins one executor at the end of the
+  stage).
+- **Projection discipline**: the extract output never carries `html`,
+  so every downstream projection prunes payload bytes at the stage
+  boundary.
+- **Resume**: work is bucketed by pmod(xxhash64(url), n_buckets);
+  completed buckets are anti-joined out (broadcast — checkpoint side
+  is tiny) and each bucket's output is idempotently overwritten.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ragflow_ocr_spark.config import DEFAULT, PipelineConfig
+from ragflow_ocr_spark.spark.checkpoint import CheckpointStore
+from ragflow_ocr_spark.spark.stages import (
+    EXTRACT_METRICS_SCHEMA,
+    EXTRACT_SCHEMA,
+    extract_stage,
+    extract_stage_with_metrics,
+)
+
+
+def spread_for_extract(
+    df: DataFrame, n_partitions: int, cfg: PipelineConfig = DEFAULT
+) -> DataFrame:
+    """Distribute rows so heavy payloads can't gang up on one task.
+
+    Light rows: repartition on hash(url) — deterministic co-location.
+    Heavy rows: repartition on (url, salt) where salt = pmod(hash(url),
+    n_salts) — the *set* of rows stays deterministic per url; only
+    placement spreads. Results are row-independent so placement never
+    affects output bytes (verified by the repartition-invariance test).
+    """
+    cost = F.coalesce(F.length(F.col("html")), F.lit(0))
+    heavy = df.where(cost > cfg.salt_heavy_bytes)
+    light = df.where(cost <= cfg.salt_heavy_bytes)
+    heavy = heavy.repartition(
+        n_partitions,
+        F.col("url"),
+        F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.n_salts_heavy)),
+    )
+    light = light.repartition(n_partitions, F.col("url"))
+    return light.unionByName(heavy)
+
+
+def extract(
+    df: DataFrame,
+    cfg: PipelineConfig = DEFAULT,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """pages DataFrame → extracted DataFrame (EXTRACT_SCHEMA)."""
+    if n_partitions:
+        df = spread_for_extract(df, n_partitions, cfg)
+    return df.select("url", "warc_ts", "lang", "html").mapInPandas(
+        extract_stage(cfg), schema=EXTRACT_SCHEMA
+    )
+
+
+def run_extract_job(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_root: str,
+    n_buckets: int = 32,
+    cfg: PipelineConfig = DEFAULT,
+    fail_buckets: set[int] | None = None,
+) -> dict:
+    """Resumable extraction job with per-bucket checkpointing.
+
+    ``fail_buckets`` injects a simulated failure after the listed
+    buckets complete — used by the resume test (kill-after-k
+    semantics). Returns run summary counters.
+    """
+    ckpt = CheckpointStore(spark, out_root)
+    run_id = uuid.uuid4().hex[:12]
+
+    work = pages.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
+    )
+    done = ckpt.done_buckets()
+    pending = work.join(F.broadcast(done), on="bucket", how="left_anti")
+
+    # deterministic per-bucket processing; buckets are the resume unit
+    pending_buckets = [r["bucket"] for r in pending.select("bucket").distinct().collect()]
+    pending_buckets.sort()
+
+    n_processed = 0
+    for b in sorted(pending_buckets):
+        bucket_df = pending.where(F.col("bucket") == b).drop("bucket")
+        out = bucket_df.select("url", "warc_ts", "lang", "html").mapInPandas(
+            extract_stage_with_metrics(cfg, run_id), schema=EXTRACT_METRICS_SCHEMA
+        )
+        out = out.cache()
+        try:
+            data_rows = out.where(F.col("engine") != "_metrics").drop("part_id")
+            (
+                data_rows.write.mode("overwrite").parquet(
+                    f"{out_root}/extracted/bucket={b}"
+                )
+            )
+            metric_rows = out.where(F.col("engine") == "_metrics").collect()
+            stats = CheckpointStore.parse_metrics_rows(metric_rows)
+            agg = {
+                "run_id": run_id,
+                "bucket": b,
+                "n_docs": sum(s["n_docs"] for s in stats),
+                "n_ok": sum(s["n_ok"] for s in stats),
+                "n_empty": sum(s["n_empty"] for s in stats),
+                "n_error": sum(s["n_error"] for s in stats),
+                "wall_ms": max((s["wall_ms"] for s in stats), default=0),
+            }
+            ckpt.mark_done([agg])
+            n_processed += 1
+        finally:
+            out.unpersist()
+        if fail_buckets and b in fail_buckets:
+            raise RuntimeError(f"injected failure after bucket {b}")
+
+    return {
+        "run_id": run_id,
+        "buckets_processed": n_processed,
+        "buckets_skipped": n_buckets - len(pending_buckets),
+    }
+
+
+def read_extracted(spark: SparkSession, out_root: str) -> DataFrame:
+    return spark.read.parquet(f"{out_root}/extracted")

@@ -1,0 +1,157 @@
+"""mapInPandas stages — the engine's entire Python surface.
+
+Three iterator-style kernels (init-once per Python worker, Arrow batch
+in/out; SURVEY.md §2.10): payload classification, HTML extraction, and
+the OCR detect→recognize stage. No row-at-a-time Spark UDFs anywhere —
+per-document Python happens inside batch loops on the worker, which is
+the reference's own execution shape (row = document, ndarray inside;
+SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from ragflow_ocr_spark.config import DEFAULT, PipelineConfig
+from ragflow_ocr_spark.kernels.html_extract import extract_html
+from ragflow_ocr_spark.kernels.ocr_pipeline import extract_payload
+from ragflow_ocr_spark.kernels.pngcodec import sniff_payload
+
+# Output schema of the extraction stage. `html` is intentionally NOT
+# carried through — post-extract projections must not deserialize
+# payload bytes (SURVEY.md §4: keep `html` out so pruning works).
+EXTRACT_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, extracted_text string, "
+    "n_blocks int, status string, engine string"
+)
+
+# Extraction + per-partition lineage metrics in one pass (the metrics
+# row pattern from SURVEY.md §4.2 — one extra row per partition, tagged
+# by engine='_metrics', instead of a second job or foreachPartition).
+EXTRACT_METRICS_SCHEMA = EXTRACT_SCHEMA + ", part_id int"
+
+
+def classify_kind(data: bytes | None) -> str:
+    return sniff_payload(data)
+
+
+def _extract_one(
+    data: bytes | None, cfg: PipelineConfig
+) -> tuple[str | None, int, str, str]:
+    """payload → (text, n_blocks, status, engine). Routes F10."""
+    kind = sniff_payload(data)
+    if kind == "html":
+        text, n, status = extract_html(data, cfg.html)
+        return text, n, status, "html"
+    if kind == "null":
+        return None, 0, "error:null", "none"
+    r = extract_payload(data, cfg.ocr)
+    return r.text, r.n_blocks, r.status, "ocr"
+
+
+def extract_stage(cfg: PipelineConfig | None = None):
+    """Returns the mapInPandas function for the unified extract stage."""
+    cfg = cfg or DEFAULT
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts: list[str | None] = []
+            blocks: list[int] = []
+            statuses: list[str] = []
+            engines: list[str] = []
+            for data in pdf["html"]:
+                payload = bytes(data) if data is not None else None
+                t, n, s, e = _extract_one(payload, cfg)
+                texts.append(t)
+                blocks.append(n)
+                statuses.append(s)
+                engines.append(e)
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "warc_ts": pdf["warc_ts"],
+                    "lang": pdf["lang"],
+                    "extracted_text": texts,
+                    "n_blocks": blocks,
+                    "status": statuses,
+                    "engine": engines,
+                }
+            )
+
+    return fn
+
+
+def extract_stage_with_metrics(cfg: PipelineConfig | None = None, run_id: str = ""):
+    """Extract stage variant that appends one lineage/metrics row per
+    task partition (engine='_metrics', extracted_text=JSON counters).
+    Downstream: metrics rows split off by filter into the checkpoint
+    table; data rows continue to the sink. One pass, no second job."""
+    cfg = cfg or DEFAULT
+    import json
+    import time
+
+    from pyspark import TaskContext
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t0 = time.monotonic()
+        n_docs = n_ok = n_empty = n_err = 0
+        part_id = TaskContext.get().partitionId() if TaskContext.get() else -1
+        for pdf in batches:
+            texts: list[str | None] = []
+            blocks: list[int] = []
+            statuses: list[str] = []
+            engines: list[str] = []
+            for data in pdf["html"]:
+                payload = bytes(data) if data is not None else None
+                t, n, s, e = _extract_one(payload, cfg)
+                texts.append(t)
+                blocks.append(n)
+                statuses.append(s)
+                engines.append(e)
+                n_docs += 1
+                if s == "ok":
+                    n_ok += 1
+                elif s == "empty":
+                    n_empty += 1
+                else:
+                    n_err += 1
+            out = pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "warc_ts": pdf["warc_ts"],
+                    "lang": pdf["lang"],
+                    "extracted_text": texts,
+                    "n_blocks": blocks,
+                    "status": statuses,
+                    "engine": engines,
+                }
+            )
+            out["part_id"] = part_id
+            yield out
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        metrics = json.dumps(
+            {
+                "run_id": run_id,
+                "n_docs": n_docs,
+                "n_ok": n_ok,
+                "n_empty": n_empty,
+                "n_error": n_err,
+                "wall_ms": wall_ms,
+            }
+        )
+        yield pd.DataFrame(
+            {
+                "url": [f"_metrics:{part_id}"],
+                "warc_ts": [pd.NaT],
+                "lang": [None],
+                "extracted_text": [metrics],
+                "n_blocks": [n_docs],
+                "status": ["done"],
+                "engine": ["_metrics"],
+                "part_id": [part_id],
+            }
+        )
+
+    return fn
