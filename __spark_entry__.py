@@ -32,6 +32,9 @@ def _docs_as_html_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate. Template is chosen so the kernel's expected output is
     exactly the whitespace-collapsed text (len ≥ 7) — SQL-mirrorable."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-file test input → fan out so the Python extract stage
+    # isn't pinned to one core
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     html = F.concat(
         F.lit(
             '<html><head><title>t</title></head><body>'
@@ -96,6 +99,9 @@ def q_ocr_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .where(F.col("doc_id") < _OCR_DOC_LIMIT)
         .select("doc_id", "text", "lang")
+        # ~6 docs/task: mapInPandas task setup is ~45 ms, so at 100
+        # docs more tasks than this costs more than it parallelizes
+        .repartition(min(16, spark.sparkContext.defaultParallelism))
     )
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1,0 +1,55 @@
+"""spark-submit entry point for the extraction job (north rule:
+``spark-submit --py-files ragflow_ocr_spark.zip jobs/extract.py``).
+
+Usage:
+    spark-submit --py-files ragflow_ocr_spark.zip \
+        -m ragflow_ocr_spark.jobs.extract \
+        --input  <pages parquet/Iceberg path> \
+        --output <job root (extracted/ + checkpoint/ live under it)> \
+        [--buckets 256] [--synthesize N]
+
+Idempotent + resumable: rerunning after a failure skips completed
+buckets (left-anti join against the checkpoint table) and rewrites
+only pending ones.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="web-scale extraction job")
+    p.add_argument("--input", help="pages table path (url, warc_ts, html, text, lang)")
+    p.add_argument("--output", required=True, help="job root directory")
+    p.add_argument("--buckets", type=int, default=256, help="resume granularity")
+    p.add_argument(
+        "--synthesize",
+        type=int,
+        default=0,
+        help="generate N deterministic synthetic pages instead of --input",
+    )
+    args = p.parse_args(argv)
+
+    from ragflow_ocr_spark.spark import synth
+    from ragflow_ocr_spark.spark.pipeline import run_extract_job
+    from ragflow_ocr_spark.spark.session import get_spark
+
+    spark = get_spark(app_name="ragflow-ocr-extract")
+    if args.synthesize:
+        pages = synth.pages_df(spark, args.synthesize)
+    elif args.input:
+        pages = spark.read.parquet(args.input)
+    else:
+        p.error("one of --input / --synthesize is required")
+
+    summary = run_extract_job(spark, pages, args.output, n_buckets=args.buckets)
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -62,19 +62,45 @@ def resize_for_det(
 
 def normalize_image(img: np.ndarray) -> np.ndarray:
     """(img·scale − mean)/std, HWC float32
-    (``/root/reference/ocr/operators.py:100-124``)."""
-    return ((img.astype(np.float32) * _SCALE) - _MEAN) / _STD
+    (``/root/reference/ocr/operators.py:100-124``).
+
+    In-place on a fresh float32 buffer — the det input is multiple MB
+    per page and temp-array churn is the throughput ceiling on
+    memory-bandwidth-limited hosts."""
+    out = img.astype(np.float32) if img.dtype != np.float32 else img
+    out *= _SCALE
+    out -= _MEAN
+    out /= _STD
+    return out
 
 
 def to_chw(img: np.ndarray) -> np.ndarray:
-    """HWC → CHW (``/root/reference/ocr/operators.py:127-140``)."""
-    return np.ascontiguousarray(img.transpose(2, 0, 1))
+    """HWC → CHW view (``/root/reference/ocr/operators.py:127-140``).
+    Left non-contiguous: the stub nets read it strided; the real-ONNX
+    session path calls np.ascontiguousarray at the session boundary
+    (see infer.py)."""
+    return img.transpose(2, 0, 1)
 
 
 def det_preprocess(
     img_rgb: np.ndarray, limit_side_len: int = 960
 ) -> tuple[np.ndarray, tuple[int, int, float, float]]:
-    """Full chain → (NCHW float32 batch of 1, shape info)."""
+    """Full chain → (NCHW float32 batch of 1, shape info).
+
+    Fast path: a 2-D (grayscale) input stays single-channel end to end
+    — resize + normalize with channel-0 ImageNet stats, emitted as
+    (1, 1, H, W). Decoded page images are replicated-gray, so the
+    3-channel chain would stream 3× the bytes for identical stub-net
+    output; the real-ONNX path materializes 3 channels at the session
+    boundary (infer.py) where the model requires them.
+    """
+    if img_rgb.ndim == 2:
+        resized, shape_info = resize_for_det(img_rgb, limit_side_len)
+        resized = resized if resized.dtype == np.float32 else resized.astype(np.float32)
+        resized *= _SCALE
+        resized -= _MEAN[0]
+        resized /= _STD[0]
+        return resized[None, None, ...], shape_info
     resized, shape_info = resize_for_det(img_rgb, limit_side_len)
     norm = normalize_image(resized)
     chw = to_chw(norm)
@@ -82,8 +108,10 @@ def det_preprocess(
 
 
 def denormalize_to_gray(nchw: np.ndarray) -> np.ndarray:
-    """Invert normalize for the stub nets: NCHW → HW float in [0,1]."""
-    chw = nchw[0]
-    hwc = chw.transpose(1, 2, 0)
-    img01 = hwc * _STD + _MEAN
-    return img01.mean(axis=2)
+    """Invert normalize for the stub nets: NCHW → HW float in [0,1].
+
+    Uses channel 0 only — decoded page images are replicated-gray RGB,
+    so one channel carries full information at a third of the memory
+    traffic."""
+    c0 = nchw[0, 0]
+    return c0 * _STD[0] + _MEAN[0]

@@ -37,12 +37,19 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     x1 = np.minimum(x0 + 1, w - 1)
     wy = (ys - y0).astype(np.float32)[:, None]
     wx = (xs - x0).astype(np.float32)[None, :]
-    im = img.astype(np.float32)
-    if im.ndim == 3:
+    if img.ndim == 3:
         wy = wy[..., None]
         wx = wx[..., None]
-    top = im[y0][:, x0] * (1 - wx) + im[y0][:, x1] * wx
-    bot = im[y1][:, x0] * (1 - wx) + im[y1][:, x1] * wx
+    # gather the four corner grids directly at output resolution
+    # (np.ix_ open mesh), cast AFTER the gather — avoids materializing
+    # full-resolution float intermediates (memory faults dominate on
+    # this host)
+    g00 = img[np.ix_(y0, x0)].astype(np.float32)
+    g01 = img[np.ix_(y0, x1)].astype(np.float32)
+    g10 = img[np.ix_(y1, x0)].astype(np.float32)
+    g11 = img[np.ix_(y1, x1)].astype(np.float32)
+    top = g00 * (1 - wx) + g01 * wx
+    bot = g10 * (1 - wx) + g11 * wx
     return top * (1 - wy) + bot * wy
 
 
@@ -234,11 +241,17 @@ def connected_components(mask: np.ndarray, max_regions: int = 1000) -> list[np.n
 
     regions: list[np.ndarray] = []
     for root in region_order[:max_regions]:
+        # per-row run ENDPOINTS only — every convex-hull vertex of a
+        # raster region is a row extreme, so min_area_rect over
+        # endpoints equals min_area_rect over all pixels at a fraction
+        # of the cost (downstream consumes regions solely through the
+        # hull)
         pts = []
         for y, x0, x1 in groups[root]:
-            xs = np.arange(x0, x1, dtype=np.int64)
-            pts.append(np.stack([xs, np.full_like(xs, y)], axis=1))
-        regions.append(np.concatenate(pts, axis=0))
+            pts.append((x0, y))
+            if x1 - 1 != x0:
+                pts.append((x1 - 1, y))
+        regions.append(np.array(pts, dtype=np.int64))
     return regions
 
 

@@ -26,6 +26,12 @@ class Net(Protocol):
     def run(self, x: np.ndarray) -> np.ndarray: ...
 
 
+# NOTE for the real-model path: det_preprocess returns a strided CHW
+# view; an onnxruntime session requires contiguous input, so the
+# session wrapper must call np.ascontiguousarray(x) here. The stub
+# nets read strided arrays natively.
+
+
 _CACHE: dict[str, Net] = {}
 
 

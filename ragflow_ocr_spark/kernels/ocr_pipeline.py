@@ -45,15 +45,17 @@ class OcrResult:
 
 def _to_rgb(img: np.ndarray) -> np.ndarray:
     if img.ndim == 2:
-        return np.repeat(img[:, :, None], 3, axis=2)
+        # broadcast view, no copy — downstream only reads
+        return np.broadcast_to(img[:, :, None], (*img.shape, 3))
     return img
 
 
-def detect(img_rgb: np.ndarray, cfg: OCRConfig) -> np.ndarray:
-    """RGB uint8 → reading-ordered quads (N,4,2) in source coords.
-    Kernel equivalent of ``OCR.detect`` (``/root/reference/ocr/ocr.py:490-509``)."""
-    src_h, src_w = img_rgb.shape[:2]
-    nchw, _ = det_preprocess(img_rgb, cfg.det_limit_side_len)
+def detect(img: np.ndarray, cfg: OCRConfig) -> np.ndarray:
+    """Gray or RGB uint8 → reading-ordered quads (N,4,2) in source
+    coords. Kernel equivalent of ``OCR.detect``
+    (``/root/reference/ocr/ocr.py:490-509``)."""
+    src_h, src_w = img.shape[:2]
+    nchw, _ = det_preprocess(img, cfg.det_limit_side_len)
     prob = run_with_retry(get_det_net(), nchw)[0, 0]
     boxes, _scores = boxes_from_prob_map(prob, src_h, src_w, cfg)
     boxes = filter_tag_det_res(boxes, src_h, src_w)
@@ -135,13 +137,16 @@ def ocr_image(img: np.ndarray, cfg: OCRConfig | None = None) -> OcrResult:
     cfg = cfg or OCRConfig()
     if img is None or img.size == 0:
         return OcrResult(None, 0, "error:null", [], [])
-    rgb = _to_rgb(img)
-    boxes = detect(rgb, cfg)
+    boxes = detect(img, cfg)
     if boxes.shape[0] == 0:
         return OcrResult("", 0, "empty", [], [])
+    # crop from the original gray plane when the page is gray — a third
+    # of the warp's gather traffic; resize_norm_img restores the
+    # 3-channel rec contract at crop (small) resolution
+    crop_src = img
     crops = []
     for box in boxes:
-        crop = get_rotate_crop_image(rgb, box)
+        crop = get_rotate_crop_image(crop_src, box)
         crop = rotation_probe(crop, lambda c: _rec_one(c, cfg))
         crops.append(crop)
     rec_res = recognize_crops(crops, cfg)

@@ -77,36 +77,35 @@ class DetStubNet:
 
 
 def _resample_grid(mask: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Area-average resample of a float mask onto an out_h×out_w grid,
-    then threshold — stable canonicalization for template matching."""
+    """Area-average resample of a float mask onto an out_h×out_w grid —
+    stable canonicalization for template matching.
+
+    Vectorized via the integral image: for a piecewise-constant source,
+    the exact integral over a fractional window is the bilinear
+    interpolation of the cumulative sum at the window's fractional
+    corners (hot path — runs once per glyph)."""
     h, w = mask.shape
     m = mask.astype(np.float64)
-    out = np.zeros((out_h, out_w), dtype=np.float64)
+    s = np.zeros((h + 1, w + 1))
+    s[1:, 1:] = m.cumsum(0).cumsum(1)
+
+    def interp(coords: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+        i0 = np.clip(np.floor(coords).astype(np.int64), 0, n)
+        i1 = np.minimum(i0 + 1, n)
+        f = coords - i0
+        return i0, i1, f
+
     ye = np.linspace(0, h, out_h + 1)
     xe = np.linspace(0, w, out_w + 1)
-    csum = np.zeros((h + 1, w + 1))
-    csum[1:, 1:] = m.cumsum(0).cumsum(1)
-
-    def integral(y0: float, y1: float, x0: float, x1: float) -> float:
-        # integral over fractional window via whole-pixel approximation:
-        # sample at pixel granularity with proportional edge weights
-        iy0, iy1 = int(np.floor(y0)), int(np.ceil(y1))
-        ix0, ix1 = int(np.floor(x0)), int(np.ceil(x1))
-        sub = m[iy0:iy1, ix0:ix1]
-        if sub.size == 0:
-            return 0.0
-        wy = np.ones(iy1 - iy0)
-        wy[0] -= y0 - iy0
-        wy[-1] -= iy1 - y1
-        wx = np.ones(ix1 - ix0)
-        wx[0] -= x0 - ix0
-        wx[-1] -= ix1 - x1
-        return float(wy @ sub @ wx)
-
-    for i in range(out_h):
-        for j in range(out_w):
-            area = (ye[i + 1] - ye[i]) * (xe[j + 1] - xe[j])
-            out[i, j] = integral(ye[i], ye[i + 1], xe[j], xe[j + 1]) / max(area, 1e-9)
+    y0, y1, fy = interp(ye, h)
+    x0, x1, fx = interp(xe, w)
+    # S at fractional rows, then fractional cols: (out_h+1, w+1) → (out_h+1, out_w+1)
+    rows = s[y0] * (1 - fy)[:, None] + s[y1] * fy[:, None]
+    grid = rows[:, x0] * (1 - fx)[None, :] + rows[:, x1] * fx[None, :]
+    areas = np.outer(np.diff(ye), np.diff(xe))
+    out = (
+        grid[1:, 1:] - grid[:-1, 1:] - grid[1:, :-1] + grid[:-1, :-1]
+    ) / np.maximum(areas, 1e-9)
     return out
 
 
@@ -137,17 +136,24 @@ class _Template:
 
 
 _TEMPLATES: list[_Template] | None = None
+_TMPL_GRIDS: np.ndarray | None = None  # (C, 35)
+_TMPL_CY: np.ndarray | None = None
+_TMPL_H: np.ndarray | None = None
 
 
 def _templates() -> list[_Template]:
-    global _TEMPLATES
+    global _TEMPLATES, _TMPL_GRIDS, _TMPL_CY, _TMPL_H
     if _TEMPLATES is None:
         _TEMPLATES = [_Template(c) for c in font5x7.CHARSET]
+        _TMPL_GRIDS = np.stack([t.grid.ravel() for t in _TEMPLATES])
+        _TMPL_CY = np.array([t.rel_cy for t in _TEMPLATES])
+        _TMPL_H = np.array([t.rel_h for t in _TEMPLATES])
     return _TEMPLATES
 
 
 def _classify(seg: np.ndarray, line_r0: int, line_r1: int) -> tuple[int, float]:
-    """Match one glyph segment against the font templates.
+    """Match one glyph segment against the font templates (vectorized
+    over the template axis).
 
     Returns (class index into REC_CHARSET, distance). Position features
     (rel_cy, rel_h within the line's row band) disambiguate glyphs whose
@@ -156,20 +162,18 @@ def _classify(seg: np.ndarray, line_r0: int, line_r1: int) -> tuple[int, float]:
     sub, r0, _ = _trim(seg)
     if sub.size == 0:
         return -1, 1.0
-    grid = _resample_grid(sub, 7, 5)
+    _templates()
+    grid = _resample_grid(sub, 7, 5).ravel()
     line_h = max(line_r1 - line_r0, 1)
     rel_cy = ((r0 + r0 + sub.shape[0] - 1) / 2.0) / line_h
     rel_h = sub.shape[0] / (line_h + 1)
-    best_i, best_d = -1, np.inf
-    for i, t in enumerate(_templates()):
-        d = (
-            float(np.abs(grid - t.grid).mean())
-            + 1.5 * abs(rel_cy - t.rel_cy)
-            + 1.0 * abs(rel_h - t.rel_h)
-        )
-        if d < best_d:
-            best_d, best_i = d, i
-    return best_i, float(best_d)
+    d = (
+        np.abs(_TMPL_GRIDS - grid).mean(axis=1)
+        + 1.5 * np.abs(rel_cy - _TMPL_CY)
+        + 1.0 * np.abs(rel_h - _TMPL_H)
+    )
+    best_i = int(np.argmin(d))
+    return best_i, float(d[best_i])
 
 
 def _dominant_row_band(ink: np.ndarray) -> np.ndarray:
@@ -235,7 +239,9 @@ class RecStubNet:
         b = batch.shape[0]
         per_img: list[list[tuple[int, float]]] = []
         for i in range(b):
-            gray = batch[i].mean(axis=0)  # [-1, 1]; ink ≈ −1, paper ≈ +1
+            # channel 0 only — crops are replicated-gray RGB (see
+            # denormalize_to_gray); [-1, 1]; ink ≈ −1, paper ≈ +1
+            gray = batch[i][0]
             # right zero-padding (reference pads zeros,
             # ocr/ocr.py:180-184) sits at exactly 0 — strip it before
             # thresholding so a permissive ink cutoff can't eat the pad

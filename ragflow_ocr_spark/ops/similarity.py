@@ -21,7 +21,9 @@ TOP_K = 5
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # single-file test input → fan out (see ops/dedup.py)
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _dot(a: Column, b: Column) -> Column:

@@ -11,7 +11,9 @@ _STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-file test input → fan out (see ops/dedup.py)
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

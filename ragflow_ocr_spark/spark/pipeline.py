@@ -72,6 +72,22 @@ def extract(
     )
 
 
+def detect_blocks(df: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Staged API (SURVEY.md §3.2): pages → pages + nested blocks."""
+    from ragflow_ocr_spark.spark.stages import DETECT_SCHEMA, detect_stage
+
+    return df.select("url", "warc_ts", "lang", "html").mapInPandas(
+        detect_stage(cfg), schema=DETECT_SCHEMA
+    )
+
+
+def recognize_blocks(df: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Staged API: detected pages → exploded recognized lines."""
+    from ragflow_ocr_spark.spark.stages import RECOGNIZE_SCHEMA, recognize_stage
+
+    return df.mapInPandas(recognize_stage(cfg), schema=RECOGNIZE_SCHEMA)
+
+
 def run_extract_job(
     spark: SparkSession,
     pages: DataFrame,

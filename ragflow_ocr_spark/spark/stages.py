@@ -83,6 +83,128 @@ def extract_stage(cfg: PipelineConfig | None = None):
     return fn
 
 
+# ---------------------------------------------------------------- staged API
+# The reference exposes detect / recognize separately so callers can
+# interleave layout analysis (``/root/reference/ocr/ocr.py:490-533``;
+# SURVEY.md §3.2). Same split here as two composable DataFrame
+# transforms. The nested-per-row design (blocks stay inside the row as
+# array<struct>) avoids any shuffle between the stages — J1's
+# positional zip is preserved by construction.
+
+DETECT_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, html binary, "
+    "blocks array<struct<block_id:int, bbox:array<array<double>>>>, "
+    "det_status string"
+)
+
+RECOGNIZE_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, "
+    "block_id int, bbox array<array<double>>, text string, score double"
+)
+
+
+def detect_stage(cfg: PipelineConfig | None = None):
+    """pages → + blocks (reading-ordered quads per document)."""
+    cfg = cfg or DEFAULT
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ragflow_ocr_spark.kernels import pngcodec
+        from ragflow_ocr_spark.kernels.ocr_pipeline import detect, extract_pdf_payload
+
+        for pdf in batches:
+            all_blocks = []
+            statuses = []
+            for data in pdf["html"]:
+                payload = bytes(data) if data is not None else None
+                kind = pngcodec.sniff_payload(payload)
+                img = None
+                if kind == "png":
+                    try:
+                        img = pngcodec.decode_png(payload)
+                    except ValueError:
+                        pass
+                elif kind == "pdf":
+                    img = extract_pdf_payload(payload)
+                if img is None:
+                    all_blocks.append([])
+                    statuses.append("error:decode" if kind in ("png", "pdf") else f"skip:{kind}")
+                    continue
+                boxes = detect(img, cfg.ocr)
+                all_blocks.append(
+                    [
+                        {"block_id": i, "bbox": b.tolist()}
+                        for i, b in enumerate(boxes)
+                    ]
+                )
+                statuses.append("ok")
+            out = pdf[["url", "warc_ts", "lang", "html"]].copy()
+            out["blocks"] = all_blocks
+            out["det_status"] = statuses
+            yield out
+
+    return fn
+
+
+def recognize_stage(cfg: PipelineConfig | None = None):
+    """detected rows → exploded (url, block_id, text, score) lines.
+
+    Batch-rec semantics (``OCR.recognize_batch``, ocr/ocr.py:523-533):
+    a line below drop_score emits "" rather than being dropped — the
+    reference's second F2 semantics, distinct from the full pipeline.
+    """
+    cfg = cfg or DEFAULT
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ragflow_ocr_spark.kernels import pngcodec
+        from ragflow_ocr_spark.kernels.crop import get_rotate_crop_image, rotation_probe
+        from ragflow_ocr_spark.kernels.ocr_pipeline import (
+            _rec_one,
+            extract_pdf_payload,
+            recognize_crops,
+        )
+
+        for pdf in batches:
+            rows = {
+                "url": [], "warc_ts": [], "lang": [],
+                "block_id": [], "bbox": [], "text": [], "score": [],
+            }
+            for _, row in pdf.iterrows():
+                payload = bytes(row["html"]) if row["html"] is not None else None
+                blocks = row["blocks"]  # ndarray via Arrow — no truthiness
+                if payload is None or blocks is None or len(blocks) == 0:
+                    continue
+                kind = pngcodec.sniff_payload(payload)
+                img = (
+                    extract_pdf_payload(payload)
+                    if kind == "pdf"
+                    else pngcodec.decode_png(payload)
+                )
+                crops = []
+                for b in blocks:
+                    # Arrow hands nested lists back as object arrays of
+                    # per-point arrays — normalize before stacking
+                    quad = np.array(
+                        [np.asarray(p, dtype=np.float64) for p in b["bbox"]]
+                    )
+                    crop = get_rotate_crop_image(img, quad)
+                    crops.append(rotation_probe(crop, lambda c: _rec_one(c, cfg.ocr)))
+                rec = recognize_crops(crops, cfg.ocr)
+                for b, (text, score) in zip(blocks, rec):
+                    rows["url"].append(row["url"])
+                    rows["warc_ts"].append(row["warc_ts"])
+                    rows["lang"].append(row["lang"])
+                    rows["block_id"].append(b["block_id"])
+                    rows["bbox"].append(b["bbox"])
+                    # batch-rec drop semantics: emit "" below threshold
+                    rows["text"].append(text if score >= cfg.ocr.drop_score else "")
+                    rows["score"].append(float(score))
+            yield pd.DataFrame(rows)
+
+    return fn
+
+
 def extract_stage_with_metrics(cfg: PipelineConfig | None = None, run_id: str = ""):
     """Extract stage variant that appends one lineage/metrics row per
     task partition (engine='_metrics', extracted_text=JSON counters).

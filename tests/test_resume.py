@@ -1,0 +1,66 @@
+"""Checkpoint/resume tests: kill-after-k simulation → rerun → only the
+remaining buckets are processed and the output has no duplicates
+(FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ragflow_ocr_spark.spark import synth
+from ragflow_ocr_spark.spark.checkpoint import CheckpointStore
+from ragflow_ocr_spark.spark.pipeline import read_extracted, run_extract_job
+
+N_ROWS = 80
+N_BUCKETS = 6
+
+
+@pytest.fixture()
+def pages(spark):
+    return synth.pages_df(spark, N_ROWS, partitions=4).cache()
+
+
+def test_resume_after_injected_failure(spark, pages, tmp_path):
+    root = str(tmp_path / "job")
+
+    # run 1: die after the second completed bucket
+    done_first = sorted(
+        r["bucket"]
+        for r in pages.withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(N_BUCKETS)).cast("int")
+        ).select("bucket").distinct().collect()
+    )[1]
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extract_job(
+            spark, pages, root, n_buckets=N_BUCKETS, fail_buckets={done_first}
+        )
+
+    ckpt = CheckpointStore(spark, root)
+    done_after_crash = {r["bucket"] for r in ckpt.done_buckets().collect()}
+    assert len(done_after_crash) == 2  # two buckets committed before the crash
+
+    # run 2: resumes — processes only the remaining buckets
+    summary = run_extract_job(spark, pages, root, n_buckets=N_BUCKETS)
+    assert summary["buckets_processed"] + len(done_after_crash) >= len(
+        {r["bucket"] for r in ckpt.done_buckets().collect()}
+    )
+
+    out = read_extracted(spark, root)
+    urls = [r["url"] for r in out.select("url").collect()]
+    assert len(urls) == N_ROWS
+    assert len(set(urls)) == N_ROWS  # no duplicates after resume
+
+    # run 3: everything done -> nothing reprocessed
+    summary3 = run_extract_job(spark, pages, root, n_buckets=N_BUCKETS)
+    assert summary3["buckets_processed"] == 0
+
+
+def test_checkpoint_rows_carry_lineage(spark, pages, tmp_path):
+    root = str(tmp_path / "job2")
+    run_extract_job(spark, pages, root, n_buckets=3)
+    ck = spark.read.parquet(f"{root}/checkpoint")
+    rows = ck.collect()
+    assert {r["status"] for r in rows} == {"done"}
+    assert sum(r["n_docs"] for r in rows) == N_ROWS
+    assert all(r["wall_ms"] >= 0 for r in rows)
+    assert all(r["run_id"] for r in rows)
