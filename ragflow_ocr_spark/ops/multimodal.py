@@ -1,0 +1,244 @@
+"""Multimodal columns: image/audio/video as opaque BINARY + typed
+metadata, processed by iterator ``mapInPandas`` stages.
+
+Container/codec reality in this sandbox (no PIL/cv2/ffmpeg):
+- **image**: PNG decodes for real (kernels/pngcodec); JPEG/WEBP raise
+  at the decode seam and surface as per-row ``error:unsupported_codec``
+  — the production build swaps the decoder, nothing else changes.
+- **audio**: raw PCM s16le payloads (deterministic synth) — RMS /
+  zero-crossing / peak features are real numpy.
+- **video**: a deterministic frame container (``MOCKV1``: magic +
+  frame count + length-prefixed PNG frames). Frame sampling, decode,
+  and per-frame features are real; only the container format is the
+  stand-in for mp4 demuxing.
+
+Every stage is init-once-per-worker, Arrow-batched, and returns typed
+columns — the schema/partitioning/batch-shape plumbing the 100 TB
+pipeline needs, independent of which codec sits at the seam.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from ragflow_ocr_spark.kernels import pngcodec
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta_codec string, meta_w int, meta_h int, meta_sr int"
+)
+
+VIDEO_MAGIC = b"MOCKV1\x00\x00"
+
+
+# ------------------------------------------------------------ synthesis
+def make_image_payload(rng: np.random.Generator, w: int = 64, h: int = 48) -> bytes:
+    img = (rng.random((h, w)) * 255).astype(np.uint8)
+    return pngcodec.encode_png(img)
+
+
+def make_audio_payload(rng: np.random.Generator, n: int = 8000) -> bytes:
+    t = np.arange(n, dtype=np.float64)
+    f = 220.0 + float(rng.integers(0, 440))
+    wave = 0.5 * np.sin(2 * np.pi * f * t / 16000.0)
+    return (wave * 32767).astype("<i2").tobytes()
+
+
+def make_video_payload(rng: np.random.Generator, n_frames: int = 8) -> bytes:
+    frames = [make_image_payload(rng, 32, 24) for _ in range(n_frames)]
+    out = bytearray(VIDEO_MAGIC)
+    out += struct.pack("<I", n_frames)
+    for fr in frames:
+        out += struct.pack("<I", len(fr))
+        out += fr
+    return bytes(out)
+
+
+def media_df(spark, n_rows: int = 60, partitions: int = 4):
+    """Deterministic media table: round-robin image/audio/video."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                i = int(i)
+                rng = np.random.default_rng(np.random.SeedSequence([77, i]))
+                kind = ["image", "audio", "video"][i % 3]
+                if kind == "image":
+                    payload = make_image_payload(rng)
+                    meta = ("png", 64, 48, 0)
+                elif kind == "audio":
+                    payload = make_audio_payload(rng)
+                    meta = ("pcm_s16le", 0, 0, 16000)
+                else:
+                    payload = make_video_payload(rng)
+                    meta = ("mockv1", 32, 24, 0)
+                rows.append((i, kind, payload, *meta))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "payload",
+                    "meta_codec", "meta_w", "meta_h", "meta_sr",
+                ],
+            )
+
+    return spark.range(0, n_rows, 1, partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------- decode
+def decode_image(payload: bytes, codec: str) -> np.ndarray:
+    """The codec seam. PNG is real; everything else raises — callers
+    convert to per-row error status (never a task failure)."""
+    if codec == "png" or pngcodec.sniff_payload(payload) == "png":
+        return pngcodec.decode_png(payload)
+    raise NotImplementedError(f"decoder for {codec!r} not bundled in this sandbox")
+
+
+def iter_video_frames(payload: bytes) -> Iterator[bytes]:
+    if not payload.startswith(VIDEO_MAGIC):
+        raise ValueError("not a MOCKV1 container")
+    (n,) = struct.unpack_from("<I", payload, len(VIDEO_MAGIC))
+    pos = len(VIDEO_MAGIC) + 4
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", payload, pos)
+        pos += 4
+        yield payload[pos : pos + ln]
+        pos += ln
+
+
+# ---------------------------------------------------------------- stages
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, width int, height int, mean_luma double, "
+    "std_luma double, status string"
+)
+
+
+def image_features_stage():
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload, codec in zip(
+                b["media_id"], b["payload"], b["meta_codec"]
+            ):
+                try:
+                    img = decode_image(bytes(payload), codec)
+                    rows.append(
+                        (
+                            int(mid),
+                            img.shape[1],
+                            img.shape[0],
+                            round(float(img.mean()), 6),
+                            round(float(img.std()), 6),
+                            "ok",
+                        )
+                    )
+                except NotImplementedError:
+                    rows.append((int(mid), 0, 0, 0.0, 0.0, "error:unsupported_codec"))
+                except Exception:
+                    rows.append((int(mid), 0, 0, 0.0, 0.0, "error:decode"))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "mean_luma", "std_luma", "status"],
+            )
+
+    return fn
+
+
+THUMB_SCHEMA = "media_id long, thumb binary, thumb_w int, thumb_h int, status string"
+
+
+def thumbnail_stage(max_side: int = 16):
+    from ragflow_ocr_spark.kernels.imgeom import resize_bilinear
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload, codec in zip(
+                b["media_id"], b["payload"], b["meta_codec"]
+            ):
+                try:
+                    img = decode_image(bytes(payload), codec)
+                    h, w = img.shape[:2]
+                    r = max_side / max(h, w)
+                    th, tw = max(1, int(h * r)), max(1, int(w * r))
+                    thumb = resize_bilinear(img, th, tw).astype(np.uint8)
+                    rows.append(
+                        (int(mid), pngcodec.encode_png(thumb), tw, th, "ok")
+                    )
+                except Exception:
+                    rows.append((int(mid), None, 0, 0, "error"))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "thumb", "thumb_w", "thumb_h", "status"]
+            )
+
+    return fn
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, n_samples long, rms double, peak double, "
+    "zero_crossings long, status string"
+)
+
+
+def audio_features_stage():
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                try:
+                    pcm = np.frombuffer(bytes(payload), dtype="<i2").astype(np.float64)
+                    pcm /= 32768.0
+                    zc = int(np.count_nonzero(np.diff(np.signbit(pcm))))
+                    rows.append(
+                        (
+                            int(mid),
+                            len(pcm),
+                            round(float(np.sqrt((pcm**2).mean())), 6),
+                            round(float(np.abs(pcm).max()), 6),
+                            zc,
+                            "ok",
+                        )
+                    )
+                except Exception:
+                    rows.append((int(mid), 0, 0.0, 0.0, 0, "error"))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "rms", "peak", "zero_crossings", "status"],
+            )
+
+    return fn
+
+
+FRAME_SAMPLE_SCHEMA = (
+    "media_id long, frame_idx int, frame binary, mean_luma double, status string"
+)
+
+
+def frame_sample_stage(every_k: int = 2):
+    """Video → every k-th frame, decoded, with per-frame features.
+    Explodes rows (one per sampled frame) — the fan-out shape a real
+    frame pipeline has."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                try:
+                    for idx, fr in enumerate(iter_video_frames(bytes(payload))):
+                        if idx % every_k:
+                            continue
+                        img = pngcodec.decode_png(fr)
+                        rows.append(
+                            (int(mid), idx, fr, round(float(img.mean()), 6), "ok")
+                        )
+                except Exception:
+                    rows.append((int(mid), -1, None, 0.0, "error"))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame", "mean_luma", "status"]
+            )
+
+    return fn

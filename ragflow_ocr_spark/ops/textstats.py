@@ -171,9 +171,53 @@ FROM documents GROUP BY source
 """
 
 
+_GRAM = 8
+_STRIDE = 4
+
+
+def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling k-gram fingerprint (winnowing-style): hash every 8-char
+    gram at stride 4 of the normalized text, keep the minimum — robust
+    near-identity under local edits. Hash = md5 hex (lexicographic
+    min), portable to the oracle. All JVM-side: sequence → transform →
+    array_min, no explode/shuffle."""
+    d = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z0-9]", "")
+    grams = F.transform(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.length(norm) - (_GRAM - 1), F.lit(1)),
+            F.lit(_STRIDE),
+        ),
+        lambda i: F.md5(F.encode(norm.substr(i, F.lit(_GRAM)), "UTF-8")),
+    )
+    return d.select(
+        "doc_id",
+        F.when(F.length(norm) >= _GRAM, F.array_min(grams))
+        .otherwise(F.lit(None))
+        .alias("winnow_fp"),
+    )
+
+
+ORACLE_WINNOW = f"""
+WITH n AS (
+  SELECT doc_id,
+         REGEXP_REPLACE(LOWER(COALESCE(text, '')), '[^a-z0-9]', '', 'g') AS norm
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN LENGTH(norm) >= {_GRAM} THEN
+         list_min([md5(substr(norm, CAST(i AS INT), {_GRAM}))
+                   FOR i IN RANGE(1, GREATEST(LENGTH(norm) - {_GRAM - 1}, 1) + 1, {_STRIDE})])
+       ELSE NULL END AS winnow_fp
+FROM n
+"""
+
+
 QUERIES = {
     "text_quality": (q_text_quality, ORACLE_QUALITY),
     "lang_id": (q_lang_id, ORACLE_LANG),
     "token_count_bpe": (q_token_count_bpe, ORACLE_BPE),
     "fingerprint": (q_fingerprint, ORACLE_FP),
+    "fingerprint_winnow": (q_fingerprint_winnow, ORACLE_WINNOW),
 }

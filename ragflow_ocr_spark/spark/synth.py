@@ -152,7 +152,13 @@ def _make_image_png(rng: np.random.Generator) -> tuple[bytes, str]:
         for _ in range(n_lines)
     ]
     height = 64 + 32 * n_lines
-    img, drawn = font5x7.render_page(lines, width=960, height=height, scale=2)
+    # canvas sized to content (multiple of 32, capped at 960) — page
+    # images in the wild aren't uniformly huge, and det cost ∝ pixels
+    needed = max(
+        (sum(6 if c == " " else 6 for c in ln) * 2 for ln in lines), default=64
+    )
+    width = min(960, max(128, ((needed + 2 * 24 + 31) // 32) * 32))
+    img, drawn = font5x7.render_page(lines, width=width, height=height, scale=2)
     return pngcodec.encode_png(img), "\n".join(drawn)
 
 

@@ -1,0 +1,98 @@
+"""Multimodal stage tests — schema, batch shape, per-row error
+semantics, and constructive feature truth for the real codecs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ragflow_ocr_spark.ops import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = mm.media_df(spark, 30, partitions=3).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_media_table_shape(media):
+    assert media.count() == 30
+    kinds = dict(
+        (r["kind"], r["count"]) for r in media.groupBy("kind").count().collect()
+    )
+    assert kinds == {"image": 10, "audio": 10, "video": 10}
+
+
+def test_image_features(media, spark):
+    imgs = media.where(F.col("kind") == "image")
+    out = imgs.mapInPandas(mm.image_features_stage(), schema=mm.IMAGE_FEATURES_SCHEMA)
+    rows = out.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["status"] == "ok"
+        assert (r["width"], r["height"]) == (64, 48)
+        assert 0 < r["mean_luma"] < 255
+
+
+def test_image_features_truth(media, spark):
+    """Feature values equal the direct numpy computation (constructive)."""
+    imgs = media.where(F.col("kind") == "image").limit(3).collect()
+    out = {
+        r["media_id"]: r
+        for r in spark.createDataFrame(imgs)
+        .mapInPandas(mm.image_features_stage(), schema=mm.IMAGE_FEATURES_SCHEMA)
+        .collect()
+    }
+    from ragflow_ocr_spark.kernels import pngcodec
+
+    for r in imgs:
+        img = pngcodec.decode_png(bytes(r["payload"]))
+        assert out[r["media_id"]]["mean_luma"] == round(float(img.mean()), 6)
+
+
+def test_unsupported_codec_is_row_error_not_task_failure(spark):
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"\xff\xd8\xff\xe0jpeg"), "jpeg", 0, 0, 0)],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = df.mapInPandas(
+        mm.image_features_stage(), schema=mm.IMAGE_FEATURES_SCHEMA
+    ).collect()
+    assert rows[0]["status"] == "error:unsupported_codec"
+
+
+def test_thumbnail_roundtrip(media, spark):
+    imgs = media.where(F.col("kind") == "image")
+    out = imgs.mapInPandas(mm.thumbnail_stage(16), schema=mm.THUMB_SCHEMA).collect()
+    from ragflow_ocr_spark.kernels import pngcodec
+
+    for r in out:
+        assert r["status"] == "ok"
+        th = pngcodec.decode_png(bytes(r["thumb"]))
+        assert max(th.shape[:2]) == 16
+
+
+def test_audio_features(media):
+    auds = media.where(F.col("kind") == "audio")
+    out = auds.mapInPandas(mm.audio_features_stage(), schema=mm.AUDIO_FEATURES_SCHEMA)
+    for r in out.collect():
+        assert r["status"] == "ok"
+        assert r["n_samples"] == 8000
+        # 0.5-amplitude sine: rms ≈ 0.3535, many zero crossings
+        assert 0.3 < r["rms"] < 0.4
+        assert r["zero_crossings"] > 50
+
+
+def test_frame_sampling_explodes(media):
+    vids = media.where(F.col("kind") == "video")
+    out = vids.mapInPandas(
+        mm.frame_sample_stage(every_k=2), schema=mm.FRAME_SAMPLE_SCHEMA
+    )
+    rows = out.collect()
+    # 8 frames, every 2nd -> 4 per video × 10 videos
+    assert len(rows) == 40
+    assert {r["frame_idx"] for r in rows} == {0, 2, 4, 6}
+    assert all(r["status"] == "ok" for r in rows)

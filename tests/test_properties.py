@@ -1,0 +1,73 @@
+"""Property-based robustness tests (hypothesis) — the never-crash
+invariants the per-row error contract depends on."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from ragflow_ocr_spark.kernels import font5x7, pngcodec
+from ragflow_ocr_spark.kernels.html_extract import extract_html
+from ragflow_ocr_spark.kernels.ocr_pipeline import extract_payload
+from ragflow_ocr_spark.kernels.reading_order import sorted_boxes
+
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=150, deadline=None)
+def test_extract_html_never_raises(data):
+    text, n, status = extract_html(data)
+    assert status in ("ok", "empty", "error:null", "error:parse")
+    assert (text is None) == status.startswith("error")
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=100, deadline=None)
+def test_extract_payload_never_raises(data):
+    r = extract_payload(data)
+    assert r.status
+    # any non-crash outcome is contractually valid; text None ⇔ error
+    assert (r.text is None) == r.status.startswith("error")
+
+
+@given(
+    st.integers(2, 40),
+    st.integers(2, 40),
+    st.integers(1, 3),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_roundtrip_random_shapes(h, w, channels):
+    rng = np.random.default_rng(h * 100 + w)
+    shape = (h, w) if channels != 3 else (h, w, 3)
+    img = rng.integers(0, 256, shape).astype(np.uint8)
+    if channels == 2:  # gray path again, different seed mix
+        img = img.reshape(h, w) if img.ndim == 2 else img[:, :, 0]
+    out = pngcodec.decode_png(pngcodec.encode_png(img))
+    assert np.array_equal(out, img)
+
+
+@given(st.lists(st.tuples(st.integers(0, 500), st.integers(0, 500)), min_size=0, max_size=12))
+@settings(max_examples=80, deadline=None)
+def test_sorted_boxes_is_permutation(corners):
+    boxes = np.array(
+        [
+            [[x, y], [x + 10, y], [x + 10, y + 8], [x, y + 8]]
+            for x, y in corners
+        ],
+        dtype=np.float64,
+    ).reshape(len(corners), 4, 2)
+    out = sorted_boxes(boxes)
+    assert len(out) == len(corners)
+    a = sorted(map(lambda b: tuple(b.ravel()), boxes))
+    b = sorted(map(lambda b: tuple(b.ravel()), out))
+    assert a == b
+
+
+@given(st.text(max_size=60), st.integers(1, 3))
+@settings(max_examples=60, deadline=None)
+def test_render_sanitize_contract(text, scale):
+    """Whatever render_page draws, it reports as ground truth exactly
+    the sanitized, fitted string."""
+    img, drawn = font5x7.render_page([text], width=480, height=96, scale=scale)
+    for line in drawn:
+        assert line == font5x7.sanitize(line)  # idempotent
+        assert line.strip() == line

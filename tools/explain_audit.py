@@ -1,0 +1,82 @@
+"""Plan audit: `.explain("formatted")` for the headline queries, with
+assertions on the physical properties that matter at 100 TB —
+predicate pushdown, column pruning, broadcast joins, partial
+aggregation, TakeOrderedAndProject. Writes PLANS.md.
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+CHECKS = {
+    # query -> list of (regex, why it must appear)
+    "filter_drop_score": [
+        (r"PushedFilters: \[.*GreaterThanOrEqual\(l_quantity", "filter pushed to parquet scan"),
+        (r"ReadSchema: [^\n]*l_quantity", "column pruning: only needed columns read"),
+    ],
+    "pricing_summary": [
+        (r"HashAggregate", "partial hash aggregation"),
+        (r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", "date filter pushed down"),
+    ],
+    "topk_orders": [
+        (r"TakeOrderedAndProject", "top-k without full sort"),
+    ],
+    "anti_join_resume": [
+        (r"BroadcastHashJoin .*LeftAnti", "broadcast anti-join (no big-side shuffle)"),
+    ],
+    "join_order_lines": [
+        (r"HashAggregate", "aggregation after join"),
+    ],
+    "dedup_exact": [
+        (r"HashAggregate", "hash groupBy"),
+    ],
+    "ann_cosine_topk": [
+        (r"BroadcastNestedLoopJoin|BroadcastHashJoin", "query side broadcast"),
+    ],
+    "html_extract_docs": [
+        (r"MapInPandas|ArrowEvalPython|FlatMapsInPandas|PythonMapInArrow", "vectorized Arrow Python stage"),
+        (r"ReadSchema: [^\n]*text", "scan reads payload column"),
+    ],
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as entrymod
+    from ragflow_ocr_spark.spark.session import get_spark
+
+    spark = get_spark(app_name="explain-audit")
+    qs = entrymod.queries()
+    out_lines = ["# PLANS — physical-plan audit (auto-generated)\n"]
+    failures = []
+    for name, checks in CHECKS.items():
+        df = qs[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        out_lines.append(f"\n## {name}\n")
+        for rx, why in checks:
+            ok = re.search(rx, plan) is not None
+            status = "OK " if ok else "MISSING"
+            out_lines.append(f"- [{status}] {why} (`{rx}`)")
+            if not ok:
+                failures.append((name, why))
+            print(f"{status} {name}: {why}")
+        out_lines.append("\n```\n" + plan[:4000] + "\n```\n")
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write("\n".join(out_lines))
+    print(f"\n{len(failures)} plan-check failures: {failures}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
