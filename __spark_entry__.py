@@ -8,9 +8,17 @@
 - ``oracle_sql()``  — DuckDB-equivalent SQL per query. The two
   extraction queries have real oracles: the synthetic page templates
   are constructed so the byte-exact expected output is SQL-computable.
-  ``dedup_simhash``/``ann_lsh_bucketed``/``extract_synthetic_pages``
-  are engine-hash-based / approximate / payload-synthesizing → no
-  oracle (rows-only check).
+  ``dedup_simhash`` (md5-based 60-bit hash) and ``ann_lsh_bucketed``
+  (plane constants materialized as double literals on both engines)
+  are oracle-checked too — the oracle mirrors the banding/bucketing
+  exactly, so the check is exact even where recall < 1 by
+  construction. The multimodal queries derive payloads from
+  ``documents`` with analytically-known decoded statistics (two-tone
+  PNG, square-wave PCM, constant-frame video), so the real
+  encode→decode→feature path is oracle-checked as well. Only
+  ``extract_synthetic_pages`` (payload-synthesizing page mix) is a
+  rows-only check; its byte-identity is pytest-asserted against
+  constructive truth instead.
 """
 
 from __future__ import annotations

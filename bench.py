@@ -44,6 +44,10 @@ HEADLINE = [
     "text_quality",
     "token_count_bpe",
     "fingerprint",
+    "fingerprint_winnow",
+    "lang_id",
+    "media_image_stats",
+    "media_frame_sample",
     "html_extract_docs",
     "ocr_extract_docs",
 ]
@@ -91,11 +95,11 @@ def ensure_bench_pages() -> str:
     return path
 
 
-def time_extraction(master_cores: int, path: str) -> tuple[float, int]:
-    """Run the full extraction job at the given core count; return
-    (wall seconds, docs). Fresh session per level so the measurement is
-    the job, not scheduler state; a warmup job absorbs JVM/worker
-    startup."""
+def time_extraction_once(master_cores: int, path: str) -> tuple[float, int]:
+    """One warm, timed pass of the extraction job at the given core
+    count. Fresh session per call so the measurement is the job, not
+    scheduler state; the warmup pass spins up every Python worker and
+    absorbs first-touch page-fault cost."""
     from pyspark.sql import functions as F
 
     from ragflow_ocr_spark.spark.pipeline import extract
@@ -107,17 +111,30 @@ def time_extraction(master_cores: int, path: str) -> tuple[float, int]:
         shuffle_partitions=master_cores * 4,
     )
     pages = spark.read.parquet(path)
-    # warmup pass: spins up every Python worker and absorbs the
-    # first-touch page-fault cost, so the timed pass measures the job
     extract(pages).count()
     t0 = time.monotonic()
-    # no repartition: parquet input splits already bound bytes (≈ cost)
-    # per task — a payload shuffle here costs 3× (measured) for nothing
+    # no repartition: parquet input splits already bound bytes
+    # (≈ cost) per task — a payload shuffle costs 3× (measured)
     out = extract(pages)
     n = out.where(F.col("status").isNotNull()).count()
     wall = time.monotonic() - t0
     spark.stop()
     return wall, n
+
+
+def time_extraction_ladder(levels: list[int], path: str) -> tuple[dict[int, float], int]:
+    """min-of-2 walls per level, with the levels INTERLEAVED
+    (L1,L2,L3,L1,L2,L3) so slow host drift (this VM's wall-clock for
+    the same job wanders ±25% over tens of minutes) lands evenly on
+    every level instead of biasing whichever ran last; min-of-2 then
+    rejects one-off fault-storm slowdowns."""
+    best: dict[int, float] = {}
+    n = 0
+    for _ in range(2):
+        for cores in levels:
+            wall, n = time_extraction_once(cores, path)
+            best[cores] = min(best.get(cores, float("inf")), wall)
+    return best, n
 
 
 def main() -> None:
@@ -135,13 +152,11 @@ def main() -> None:
     # the 8→32 numbers are reported alongside with the control data.
     n_small = max(1, CPUS // 16)
     n_mid = max(2, CPUS // 4)
-    t_small, n1 = time_extraction(n_small, path)
-    t_mid, n2 = time_extraction(n_mid, path)
-    t_big, n3 = time_extraction(CPUS, path)
-    assert n1 == n2 == n3, (n1, n2, n3)
+    walls, n1 = time_extraction_ladder([n_small, n_mid, CPUS], path)
+    t_small, t_mid, t_big = walls[n_small], walls[n_mid], walls[CPUS]
     thr_small = n1 / t_small
-    thr_mid = n2 / t_mid
-    thr_big = n3 / t_big
+    thr_mid = n1 / t_mid
+    thr_big = n1 / t_big
     eff_n_4n = (thr_mid / thr_small) / (n_mid / n_small)
     eff_full = (thr_big / thr_mid) / (CPUS / n_mid)
 

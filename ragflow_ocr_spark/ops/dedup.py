@@ -219,27 +219,46 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- SimHash
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document + hamming-near pairs (≤ 6 bits).
+SIMHASH_BITS = 60  # 15 hex chars of md5 → portable across Spark & DuckDB
 
-    xxhash64 per token, per-bit weighted vote, then a band join on four
-    16-bit sub-keys (a ≤6-bit difference leaves at least one of the 4
-    sub-keys identical only probabilistically — we use all (4 choose 1)
-    single-band buckets, the standard Charikar trick at this distance).
-    Hash is engine-specific → no SQL oracle (rows-only check).
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document + hamming-near pairs (≤ 6 bits).
+
+    Token hash = first 15 hex chars of md5 (identical in Spark and
+    DuckDB → fully oracle-checked); per-bit weighted vote; then a band
+    join on four 15-bit sub-keys (single-band buckets, the standard
+    Charikar trick — recall < 1 by construction, and the oracle mirrors
+    the banding exactly so the check is still exact). At 100 TB the
+    production build swaps md5 for xxhash64 (same plan shape, cheaper
+    hash); the vote aggregation is 60 plain agg columns → map-side
+    partial aggregation, like the minhash signatures.
     """
     d = _docs(spark, sf_dir)
     tokens = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).where(F.length("tok") > 0)
-    h = tokens.withColumn("h", F.xxhash64("tok"))
+    # pre-aggregate (doc_id, tok) → count, then hash each DISTINCT
+    # token occurrence once and weight the vote by the count — exact
+    # same integer votes as per-instance ±1, with ~4× fewer md5's and
+    # a ~4× smaller input to the 60-column vote aggregation (map-side
+    # combine handles the (doc_id, tok) shuffle)
+    tok_counts = tokens.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    h = tok_counts.withColumn(
+        "h",
+        F.conv(
+            F.substring(F.md5(F.encode(F.col("tok"), "UTF-8")), 1, 15), 16, 10
+        ).cast("long"),
+    )
     bit_cols = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
+            F.when(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("c")
+            ).otherwise(-F.col("c"))
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     votes = h.groupBy("doc_id").agg(*bit_cols)
     sim = votes.select(
@@ -249,7 +268,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
                     F.lit(0).cast("long")
                 )
-                for i in range(63)  # bit 63 omitted: sign bit, keep positive
+                for i in range(SIMHASH_BITS)
             ]
         ).alias("simhash"),
     )
@@ -261,8 +280,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(k).alias("band"),
-                        F.shiftright(F.col("simhash"), 16 * k)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), 15 * k)
+                        .bitwiseAND(F.lit(0x7FFF))
                         .alias("key"),
                     )
                     for k in range(4)
@@ -293,9 +312,44 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+def _oracle_simhash() -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    val = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+  WHERE LENGTH(tok) > 0
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM toks GROUP BY doc_id
+), sim AS (
+  SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM votes
+), bands AS (
+  SELECT doc_id, simhash, band, (simhash >> (15 * band)) & 32767 AS key
+  FROM sim, (SELECT UNNEST([0, 1, 2, 3]) AS band) bb
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 6
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, ORACLE_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_NGRAM),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_NGRAM),
-    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_simhash": (q_dedup_simhash, _oracle_simhash()),
 }

@@ -218,6 +218,39 @@ FRAME_SAMPLE_SCHEMA = (
 )
 
 
+def thumbnail_luma_stage():
+    """thumbnail_stage composed with a second decode pass: thumb PNG →
+    mean luma. Demonstrates chaining two Python stages with only typed
+    columns crossing the seam."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, thumb, tw, th, status in zip(
+                b["media_id"], b["thumb"], b["thumb_w"], b["thumb_h"], b["status"]
+            ):
+                if status != "ok" or thumb is None:
+                    rows.append((int(mid), 0, 0, 0.0, str(status)))
+                    continue
+                img = pngcodec.decode_png(bytes(thumb))
+                # round(3): bilinear of a constant image is constant to
+                # ~1e-12 (per-pixel rounding), so 3 decimals are exact
+                rows.append(
+                    (int(mid), int(tw), int(th), round(float(img.mean()), 3), "ok")
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "thumb_w", "thumb_h", "mean_luma", "status"],
+            )
+
+    return fn
+
+
+THUMB_LUMA_SCHEMA = (
+    "media_id long, thumb_w int, thumb_h int, mean_luma double, status string"
+)
+
+
 def frame_sample_stage(every_k: int = 2):
     """Video → every k-th frame, decoded, with per-frame features.
     Explodes rows (one per sampled frame) — the fan-out shape a real
@@ -242,3 +275,158 @@ def frame_sample_stage(every_k: int = 2):
             )
 
     return fn
+
+
+# --------------------------------------------------- contract queries
+# Oracle-checked multimodal queries: payloads are derived from the
+# `documents` table with analytically-known decoded statistics —
+# two-tone PNGs (exact mean/std), square-wave PCM (exact RMS/peak/
+# zero-crossings: odd amplitude ⇒ no rounding tie at 6 decimals), and
+# constant-frame MOCKV1 video (exact per-frame luma). The Spark side
+# runs the REAL encode→decode→feature path; the oracle computes the
+# closed form in SQL. Reference analogue: `DecodeImage`
+# (/root/reference/ocr/operators.py:25-60) bytes→ndarray seam.
+
+_IMG_LIMIT = 120
+_AUD_LIMIT = 120
+_VID_LIMIT = 60
+
+
+def _doc_ids(spark, sf_dir: str, limit: int):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < limit)
+        .select("doc_id")
+        .repartition(8)
+    )
+
+
+def q_media_image_stats(spark, sf_dir: str):
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                a = did % 256
+                v = (did * 7 + 13) % 256
+                img = np.empty((48, 64), dtype=np.uint8)
+                img[:, :32] = a
+                img[:, 32:] = v
+                rows.append((did, "image", pngcodec.encode_png(img), "png", 64, 48, 0))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "meta_codec", "meta_w", "meta_h", "meta_sr"],
+            )
+
+    media = _doc_ids(spark, sf_dir, _IMG_LIMIT).mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return media.mapInPandas(image_features_stage(), schema=IMAGE_FEATURES_SCHEMA)
+
+
+ORACLE_IMAGE_STATS = f"""
+SELECT doc_id AS media_id, 64 AS width, 48 AS height,
+       ROUND(((doc_id % 256) + ((doc_id * 7 + 13) % 256)) / 2.0, 6) AS mean_luma,
+       ROUND(ABS((doc_id % 256) - ((doc_id * 7 + 13) % 256)) / 2.0, 6) AS std_luma,
+       'ok' AS status
+FROM documents WHERE doc_id < {_IMG_LIMIT}
+"""
+
+
+def q_media_audio_features(spark, sf_dir: str):
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                amp = 2 * (did % 8191) + 1  # odd ⇒ no round-half tie
+                pcm = np.empty(8000, dtype="<i2")
+                pcm[0::2] = amp
+                pcm[1::2] = -amp
+                rows.append((did, "audio", pcm.tobytes(), "pcm_s16le", 0, 0, 16000))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "meta_codec", "meta_w", "meta_h", "meta_sr"],
+            )
+
+    media = _doc_ids(spark, sf_dir, _AUD_LIMIT).mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return media.mapInPandas(audio_features_stage(), schema=AUDIO_FEATURES_SCHEMA)
+
+
+ORACLE_AUDIO_FEATURES = f"""
+SELECT doc_id AS media_id, 8000 AS n_samples,
+       ROUND((2 * (doc_id % 8191) + 1) / 32768.0, 6) AS rms,
+       ROUND((2 * (doc_id % 8191) + 1) / 32768.0, 6) AS peak,
+       7999 AS zero_crossings,
+       'ok' AS status
+FROM documents WHERE doc_id < {_AUD_LIMIT}
+"""
+
+
+def _synth_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for b in batches:
+        rows = []
+        for did in b["doc_id"]:
+            did = int(did)
+            n_frames = 4 + did % 5
+            out = bytearray(VIDEO_MAGIC)
+            out += struct.pack("<I", n_frames)
+            for idx in range(n_frames):
+                img = np.full((24, 32), (did * 31 + idx * 7) % 256, dtype=np.uint8)
+                fr = pngcodec.encode_png(img)
+                out += struct.pack("<I", len(fr))
+                out += fr
+            rows.append((did, "video", bytes(out), "mockv1", 32, 24, 0))
+        yield pd.DataFrame(
+            rows,
+            columns=["media_id", "kind", "payload", "meta_codec", "meta_w", "meta_h", "meta_sr"],
+        )
+
+
+def q_media_frame_sample(spark, sf_dir: str):
+    media = _doc_ids(spark, sf_dir, _VID_LIMIT).mapInPandas(_synth_video, schema=MEDIA_SCHEMA)
+    frames = media.mapInPandas(frame_sample_stage(every_k=2), schema=FRAME_SAMPLE_SCHEMA)
+    return frames.select("media_id", "frame_idx", "mean_luma", "status")
+
+
+ORACLE_FRAME_SAMPLE = f"""
+SELECT doc_id AS media_id,
+       unnest(range(0, CAST(4 + doc_id % 5 AS BIGINT), 2)) AS frame_idx,
+       ROUND(CAST((doc_id * 31 + (unnest(range(0, CAST(4 + doc_id % 5 AS BIGINT), 2))) * 7) % 256 AS DOUBLE), 6) AS mean_luma,
+       'ok' AS status
+FROM documents WHERE doc_id < {_VID_LIMIT}
+"""
+
+
+def q_media_thumbnail(spark, sf_dir: str):
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                img = np.full((48, 64), (did * 5 + 7) % 256, dtype=np.uint8)
+                rows.append((did, "image", pngcodec.encode_png(img), "png", 64, 48, 0))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "meta_codec", "meta_w", "meta_h", "meta_sr"],
+            )
+
+    media = _doc_ids(spark, sf_dir, _IMG_LIMIT).mapInPandas(synth, schema=MEDIA_SCHEMA)
+    thumbs = media.mapInPandas(thumbnail_stage(max_side=16), schema=THUMB_SCHEMA)
+    return thumbs.mapInPandas(thumbnail_luma_stage(), schema=THUMB_LUMA_SCHEMA)
+
+
+ORACLE_THUMBNAIL = f"""
+SELECT doc_id AS media_id, 16 AS thumb_w, 12 AS thumb_h,
+       ROUND(CAST((doc_id * 5 + 7) % 256 AS DOUBLE), 3) AS mean_luma,
+       'ok' AS status
+FROM documents WHERE doc_id < {_IMG_LIMIT}
+"""
+
+
+QUERIES = {
+    "media_image_stats": (q_media_image_stats, ORACLE_IMAGE_STATS),
+    "media_audio_features": (q_media_audio_features, ORACLE_AUDIO_FEATURES),
+    "media_frame_sample": (q_media_frame_sample, ORACLE_FRAME_SAMPLE),
+    "media_thumbnail": (q_media_thumbnail, ORACLE_THUMBNAIL),
+}

@@ -138,6 +138,13 @@ WHERE cos >= 0.3
 """
 
 N_PLANES = 8  # 256 buckets — sized so the test corpus (500-2000 vecs) collides
+_DIM = 64
+
+
+def _plane(p: int) -> list[float]:
+    import math
+
+    return [math.sin(p * 1000003 + j * 7919) for j in range(_DIM)]
 
 
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,15 +152,15 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Signature = sign pattern of dot products against N_PLANES fixed
     pseudo-random hyperplanes (deterministic: plane p component j =
-    sin(p·1000003 + j·7919), computed JVM-side). Same-bucket pairs are
-    scored exactly. Approximate (bucket recall < 1) → rows-only check.
+    sin(p·1000003 + j·7919), materialized as double literals on BOTH
+    engines — so the oracle replicates the banding exactly and the
+    check is exact even though bucket recall < 1 by construction).
+    Same-bucket pairs are scored exactly. The sign decisions tolerate
+    summation-order differences: a flip needs |dot| ≲ 1e-13, and dot
+    magnitudes here are ~1e-1.
     """
     e = _emb(spark, sf_dir)
-    dim = 64
-    import math
-
-    def plane(p: int) -> list[float]:
-        return [math.sin(p * 1000003 + j * 7919) for j in range(dim)]
+    plane = _plane
 
     sig = None
     for p in range(N_PLANES):
@@ -182,8 +189,136 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oracle_lsh() -> str:
+    planes = [
+        "[" + ", ".join(repr(v) for v in _plane(p)) + "]::DOUBLE[]"
+        for p in range(N_PLANES)
+    ]
+    # bucket bit weights mirror the Spark fold: sig = ((b0·2+b1)·2+…)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {planes[p]}) > 0 "
+        f"THEN {1 << (N_PLANES - 1 - p)} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, ({bits}) AS bucket FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
+         a.embedding AS ea, b.embedding AS eb
+  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+), dots AS (
+  SELECT id_a, id_b, bucket,
+         SUM(ax * bx) AS dot, SUM(ax * ax) AS na, SUM(bx * bx) AS nb
+  FROM (
+    SELECT id_a, id_b, bucket,
+           CAST(UNNEST(ea) AS DOUBLE) AS ax, CAST(UNNEST(eb) AS DOUBLE) AS bx
+    FROM pairs)
+  GROUP BY 1, 2, 3
+)
+SELECT id_a, id_b, bucket, cos FROM (
+  SELECT id_a, id_b, bucket, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cos
+  FROM dots)
+WHERE cos >= 0.25
+"""
+
+
+K_CELLS = 16  # IVF coarse cells = the first K corpus vectors
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest coarse
+    centroid (cells = the first K_CELLS corpus vectors — deterministic
+    and oracle-mirrorable), then score queries exactly against their
+    own cell only (nprobe=1).
+
+    Scale shape: the centroid table is tiny → broadcast; assignment is
+    a broadcast cross join + min(struct(dist, cid)) groupBy (map-side
+    combine); the candidate join shuffles on cell id — ~1/K of the
+    brute-force pair volume. Ties in the cell argmin break on cid via
+    struct ordering (bit-identical rule in the oracle's ROW_NUMBER).
+    """
+    e = _emb(spark, sf_dir)
+    cents = e.where(F.col("vec_id") < K_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    # d = |c|² − 2·v·c  (|v|² is constant per vector → argmin-invariant)
+    d = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "dist",
+            _dot(F.col("cemb"), F.col("cemb"))
+            - 2.0 * _dot(F.col("embedding"), F.col("cemb")),
+        )
+    )
+    asg = d.groupBy("vec_id").agg(
+        F.min(F.struct(F.col("dist"), F.col("cid"))).alias("m"),
+        # every row of a vec_id group carries the same embedding
+        F.first("embedding").alias("embedding"),
+    ).select("vec_id", F.col("m.cid").alias("cell"), "embedding")
+    q = asg.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("cell"), F.col("embedding").alias("qe")
+    )
+    cand = asg.select(
+        F.col("vec_id").alias("cand_id"), F.col("cell"), F.col("embedding").alias("ce")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(cand, "cell")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cos", F.round(cosine(F.col("qe"), F.col("ce")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cell", "cos", "rank")
+    )
+
+
+ORACLE_IVF = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < {K_CELLS}
+), dists AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product(c.cemb::DOUBLE[], c.cemb::DOUBLE[])
+         - 2 * list_dot_product(e.embedding::DOUBLE[], c.cemb::DOUBLE[]) AS dist
+  FROM embeddings e, cents c
+), asg AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM dists) WHERE rn = 1
+), q AS (
+  SELECT a.vec_id AS query_id, a.cell, e.embedding AS qe
+  FROM asg a JOIN embeddings e USING (vec_id) WHERE a.vec_id < {N_QUERIES}
+), cand AS (
+  SELECT a.vec_id AS cand_id, a.cell, e.embedding AS ce
+  FROM asg a JOIN embeddings e USING (vec_id)
+), pairs AS (
+  SELECT query_id, cand_id, q.cell, qe, ce
+  FROM q JOIN cand USING (cell) WHERE cand_id != query_id
+), dots AS (
+  SELECT query_id, cand_id, cell,
+         SUM(qx * cx) AS dot, SUM(qx * qx) AS nq, SUM(cx * cx) AS nc
+  FROM (
+    SELECT query_id, cand_id, cell,
+           CAST(UNNEST(qe) AS DOUBLE) AS qx, CAST(UNNEST(ce) AS DOUBLE) AS cx
+    FROM pairs)
+  GROUP BY 1, 2, 3
+), scored AS (
+  SELECT query_id, cand_id, cell, ROUND(dot / (SQRT(nq) * SQRT(nc)), 6) AS cos
+  FROM dots
+)
+SELECT query_id, cand_id, cell, cos, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, cand_id) AS rank
+  FROM scored) WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN),
     "embed_near_dup": (q_embed_near_dup, ORACLE_NEAR_DUP),
-    "ann_lsh_bucketed": (q_ann_lsh_bucketed, None),
+    "ann_lsh_bucketed": (q_ann_lsh_bucketed, _oracle_lsh()),
+    "ann_ivf": (q_ann_ivf, ORACLE_IVF),
 }

@@ -96,3 +96,35 @@ def test_frame_sampling_explodes(media):
     assert len(rows) == 40
     assert {r["frame_idx"] for r in rows} == {0, 2, 4, 6}
     assert all(r["status"] == "ok" for r in rows)
+
+
+def test_contract_queries_match_analytic_truth(spark):
+    """The multimodal contract queries vs their closed forms (the same
+    expressions the DuckDB oracles compute) at sf0.001."""
+    sf = "/root/testdata/sf0.001"
+
+    rows = {r["media_id"]: r for r in mm.q_media_image_stats(spark, sf).collect()}
+    for did, r in rows.items():
+        a, v = did % 256, (did * 7 + 13) % 256
+        assert (r["width"], r["height"]) == (64, 48)
+        assert r["mean_luma"] == round((a + v) / 2.0, 6)
+        assert r["std_luma"] == round(abs(a - v) / 2.0, 6)
+        assert r["status"] == "ok"
+
+    rows = {r["media_id"]: r for r in mm.q_media_audio_features(spark, sf).collect()}
+    for did, r in rows.items():
+        amp = (2 * (did % 8191) + 1) / 32768.0
+        assert r["rms"] == round(amp, 6) == r["peak"]
+        assert r["zero_crossings"] == 7999 and r["n_samples"] == 8000
+
+    rows = mm.q_media_frame_sample(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r["frame_idx"] % 2 == 0
+        assert r["mean_luma"] == float((r["media_id"] * 31 + r["frame_idx"] * 7) % 256)
+
+    rows = mm.q_media_thumbnail(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert (r["thumb_w"], r["thumb_h"]) == (16, 12)
+        assert r["mean_luma"] == float((r["media_id"] * 5 + 7) % 256)
