@@ -44,6 +44,20 @@ CHECKS = {
         (r"MapInPandas|ArrowEvalPython|FlatMapsInPandas|PythonMapInArrow", "vectorized Arrow Python stage"),
         (r"ReadSchema: [^\n]*text", "scan reads payload column"),
     ],
+    "ann_ivf": [
+        (r"BroadcastNestedLoopJoin|BroadcastHashJoin", "centroid/query side broadcast (no big-side shuffle for assignment)"),
+        (r"partial_min\(struct\(dist", "map-side partial agg for the cell argmin (SortAggregate: struct-min)"),
+        (r"WindowGroupLimit", "per-partition top-k pushed below the rank shuffle"),
+    ],
+    "dedup_simhash": [
+        (r"HashAggregate", "map-side partial aggregation of the 60 vote columns"),
+    ],
+    "media_frame_sample": [
+        (r"MapInPandas|ArrowEvalPython|PythonMapInArrow", "vectorized Arrow Python stages (synth + sample)"),
+    ],
+    "sessionize_events": [
+        (r"Window", "window function (single shuffle on session key)"),
+    ],
 }
 
 
