@@ -75,8 +75,11 @@ class PipelineConfig:
     html: HtmlConfig = field(default_factory=HtmlConfig)
     # scale plumbing (SURVEY.md §4)
     target_partitions: int = 0        # 0 → leave to AQE / input splits
-    salt_heavy_bytes: int = 1 << 18   # payloads above this get per-row salt spread
-    n_salts_heavy: int = 8
+    # payloads above this are range-spread one-per-partition and
+    # scheduled first (spread_for_extract). 16 KB ≈ 4× the corpus
+    # median page: catches the ~100× skew rows while leaving ordinary
+    # pages on the cheap hash path. Tune per corpus at deploy time.
+    salt_heavy_bytes: int = 1 << 14
 
 
 DEFAULT = PipelineConfig()

@@ -7,11 +7,11 @@
 Scale design (SURVEY.md §4):
 - **Size-aware skew spread**: per-document cost is unknown pre-detect
   but correlates with payload bytes. Heavy rows
-  (``length(html) > salt_heavy_bytes``) are hash-spread across ALL
-  partitions on (url, salt) while light rows use plain hash(url) —
-  AQE cannot rebalance inside a mapInPandas stage, so this is manual
-  (a 100× skew row otherwise pins one executor at the end of the
-  stage).
+  (``length(html) > salt_heavy_bytes``) are range-spread to ~one per
+  partition and their partitions scheduled FIRST, while light rows use
+  plain hash(url) — AQE cannot rebalance inside a mapInPandas stage,
+  so this is manual (a 100× skew row otherwise pins one executor at
+  the end of the stage).
 - **Projection discipline**: the extract output never carries `html`,
   so every downstream projection prunes payload bytes at the stage
   boundary.
@@ -41,22 +41,27 @@ def spread_for_extract(
 ) -> DataFrame:
     """Distribute rows so heavy payloads can't gang up on one task.
 
-    Light rows: repartition on hash(url) — deterministic co-location.
-    Heavy rows: repartition on (url, salt) where salt = pmod(hash(url),
-    n_salts) — the *set* of rows stays deterministic per url; only
-    placement spreads. Results are row-independent so placement never
-    affects output bytes (verified by the repartition-invariance test).
+    A heavy page is ONE row — it cannot be split, so "skew handling"
+    here means the heavy subset must land ~evenly across partitions by
+    COUNT. Hash repartitioning doesn't guarantee that: when the number
+    of heavy rows is comparable to the number of partitions (the
+    painful regime — each one is ~100× a median row), balls-in-bins
+    puts 2-3 in one partition and zero in others. ``repartitionByRange``
+    over ``xxhash64(url)`` samples the key distribution and emits
+    near-equal-count ranges → at most ~1 heavy row per partition at
+    the tail, at any scale. Light rows: plain hash(url) repartition.
+    Placement never affects output bytes — rows are independent
+    (verified by the repartition-invariance test).
     """
     cost = F.coalesce(F.length(F.col("html")), F.lit(0))
     heavy = df.where(cost > cfg.salt_heavy_bytes)
     light = df.where(cost <= cfg.salt_heavy_bytes)
-    heavy = heavy.repartition(
-        n_partitions,
-        F.col("url"),
-        F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.n_salts_heavy)),
-    )
+    heavy = heavy.repartitionByRange(n_partitions, F.xxhash64(F.col("url")))
     light = light.repartition(n_partitions, F.col("url"))
-    return light.unionByName(heavy)
+    # heavy FIRST: union concatenates partition lists in order and the
+    # scheduler issues them in order — longest-processing-time-first
+    # keeps the ~100× rows off the stage's tail
+    return heavy.unionByName(light)
 
 
 def extract(

@@ -122,9 +122,36 @@ def test_synth_determinism_across_partitionings(spark):
 
 
 def test_spread_heavy_rows(spark, truth):
-    """Heavy rows (html_edge skew) must spread across partitions."""
+    """Heavy rows (html_edge skew) must spread across partitions:
+    near-equal COUNT of heavy rows per partition (a heavy page is one
+    indivisible row), heavy partitions issued before light ones."""
+    from pyspark.sql import functions as F
+
+    from ragflow_ocr_spark.config import DEFAULT
     from ragflow_ocr_spark.spark.pipeline import spread_for_extract
 
     pages = truth.select("url", "warc_ts", "html", "text", "lang")
     spread = spread_for_extract(pages, 8)
     assert spread.count() == N_ROWS  # no row lost or duplicated
+
+    cost = F.coalesce(F.length(F.col("html")), F.lit(0))
+    tagged = spread.withColumn("heavy", cost > DEFAULT.salt_heavy_bytes).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    per_part = {
+        r["pid"]: r["n"]
+        for r in tagged.where("heavy").groupBy("pid").agg(F.count("*").alias("n")).collect()
+    }
+    n_heavy = sum(per_part.values())
+    assert n_heavy >= 2, "fixture must contain skew rows"
+    # range spread: no partition holds more than ceil(n_heavy/8)+1
+    assert max(per_part.values()) <= -(-n_heavy // 8) + 1, per_part
+    # heavy partitions are scheduled first (LPT): all heavy pids precede
+    # the first light-only pid
+    light_pids = {
+        r["pid"] for r in tagged.where(~F.col("heavy")).select("pid").distinct().collect()
+    }
+    assert max(per_part) < min(light_pids - set(per_part) or {999}), (
+        per_part,
+        sorted(light_pids)[:4],
+    )
