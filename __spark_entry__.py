@@ -71,7 +71,7 @@ def q_html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("url").cast("bigint").alias("doc_id"),
         "extracted_text",
-        "n_blocks",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
         "status",
     )
 
@@ -84,7 +84,7 @@ WITH c AS (
 )
 SELECT doc_id,
        CASE WHEN LENGTH(collapsed) >= 7 THEN collapsed ELSE '' END AS extracted_text,
-       CASE WHEN LENGTH(collapsed) >= 7 THEN 1 ELSE 0 END AS n_blocks,
+       CAST(CASE WHEN LENGTH(collapsed) >= 7 THEN 1 ELSE 0 END AS BIGINT) AS n_blocks,
        CASE WHEN LENGTH(collapsed) >= 7 THEN 'ok' ELSE 'empty' END AS status
 FROM c
 """
@@ -137,7 +137,7 @@ def q_ocr_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("url").cast("bigint").alias("doc_id"),
         "extracted_text",
-        "n_blocks",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
         "status",
     )
 

@@ -12,7 +12,9 @@ Scale notes:
   verified with exact Jaccard, so the output is exact (LSH recall at
   J≥0.5 with 64 bands × 2 rows ≈ 1-1e-8) and the DuckDB oracle can be
   the exact-Jaccard query;
-- SimHash uses xxhash64 (not portable to the oracle) → rows-only check.
+- SimHash uses an md5-derived 60-bit token hash (identical hex in both
+  engines) so the banded pair output is oracle-checked exactly; the
+  production build swaps in xxhash64 (same plan shape, cheaper hash).
 """
 
 from __future__ import annotations
@@ -316,7 +318,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.simhash").alias("sh_b"),
         )
         .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"))
         .where(F.col("hamming") <= 6)
         .select("id_a", "id_b", "hamming")
     )
@@ -353,7 +355,7 @@ WITH toks AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 )
-SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
 FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 6
 """
 

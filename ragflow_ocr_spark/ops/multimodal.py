@@ -354,10 +354,10 @@ def q_media_audio_features(spark, sf_dir: str):
 
 
 ORACLE_AUDIO_FEATURES = f"""
-SELECT doc_id AS media_id, 8000 AS n_samples,
+SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS n_samples,
        ROUND((2 * (doc_id % 8191) + 1) / 32768.0, 6) AS rms,
        ROUND((2 * (doc_id % 8191) + 1) / 32768.0, 6) AS peak,
-       7999 AS zero_crossings,
+       CAST(7999 AS BIGINT) AS zero_crossings,
        'ok' AS status
 FROM documents WHERE doc_id < {_AUD_LIMIT}
 """
@@ -384,9 +384,14 @@ def _synth_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def q_media_frame_sample(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
     media = _doc_ids(spark, sf_dir, _VID_LIMIT).mapInPandas(_synth_video, schema=MEDIA_SCHEMA)
     frames = media.mapInPandas(frame_sample_stage(every_k=2), schema=FRAME_SAMPLE_SCHEMA)
-    return frames.select("media_id", "frame_idx", "mean_luma", "status")
+    return frames.select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx"),
+        "mean_luma", "status",
+    )
 
 
 ORACLE_FRAME_SAMPLE = f"""

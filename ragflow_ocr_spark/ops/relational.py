@@ -118,7 +118,7 @@ def q_rank_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber", "l_quantity", "l_extendedprice", "l_partkey", "l_suppkey"
     )
     return (
-        li.withColumn("rank", F.row_number().over(w))
+        li.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 3)
         .select("l_orderkey", "l_linenumber", "rank", "l_quantity")
     )
@@ -241,7 +241,7 @@ WITH g AS (
 ), s AS (
   SELECT user_id, value,
          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS session_id
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
   FROM g
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -6,9 +6,11 @@ embedding ARRAY<FLOAT>, label INT).
   via window. Dot products run JVM-side (zip_with + aggregate) in
   DOUBLE with left-to-right summation — bit-identical to the DuckDB
   oracle's ordered UNNEST sum.
-- LSH-bucketed ANN: the scale path — random-hyperplane signatures
-  bucket the corpus; only same-bucket pairs are scored. Output is
-  approximate by construction → rows-only check (no oracle).
+- LSH-bucketed ANN and IVF-cell ANN: the scale paths — signatures /
+  coarse cells bound the pair volume. Both are oracle-checked exactly:
+  the oracle mirrors the bucketing/assignment algorithm itself (plane
+  constants and centroid rule as literals), not the "true" neighbor
+  set, so recall < 1 never causes a mismatch.
 """
 
 from __future__ import annotations
@@ -57,7 +59,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos").desc(), F.col("cand_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "cand_id", "cos", "rank")
     )
@@ -202,7 +204,7 @@ def _oracle_lsh() -> str:
     )
     return f"""
 WITH sigs AS (
-  SELECT vec_id, embedding, ({bits}) AS bucket FROM embeddings
+  SELECT vec_id, embedding, CAST(({bits}) AS BIGINT) AS bucket FROM embeddings
 ), pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
          a.embedding AS ea, b.embedding AS eb
@@ -270,7 +272,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "cand_id", "cell", "cos", "rank")
     )

@@ -30,7 +30,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = d.select(
         "doc_id",
-        n_tok.alias("n_tokens"),
+        n_tok.cast("long").alias("n_tokens"),
         F.round(
             F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(0.0), 6
         ).alias("chars_per_token"),
