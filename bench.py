@@ -41,6 +41,8 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "embed_near_dup",
+    "latest_event_per_user",
+    "source_stats",
     "text_quality",
     "token_count_bpe",
     "fingerprint",

@@ -250,6 +250,67 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-newest-version-per-key — the crawl idiom for url-version
+    dedup (a recrawled page supersedes the old capture), exercised on
+    the events table: newest event per user, ties broken by event_id,
+    with a JSON property extracted from the props column. Window
+    row_number desc = 1 → single shuffle on the key; at crawl scale
+    the same plan keeps the newest warc_ts per url."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.get_json_object(F.col("props"), "$.k").cast("long").alias("prop_k"),
+        )
+    )
+
+
+ORACLE_LATEST = """
+SELECT user_id, event_id, ts, event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1
+"""
+
+
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile (count / distinct langs / char stats)
+    — the monitoring aggregation a corpus-curation pipeline runs after
+    every ingest. One hash-groupBy with map-side combine; distinct-agg
+    expands then recombines (Expand + two-phase HashAggregate)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("lang")).alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+ORACLE_SOURCE_STATS = """
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(AVG(n_chars), 6) AS avg_chars,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM documents GROUP BY source
+"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "filter_drop_score": (q_filter_drop_score, ORACLE_FILTER),
@@ -260,4 +321,6 @@ QUERIES = {
     "join_order_lines": (q_join_order_lines, ORACLE_JOIN),
     "payload_router": (q_payload_router, ORACLE_ROUTER),
     "sessionize_events": (q_sessionize_events, ORACLE_SESSION),
+    "latest_event_per_user": (q_latest_event_per_user, ORACLE_LATEST),
+    "source_stats": (q_source_stats, ORACLE_SOURCE_STATS),
 }

@@ -58,6 +58,14 @@ CHECKS = {
     "sessionize_events": [
         (r"Window", "window function (single shuffle on session key)"),
     ],
+    "latest_event_per_user": [
+        (r"WindowGroupLimit", "rn=1 pushed below the shuffle (per-partition prune)"),
+    ],
+    "source_stats": [
+        (r"HashAggregate", "two-phase hash aggregation"),
+        (r"Keys \[2\]: \[source[^\n]*lang", "distinct rewritten to (source,lang) pre-aggregation (no Expand)"),
+        (r"count\(distinct lang", "final distinct count"),
+    ],
 }
 
 
