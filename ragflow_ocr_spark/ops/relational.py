@@ -311,6 +311,49 @@ FROM documents GROUP BY source
 """
 
 
+def q_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — for every 'click' event, the user's most recent
+    preceding-or-simultaneous 'error' event (ts, then event_id, as the
+    time axis). Spark has no ASOF JOIN; the scalable formulation is a
+    single window pass: carry last non-null error id/ts forward with
+    last(..., ignorenulls) over ROWS UNBOUNDED PRECEDING — one shuffle
+    on user_id, no range-join explosion, state O(1) per row. The
+    oracle mirrors the same window (DuckDB IGNORE NULLS), so the
+    tie-break at equal ts is identical in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    err_id = F.last(
+        F.when(F.col("event_type") == "error", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    err_ts = F.last(
+        F.when(F.col("event_type") == "error", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("last_error_id", err_id)
+        .withColumn("last_error_ts", err_ts)
+        .where(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "last_error_id", "last_error_ts")
+    )
+
+
+ORACLE_ASOF = """
+SELECT event_id, user_id, ts, last_error_id, last_error_ts FROM (
+  SELECT event_id, user_id, ts, event_type,
+         LAST_VALUE(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+           OVER w AS last_error_id,
+         LAST_VALUE(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+           OVER w AS last_error_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING))
+WHERE event_type = 'click'
+"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "filter_drop_score": (q_filter_drop_score, ORACLE_FILTER),
@@ -323,4 +366,5 @@ QUERIES = {
     "sessionize_events": (q_sessionize_events, ORACLE_SESSION),
     "latest_event_per_user": (q_latest_event_per_user, ORACLE_LATEST),
     "source_stats": (q_source_stats, ORACLE_SOURCE_STATS),
+    "asof_last_error": (q_asof_last_error, ORACLE_ASOF),
 }
