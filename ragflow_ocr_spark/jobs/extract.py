@@ -26,6 +26,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True, help="job root directory")
     p.add_argument("--buckets", type=int, default=256, help="resume granularity")
     p.add_argument(
+        "--group-size",
+        type=int,
+        default=8,
+        help="buckets per Spark job: lost work on failure <= one group; "
+        "input scans = buckets/group_size",
+    )
+    p.add_argument(
         "--synthesize",
         type=int,
         default=0,
@@ -45,7 +52,13 @@ def main(argv: list[str] | None = None) -> int:
     else:
         p.error("one of --input / --synthesize is required")
 
-    summary = run_extract_job(spark, pages, args.output, n_buckets=args.buckets)
+    summary = run_extract_job(
+        spark,
+        pages,
+        args.output,
+        n_buckets=args.buckets,
+        bucket_group_size=args.group_size,
+    )
     print(json.dumps(summary))
     spark.stop()
     return 0

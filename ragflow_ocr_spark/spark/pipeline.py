@@ -100,57 +100,102 @@ def run_extract_job(
     n_buckets: int = 32,
     cfg: PipelineConfig = DEFAULT,
     fail_buckets: set[int] | None = None,
+    bucket_group_size: int = 1,
+    spread: bool = True,
 ) -> dict:
-    """Resumable extraction job with per-bucket checkpointing.
+    """Resumable extraction job with bucket-granular checkpointing.
 
-    ``fail_buckets`` injects a simulated failure after the listed
-    buckets complete — used by the resume test (kill-after-k
-    semantics). Returns run summary counters.
+    Buckets are processed in GROUPS of ``bucket_group_size`` — one
+    Spark job per group. Each job filters on ``bucket IN (group)``, so
+    the number of input scans is n_buckets/group_size, not n_buckets
+    (at 100 TB the input is an Iceberg table partitioned by
+    ``bucket(url, n_buckets)``, so each scan additionally prunes to
+    the group's files — see spark/checkpoint.py). The group size is
+    the classic durability/throughput knob: lost work on failure ≤ one
+    group, scan overhead ∝ 1/group_size. Within a group, output lands
+    via dynamic partition overwrite under ``extracted/bucket=<b>`` —
+    rewriting a group is idempotent (MERGE-on-key semantics).
+
+    ``fail_buckets`` injects a simulated failure after any group
+    containing one of the listed buckets commits — the resume tests'
+    kill-after-k. Returns run summary counters.
     """
     ckpt = CheckpointStore(spark, out_root)
     run_id = uuid.uuid4().hex[:12]
+    bucket_of_url = F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
 
-    work = pages.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
-    )
+    work = pages.withColumn("bucket", bucket_of_url)
     done = ckpt.done_buckets()
     pending = work.join(F.broadcast(done), on="bucket", how="left_anti")
 
-    # deterministic per-bucket processing; buckets are the resume unit
-    pending_buckets = [r["bucket"] for r in pending.select("bucket").distinct().collect()]
-    pending_buckets.sort()
+    pending_buckets = sorted(
+        r["bucket"] for r in pending.select("bucket").distinct().collect()
+    )
+    gs = max(1, bucket_group_size)
+    groups = [pending_buckets[i : i + gs] for i in range(0, len(pending_buckets), gs)]
+
+    # only the touched bucket= partitions are replaced on (re)write
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     n_processed = 0
-    for b in sorted(pending_buckets):
-        bucket_df = pending.where(F.col("bucket") == b).drop("bucket")
-        out = bucket_df.select("url", "warc_ts", "lang", "html").mapInPandas(
+    for group in groups:
+        gdf = pending.where(F.col("bucket").isin([int(b) for b in group]))
+        if spread:
+            gdf = spread_for_extract(
+                gdf, spark.sparkContext.defaultParallelism, cfg
+            )
+        out = gdf.select("url", "warc_ts", "lang", "html").mapInPandas(
             extract_stage_with_metrics(cfg, run_id), schema=EXTRACT_METRICS_SCHEMA
         )
+        # cache: the stage output feeds the data write AND the
+        # per-bucket stats — Python-stage work is the expensive part,
+        # exactly the "materialize shuffle-grade lineage" case
         out = out.cache()
         try:
             data_rows = out.where(F.col("engine") != "_metrics").drop("part_id")
             (
-                data_rows.write.mode("overwrite").parquet(
-                    f"{out_root}/extracted/bucket={b}"
-                )
+                data_rows.withColumn("bucket", bucket_of_url)
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{out_root}/extracted")
             )
             metric_rows = out.where(F.col("engine") == "_metrics").collect()
             stats = CheckpointStore.parse_metrics_rows(metric_rows)
-            agg = {
-                "run_id": run_id,
-                "bucket": b,
-                "n_docs": sum(s["n_docs"] for s in stats),
-                "n_ok": sum(s["n_ok"] for s in stats),
-                "n_empty": sum(s["n_empty"] for s in stats),
-                "n_error": sum(s["n_error"] for s in stats),
-                "wall_ms": max((s["wall_ms"] for s in stats), default=0),
-            }
-            ckpt.mark_done([agg])
-            n_processed += 1
+            wall_ms = max((s["wall_ms"] for s in stats), default=0)
+            per_bucket = (
+                data_rows.withColumn("bucket", bucket_of_url)
+                .groupBy("bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.count(F.when(F.col("status") == "ok", 1)).alias("n_ok"),
+                    F.count(F.when(F.col("status") == "empty", 1)).alias("n_empty"),
+                    F.count(F.when(F.col("status").startswith("error"), 1)).alias(
+                        "n_error"
+                    ),
+                )
+                .collect()
+            )
+            ckpt.mark_done(
+                [
+                    {
+                        "run_id": run_id,
+                        "bucket": r["bucket"],
+                        "n_docs": r["n_docs"],
+                        "n_ok": r["n_ok"],
+                        "n_empty": r["n_empty"],
+                        "n_error": r["n_error"],
+                        "wall_ms": wall_ms,
+                    }
+                    for r in per_bucket
+                ]
+            )
+            n_processed += len(group)
         finally:
             out.unpersist()
-        if fail_buckets and b in fail_buckets:
-            raise RuntimeError(f"injected failure after bucket {b}")
+        if fail_buckets and set(group) & set(fail_buckets):
+            raise RuntimeError(
+                f"injected failure after group containing {sorted(set(group) & set(fail_buckets))}"
+            )
 
     return {
         "run_id": run_id,

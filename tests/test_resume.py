@@ -64,3 +64,33 @@ def test_checkpoint_rows_carry_lineage(spark, pages, tmp_path):
     assert sum(r["n_docs"] for r in rows) == N_ROWS
     assert all(r["wall_ms"] >= 0 for r in rows)
     assert all(r["run_id"] for r in rows)
+
+
+def test_resume_group_mode(spark, pages, tmp_path):
+    """Group processing: failure loses at most one group; resume
+    completes the rest; output identical (no dupes, all rows)."""
+    root = str(tmp_path / "job3")
+    all_buckets = sorted(
+        r["bucket"]
+        for r in pages.withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(N_BUCKETS)).cast("int")
+        ).select("bucket").distinct().collect()
+    )
+    # fail inside the first group of 2 -> exactly that group committed
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extract_job(
+            spark, pages, root, n_buckets=N_BUCKETS,
+            fail_buckets={all_buckets[0]}, bucket_group_size=2,
+        )
+    ckpt = CheckpointStore(spark, root)
+    done = {r["bucket"] for r in ckpt.done_buckets().collect()}
+    assert done == set(all_buckets[:2])
+
+    summary = run_extract_job(
+        spark, pages, root, n_buckets=N_BUCKETS, bucket_group_size=2
+    )
+    assert summary["buckets_processed"] == len(all_buckets) - 2
+
+    out = read_extracted(spark, root)
+    urls = [r["url"] for r in out.select("url").collect()]
+    assert len(urls) == N_ROWS and len(set(urls)) == N_ROWS
