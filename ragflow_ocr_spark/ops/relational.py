@@ -354,6 +354,46 @@ WHERE event_type = 'click'
 """
 
 
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join (TPC-H Q5 shape): fact lineitem ⋈ orders ⋈ customer ⋈
+    nation ⋈ region, revenue per nation. Declared as plain joins —
+    Catalyst reorders and broadcasts every dimension (region/nation/
+    customer are tiny next to the fact table), so the fact side is
+    scanned once with no shuffle until the final aggregation. The plan
+    audit asserts the broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_REGIONAL = """
+SELECT r_name, n_name,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "filter_drop_score": (q_filter_drop_score, ORACLE_FILTER),
@@ -367,4 +407,5 @@ QUERIES = {
     "latest_event_per_user": (q_latest_event_per_user, ORACLE_LATEST),
     "source_stats": (q_source_stats, ORACLE_SOURCE_STATS),
     "asof_last_error": (q_asof_last_error, ORACLE_ASOF),
+    "regional_revenue": (q_regional_revenue, ORACLE_REGIONAL),
 }

@@ -61,6 +61,10 @@ CHECKS = {
     "latest_event_per_user": [
         (r"WindowGroupLimit", "rn=1 pushed below the shuffle (per-partition prune)"),
     ],
+    "regional_revenue": [
+        (r"BroadcastHashJoin", "dimension tables broadcast (fact side never shuffles pre-agg)"),
+        (r"HashAggregate", "partial aggregation after the star join"),
+    ],
     "source_stats": [
         (r"HashAggregate", "two-phase hash aggregation"),
         (r"Keys \[2\]: \[source[^\n]*lang", "distinct rewritten to (source,lang) pre-aggregation (no Expand)"),
