@@ -163,11 +163,21 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles_cached(spark, sf_dir)
     # K permutation-free minhashes as K plain agg columns — each
     # min() gets map-side partial aggregation and whole-stage codegen;
-    # the array+element_at formulation is ~40× slower (measured)
-    sig = sh.groupBy("doc_id").agg(
+    # the array+element_at formulation is ~40× slower (measured).
+    # Hash family: one string hash per shingle, then K fixed-width
+    # re-hashes h_i = xxhash64(h1, seed=i). Hashing the 8-byte long is
+    # far cheaper than re-hashing the variable-length shingle K times,
+    # and stays fully independent across i (an additive h1 + i·h2
+    # family was tried and REJECTED: without modular wrap the argmin is
+    # dominated by h1, every minhash picks the same shingle, and LSH
+    # recall collapses — observed as missing candidate pairs).
+    # Candidates are exact-verified below, so the hash family can only
+    # affect recall, never output correctness of surfaced pairs.
+    hashed = sh.select("doc_id", F.xxhash64(F.col("shingle")).alias("h1"))
+    sig = hashed.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_sh"),
         *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            F.min(F.xxhash64(F.col("h1"), F.lit(i))).alias(f"h{i}")
             for i in range(N_HASHES)
         ],
     )
