@@ -214,10 +214,50 @@ FROM n
 """
 
 
+TOP_NGRAMS_K = 50
+
+
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide word-bigram frequencies, top-K — the vocab/ngram
+    statistics pass every pretraining corpus runs. Explode → one
+    hash-groupBy (map-side combine carries most of the reduction: the
+    bigram space is Zipfian, so partial aggregation collapses the head
+    before the shuffle) → TakeOrderedAndProject for the top-K. Ties
+    broken lexicographically for cross-engine determinism."""
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i + 1), F.element_at(words, i + 2)
+        ),
+    )
+    return (
+        d.where(n >= 2)
+        .select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(TOP_NGRAMS_K)
+    )
+
+
+ORACLE_TOP_BIGRAMS = f"""
+SELECT bigram, COUNT(*) AS n FROM (
+  SELECT UNNEST([w[i] || ' ' || w[i+1] FOR i IN RANGE(1, len(w))]) AS bigram
+  FROM (SELECT string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 2)
+GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT {TOP_NGRAMS_K}
+"""
+
+
 QUERIES = {
     "text_quality": (q_text_quality, ORACLE_QUALITY),
     "lang_id": (q_lang_id, ORACLE_LANG),
     "token_count_bpe": (q_token_count_bpe, ORACLE_BPE),
     "fingerprint": (q_fingerprint, ORACLE_FP),
     "fingerprint_winnow": (q_fingerprint_winnow, ORACLE_WINNOW),
+    "top_bigrams": (q_top_bigrams, ORACLE_TOP_BIGRAMS),
 }

@@ -1,0 +1,27 @@
+"""Contract-surface guard: the driver consumes queries()/oracle_sql();
+this pins the registry's shape so a refactor can't silently drop an
+entry or break the entry() smoke path."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+
+
+def test_registry_shape():
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # every query callable, every oracle non-empty SQL
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in oracles.values())
+    # coverage floor (grow-only): 34 queries, all but one oracle-checked
+    assert len(qs) >= 34
+    assert len(qs) - len(oracles) <= 1
+    # rows-only exceptions must stay exactly the documented set
+    assert set(qs) - set(oracles) == {"extract_synthetic_pages"}
+
+
+def test_no_duplicate_query_names_across_modules():
+    from ragflow_ocr_spark.ops import all_queries
+
+    all_queries()  # raises on duplicate names
