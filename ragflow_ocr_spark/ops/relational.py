@@ -394,6 +394,31 @@ GROUP BY r_name, n_name
 """
 
 
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical corpus report: ROLLUP(source, lang) — per-(source,
+    lang) cells, per-source subtotals, grand total in ONE pass (Expand
+    + single shuffle, vs three separate aggregations). grouping_id
+    disambiguates real NULL lang values from subtotal placeholder
+    rows — both engines emit the same standard encoding."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(GROUPING(source, lang) AS BIGINT) AS gid
+FROM documents GROUP BY ROLLUP(source, lang)
+"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "filter_drop_score": (q_filter_drop_score, ORACLE_FILTER),
@@ -408,4 +433,5 @@ QUERIES = {
     "source_stats": (q_source_stats, ORACLE_SOURCE_STATS),
     "asof_last_error": (q_asof_last_error, ORACLE_ASOF),
     "regional_revenue": (q_regional_revenue, ORACLE_REGIONAL),
+    "corpus_rollup": (q_corpus_rollup, ORACLE_ROLLUP),
 }
