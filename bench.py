@@ -43,6 +43,11 @@ HEADLINE = [
     "embed_near_dup",
     "latest_event_per_user",
     "source_stats",
+    "asof_last_error",
+    "regional_revenue",
+    "corpus_rollup",
+    "top_bigrams",
+    "ann_ivf",
     "text_quality",
     "token_count_bpe",
     "fingerprint",
