@@ -34,34 +34,63 @@ class Net(Protocol):
 
 _CACHE: dict[str, Net] = {}
 
+# Serialized stub-model format: b"STUBNET1" + JSON params. This makes
+# the broadcast model-bytes path REAL end-to-end (driver broadcasts
+# bytes → worker builds + caches a session keyed by content) while
+# onnxruntime is absent; an ONNX protobuf payload hits the documented
+# seam below instead.
+STUB_MAGIC = b"STUBNET1"
+
+
+def _session_from_bytes(kind: str, model_bytes: bytes) -> Net:
+    if model_bytes.startswith(STUB_MAGIC):
+        import json
+
+        params = json.loads(model_bytes[len(STUB_MAGIC) :].decode("utf-8"))
+        from ragflow_ocr_spark.kernels.stubnet import DetStubNet, RecStubNet
+
+        if kind == "det":
+            return DetStubNet(kx=params.get("kx", 41))
+        return RecStubNet()
+    raise NotImplementedError(
+        "onnxruntime unavailable in this sandbox; production path builds "
+        "an InferenceSession from these broadcast bytes here (contiguous "
+        "input + arena/thread options per the module docstring)"
+    )
+
+
+def _cache_key(kind: str, model_bytes: bytes | None) -> str:
+    if model_bytes is None:
+        return kind
+    import hashlib
+
+    return f"{kind}:{hashlib.md5(model_bytes).hexdigest()}"
+
 
 def get_det_net(model_bytes: bytes | None = None) -> Net:
     """Lazy per-worker detection session (cache key mirrors the
-    reference's (model_path, device_id) key, ``ocr/ocr.py:70-77``)."""
-    key = "det"
+    reference's (model_path, device_id) key, ``ocr/ocr.py:70-77`` —
+    here (kind, content-hash of the broadcast bytes))."""
+    key = _cache_key("det", model_bytes)
     if key not in _CACHE:
         if model_bytes is not None:
-            raise NotImplementedError(
-                "onnxruntime unavailable in this sandbox; production path "
-                "builds an InferenceSession from broadcast bytes here"
-            )
-        from ragflow_ocr_spark.kernels.stubnet import DetStubNet
+            _CACHE[key] = _session_from_bytes("det", model_bytes)
+        else:
+            from ragflow_ocr_spark.kernels.stubnet import DetStubNet
 
-        _CACHE[key] = DetStubNet()
+            _CACHE[key] = DetStubNet()
     return _CACHE[key]
 
 
 def get_rec_net(model_bytes: bytes | None = None) -> Net:
-    key = "rec"
+    key = _cache_key("rec", model_bytes)
     if key not in _CACHE:
         if model_bytes is not None:
-            raise NotImplementedError(
-                "onnxruntime unavailable in this sandbox; production path "
-                "builds an InferenceSession from broadcast bytes here"
-            )
-        from ragflow_ocr_spark.kernels.stubnet import RecStubNet
+            _CACHE[key] = _session_from_bytes("rec", model_bytes)
+        else:
+            from ragflow_ocr_spark.kernels.stubnet import RecStubNet
 
-        _CACHE[key] = RecStubNet()
+            _CACHE[key] = RecStubNet()
     return _CACHE[key]
 
 
