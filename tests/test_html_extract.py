@@ -82,3 +82,28 @@ def test_script_and_style_excluded():
     t, _, _ = extract_html(html)
     assert "scripted" not in t
     assert "actual paragraph" in t
+
+
+def test_multi_megabyte_row():
+    """A ~5 MB single-block page extracts correctly and boundedly (the
+    worst realistic skew row is ~100x median; this is ~1000x)."""
+    from ragflow_ocr_spark.kernels.html_extract import extract_html
+
+    body = ("lorem ipsum dolor sit amet consectetur " * 20 + ". ") * 6000
+    html = f"<html><body><article><p>{body}</p></article></body></html>".encode()
+    assert len(html) > 4_000_000
+    text, n, status = extract_html(html)
+    assert status == "ok" and n == 1
+    assert text == " ".join(body.split())
+
+
+def test_unicode_torture():
+    """CJK, emoji, RTL, combining marks survive byte-exact (UTF-8
+    decode + whitespace collapse are the only transforms)."""
+    from ragflow_ocr_spark.kernels.html_extract import extract_html
+
+    s = "漢字テスト 🚀🎉 عربى עברית étude ligature ﬁ end of sentence here"
+    html = f"<article><p>{s} {s} {s}</p></article>".encode()
+    text, n, status = extract_html(html)
+    assert status == "ok" and n == 1
+    assert text == " ".join(f"{s} {s} {s}".split())
