@@ -14,9 +14,14 @@ share one kernel — byte-identity between the two modes is asserted in
 tests/test_streaming.py.
 """
 
+from ragflow_ocr_spark.streaming.stateful import stream_user_totals
 from ragflow_ocr_spark.streaming.stream_extract import (
     stream_extract_availablenow,
     stream_metrics_query,
 )
 
-__all__ = ["stream_extract_availablenow", "stream_metrics_query"]
+__all__ = [
+    "stream_extract_availablenow",
+    "stream_metrics_query",
+    "stream_user_totals",
+]

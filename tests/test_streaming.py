@@ -102,3 +102,64 @@ def test_stream_metrics_windowed_watermark(spark, stream_dirs, tmp_path):
     }
     for k, v in got.items():
         assert want.get(k) == v
+
+
+def test_stateful_running_totals_survive_restart(spark, tmp_path):
+    """applyInPandasWithState: per-user totals accumulate across
+    micro-batches AND across a full stream restart (state restored from
+    the checkpoint), landing at the exact batch-computed truth."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ragflow_ocr_spark.streaming.stateful import stream_user_totals
+
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("value", DoubleType())]
+    )
+    inp = str(tmp_path / "ev_in")
+    ckpt = str(tmp_path / "ev_ckpt")
+
+    def write_batch(start, end):
+        df = spark.range(start, end).select(
+            (F.col("id") % 7).alias("user_id"),
+            (F.col("id") * 0.5).alias("value"),
+        )
+        df.write.mode("append").parquet(inp)
+
+    collected: dict[int, tuple[int, float]] = {}
+
+    def sink(batch_df, _bid):
+        for r in batch_df.collect():
+            collected[r["user_id"]] = (r["n_events"], r["total_value"])
+
+    def run_stream():
+        ev = spark.readStream.schema(schema).parquet(inp)
+        q = (
+            stream_user_totals(ev)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_batch(0, 70)
+    run_stream()
+    assert {k: v[0] for k, v in collected.items()} == {u: 10 for u in range(7)}
+
+    # restart with more data: totals must CONTINUE from state
+    write_batch(70, 140)
+    run_stream()
+    truth = (
+        spark.read.parquet(inp)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("t"))
+        .collect()
+    )
+    want = {r["user_id"]: (r["n"], r["t"]) for r in truth}
+    assert collected == want
