@@ -224,3 +224,27 @@ def test_glyphs_have_no_internal_blank_columns():
         cols = g.any(axis=0)
         nz = np.flatnonzero(cols)
         assert cols[nz[0] : nz[-1] + 1].all(), f"glyph {ch!r} has a gap"
+
+
+def test_run_with_retry_recovers_and_exhausts():
+    import numpy as np
+    import pytest
+
+    from ragflow_ocr_spark.kernels.infer import run_with_retry
+
+    class Flaky:
+        def __init__(self, fail_times):
+            self.left = fail_times
+
+        def run(self, x):
+            if self.left > 0:
+                self.left -= 1
+                raise MemoryError("transient")
+            return x * 2
+
+    x = np.ones(3)
+    # recovers within the reference's 4 attempts (ocr/ocr.py:343-350)
+    assert (run_with_retry(Flaky(3), x) == 2).all()
+    # exhausts after 4
+    with pytest.raises(RuntimeError, match="after 4 attempts"):
+        run_with_retry(Flaky(99), x)

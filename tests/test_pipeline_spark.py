@@ -65,9 +65,9 @@ def test_all_classes_present_and_routed(extracted, truth):
 
 def test_errors_never_fail_tasks(extracted, truth):
     j = extracted.join(truth.select("url", "row_class"), "url")
-    nулл = j.where(F.col("row_class") == "null_invalid")
-    assert nулл.count() > 0
-    assert nулл.where(~F.col("status").startswith("error")).count() == 0
+    nulls = j.where(F.col("row_class") == "null_invalid")
+    assert nulls.count() > 0
+    assert nulls.where(~F.col("status").startswith("error")).count() == 0
 
 
 def test_repartition_invariance(spark, truth, extracted):
@@ -155,3 +155,20 @@ def test_spread_heavy_rows(spark, truth):
         per_part,
         sorted(light_pids)[:4],
     )
+
+
+def test_semantic_truth_at_1000_rows(spark):
+    """Constructive-truth byte-identity at 5× the golden corpus size —
+    more rng draws hit more glyph/layout/boilerplate branches than the
+    pinned 150-row goldens, with zero stored artifacts (synth emits
+    expected_text)."""
+    t = synth.pages_df(spark, 1000, with_truth=True, partitions=16)
+    pages = t.select("url", "warc_ts", "html", "text", "lang")
+    out = extract(pages)
+    j = out.join(t.select("url", "expected_text"), "url")
+    bad = j.where(
+        F.col("expected_text").isNotNull()
+        & (F.coalesce(F.col("extracted_text"), F.lit("\x00")) != F.col("expected_text"))
+    )
+    assert bad.count() == 0, bad.select("url").limit(5).collect()
+    assert out.count() == 1000
