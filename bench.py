@@ -55,6 +55,11 @@ HEADLINE = [
     "lang_id",
     "media_image_stats",
     "media_frame_sample",
+    "set_ops_customer_years",
+    "tumbling_window_events",
+    "percentile_price",
+    "range_join_error_clicks",
+    "moving_avg_revenue",
     "html_extract_docs",
     "ocr_extract_docs",
 ]

@@ -16,12 +16,19 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
-from ragflow_ocr_spark.ops import dedup, multimodal, relational, similarity, textstats
+from ragflow_ocr_spark.ops import (
+    dedup,
+    multimodal,
+    relational,
+    relational_ext,
+    similarity,
+    textstats,
+)
 
 
 def all_queries():
     out = {}
-    for mod in (relational, dedup, similarity, textstats, multimodal):
+    for mod in (relational, relational_ext, dedup, similarity, textstats, multimodal):
         for k, v in mod.QUERIES.items():
             assert k not in out, f"duplicate query name {k}"
             out[k] = v

@@ -70,6 +70,27 @@ CHECKS = {
         (r"Keys \[2\]: \[source[^\n]*lang", "distinct rewritten to (source,lang) pre-aggregation (no Expand)"),
         (r"count\(distinct lang", "final distinct count"),
     ],
+    "set_ops_customer_years": [
+        (r"BroadcastHashJoin LeftSemi", "INTERSECT → broadcast left-semi join"),
+        (r"BroadcastHashJoin LeftAnti", "EXCEPT → broadcast left-anti join"),
+        (r"PushedFilters: \[.*o_orderdate", "year slice pushed to parquet scan"),
+    ],
+    "tumbling_window_events": [
+        (r"HashAggregate", "two-phase hash aggregation on (window, type)"),
+        (r"!Window\b", "no window-function node — tumbling agg is a plain groupBy"),
+    ],
+    "percentile_price": [
+        (r"ObjectHashAggregate", "typed-agg path with map-side partial percentile buffers"),
+    ],
+    "range_join_error_clicks": [
+        (r"Generate", "error rows expanded to (bin, bin+1) probes"),
+        (r"Join Inner", "range match is an equi-join on (user, bin) + residual range condition"),
+        (r"!BroadcastNestedLoopJoin", "no theta-join explosion — the bucketing keeps it hash-joinable"),
+    ],
+    "moving_avg_revenue": [
+        (r"HashAggregate", "distributed day-level pre-aggregation"),
+        (r"Window", "ROWS frame window over the reduced day series"),
+    ],
 }
 
 
@@ -90,7 +111,11 @@ def main() -> int:
         plan = buf.getvalue()
         out_lines.append(f"\n## {name}\n")
         for rx, why in checks:
-            ok = re.search(rx, plan) is not None
+            # "!" prefix = the pattern must NOT appear in the plan
+            if rx.startswith("!"):
+                ok = re.search(rx[1:], plan) is None
+            else:
+                ok = re.search(rx, plan) is not None
             status = "OK " if ok else "MISSING"
             out_lines.append(f"- [{status}] {why} (`{rx}`)")
             if not ok:
