@@ -28,11 +28,16 @@ import numpy as np
 
 from ragflow_ocr_spark.config import OCRConfig
 from ragflow_ocr_spark.kernels.imgeom import (
+    approx_poly_dp,
     clip_quad,
     connected_components,
     min_area_rect,
     order_points_clockwise,
+    poly_mask_mean,
+    poly_perimeter,
     quad_mask_mean,
+    region_boundaries,
+    unclip_poly,
     unclip_quad,
 )
 
@@ -72,6 +77,59 @@ def boxes_from_prob_map(
     if not boxes:
         return np.zeros((0, 4, 2), dtype=np.float64), []
     return np.stack(boxes), scores
+
+
+def polygons_from_prob_map(
+    prob: np.ndarray,
+    src_h: int,
+    src_w: int,
+    cfg: OCRConfig | None = None,
+) -> tuple[list[np.ndarray], list[float]]:
+    """Poly-mode DB postprocess (``box_type='poly'``): probability map →
+    variable-vertex text polygons + scores — semantics of the
+    reference's ``polygons_from_bitmap``
+    (``/root/reference/ocr/postprocess.py:69-114``):
+
+    1. binarize; trace region outer boundaries (findContours analogue),
+       first ``max_candidates`` in document order;
+    2. approxPolyDP with ε = 0.002 · arcLength; < 4 vertices → drop;
+    3. score = mean prob inside the polygon (box_score_fast on the
+       polygon, not its min-rect); < ``box_thresh`` → drop;
+    4. unclip by ``unclip_ratio`` (miter substitute — always one
+       polygon, so the reference's multi-polygon skip can't trigger);
+    5. min-area-rect side < ``min_size``+2 → drop;
+    6. rescale to source pixels, clip hi to dest (not dest−1 — same
+       quirk as the quad path, ``postprocess.py:107-111``).
+
+    Returns a list (not a stacked array): polygons have ragged vertex
+    counts. The quad path (:func:`boxes_from_prob_map`) stays the
+    default, matching the reference's ``box_type='quad'`` default
+    (``/root/reference/ocr/ocr.py:268``)."""
+    cfg = cfg or OCRConfig()
+    net_h, net_w = prob.shape
+    seg = prob > cfg.det_db_thresh
+    contours = region_boundaries(seg, max_regions=cfg.max_candidates)
+
+    polys: list[np.ndarray] = []
+    scores: list[float] = []
+    for contour in contours:
+        eps = 0.002 * poly_perimeter(contour, closed=True)
+        approx = approx_poly_dp(contour.astype(np.float64), eps)
+        if approx.shape[0] < 4:
+            continue
+        score = poly_mask_mean(prob, approx)
+        if score < cfg.det_db_box_thresh:
+            continue
+        expanded = unclip_poly(approx, cfg.det_db_unclip_ratio)
+        _, sside = min_area_rect(expanded)
+        if sside < cfg.min_size + 2:
+            continue
+        box = expanded.copy()
+        box[:, 0] = np.clip(np.round(box[:, 0] / net_w * src_w), 0, src_w)
+        box[:, 1] = np.clip(np.round(box[:, 1] / net_h * src_h), 0, src_h)
+        polys.append(box)
+        scores.append(score)
+    return polys, scores
 
 
 def filter_tag_det_res(boxes: np.ndarray, src_h: int, src_w: int) -> np.ndarray:

@@ -295,38 +295,38 @@ def quad_mask_mean(prob: np.ndarray, quad: np.ndarray) -> float:
     return float(prob[ymin : ymax + 1, xmin : xmax + 1][m].mean())
 
 
-def unclip_quad(quad: np.ndarray, ratio: float) -> np.ndarray:
-    """Offset a convex quad outward by area·ratio/perimeter.
+def unclip_poly(poly: np.ndarray, ratio: float) -> np.ndarray:
+    """Offset an N-gon outward by area·ratio/perimeter (miter join).
 
     The reference uses pyclipper round-join offsetting
     (``/root/reference/ocr/postprocess.py:163-169``); pyclipper is not
-    available, so we use the miter-join equivalent for convex quads
-    (each edge pushed out by delta along its outward normal, corners at
-    half-plane intersections). For the (near-)rectangles DB produces the
-    result is the same rectangle grown by delta on each side; goldens
-    are pinned to this (SURVEY.md §7 hard-part 5).
+    available, so we use the miter-join equivalent (each edge pushed
+    out by delta along its outward normal, corners at half-plane
+    intersections). Exact for convex polygons; for concave vertices the
+    miter corner can overshoot where pyclipper would round — goldens
+    are pinned to this substitute (SURVEY.md §7 hard-part 5). Unlike
+    pyclipper, this always returns exactly one polygon (the reference's
+    poly path skips candidates whose offset splits,
+    ``postprocess.py:96-99`` — that case cannot arise here).
     """
-    q = quad.astype(np.float64)
+    q = poly.astype(np.float64)
+    n_pts = len(q)
     area = 0.0
     perim = 0.0
-    for i in range(4):
-        j = (i + 1) % 4
+    for i in range(n_pts):
+        j = (i + 1) % n_pts
         area += q[i, 0] * q[j, 1] - q[j, 0] * q[i, 1]
         perim += np.hypot(q[j, 0] - q[i, 0], q[j, 1] - q[i, 1])
+    orient = area
     area = abs(area) / 2.0
     if perim == 0:
         return q.copy()
     delta = area * ratio / perim
-    sgn = 1.0 if area >= 0 else -1.0
+    sgn = 1.0 if orient >= 0 else -1.0
     # outward normal per edge, then intersect consecutive offset lines
     lines = []
-    orient = 0.0
-    for i in range(4):
-        j = (i + 1) % 4
-        orient += q[i, 0] * q[j, 1] - q[j, 0] * q[i, 1]
-    sgn = 1.0 if orient >= 0 else -1.0
-    for i in range(4):
-        j = (i + 1) % 4
+    for i in range(n_pts):
+        j = (i + 1) % n_pts
         e = q[j] - q[i]
         n = np.hypot(e[0], e[1])
         if n == 0:
@@ -337,8 +337,8 @@ def unclip_quad(quad: np.ndarray, ratio: float) -> np.ndarray:
         p0 = q[i] + delta * nrm
         lines.append((p0, e))
     out = np.zeros_like(q)
-    for i in range(4):
-        (p1, d1) = lines[(i - 1) % 4]
+    for i in range(n_pts):
+        (p1, d1) = lines[(i - 1) % n_pts]
         (p2, d2) = lines[i]
         a = np.array([[d1[0], -d2[0]], [d1[1], -d2[1]]])
         b = p2 - p1
@@ -348,6 +348,143 @@ def unclip_quad(quad: np.ndarray, ratio: float) -> np.ndarray:
         except np.linalg.LinAlgError:
             out[i] = q[i]
     return out
+
+
+def unclip_quad(quad: np.ndarray, ratio: float) -> np.ndarray:
+    """Quad specialization of :func:`unclip_poly` (identical math for
+    N=4; kept as the quad path's named entry point)."""
+    return unclip_poly(quad, ratio)
+
+
+# ----------------------------------------------- polygon (poly-mode) ops
+# clockwise neighbor order in image coords (y down): E,SE,S,SW,W,NW,N,NE
+_MOORE = [(1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1)]
+
+
+def region_boundaries(
+    mask: np.ndarray, max_regions: int = 1000
+) -> list[np.ndarray]:
+    """Outer boundary polyline per 8-connected region, document order,
+    capped at ``max_regions`` — the findContours(RETR_LIST,
+    CHAIN_APPROX_SIMPLE) analogue for the poly path
+    (``/root/reference/ocr/postprocess.py:81-82``). Moore-neighbor
+    tracing, clockwise, from each region's topmost-then-leftmost pixel;
+    termination by repeated (pixel, entry-direction) state. Returns
+    (N,2) int64 arrays of (x, y) boundary pixels."""
+    h, w = mask.shape
+    starts: list[tuple[int, int]] = []
+    seen_start: set[tuple[int, int]] = set()
+    for pts in connected_components(mask, max_regions=max_regions):
+        # connected_components emits run endpoints in scan order; the
+        # first point is the region's topmost-leftmost pixel
+        s = (int(pts[0, 0]), int(pts[0, 1]))
+        if s not in seen_start:
+            seen_start.add(s)
+            starts.append(s)
+
+    out: list[np.ndarray] = []
+    for sx, sy in starts:
+        boundary = [(sx, sy)]
+        cur = (sx, sy)
+        back = 4  # came from the west: scan found this pixel left-to-right
+        state0 = (cur, back)
+        visited_states = {state0}
+        while True:
+            nxt = None
+            for k in range(1, 9):
+                nd = (back + k) % 8
+                nx, ny = cur[0] + _MOORE[nd][0], cur[1] + _MOORE[nd][1]
+                if 0 <= nx < w and 0 <= ny < h and mask[ny, nx]:
+                    nxt = (nx, ny)
+                    back = (nd + 4) % 8
+                    break
+            if nxt is None:  # isolated pixel
+                break
+            state = (nxt, back)
+            if state in visited_states:
+                break
+            visited_states.add(state)
+            cur = nxt
+            boundary.append(cur)
+        out.append(np.array(boundary, dtype=np.int64))
+    return out
+
+
+def poly_perimeter(poly: np.ndarray, closed: bool = True) -> float:
+    """Closed arc length (``cv2.arcLength`` analogue)."""
+    p = poly.astype(np.float64)
+    d = np.diff(p, axis=0)
+    total = float(np.hypot(d[:, 0], d[:, 1]).sum())
+    if closed and len(p) > 1:
+        total += float(np.hypot(*(p[0] - p[-1])))
+    return total
+
+
+def _dp_open(pts: np.ndarray, eps: float) -> np.ndarray:
+    """Douglas-Peucker on an open chain, endpoints always kept."""
+    if len(pts) <= 2:
+        return pts
+    a, b = pts[0], pts[-1]
+    ab = b - a
+    n = np.hypot(ab[0], ab[1])
+    if n == 0:
+        d = np.hypot(pts[:, 0] - a[0], pts[:, 1] - a[1])
+    else:
+        d = np.abs(ab[0] * (pts[:, 1] - a[1]) - ab[1] * (pts[:, 0] - a[0])) / n
+    k = int(d.argmax())
+    if d[k] <= eps:
+        return np.stack([a, b])
+    left = _dp_open(pts[: k + 1], eps)
+    right = _dp_open(pts[k:], eps)
+    return np.concatenate([left[:-1], right])
+
+
+def approx_poly_dp(poly: np.ndarray, eps: float) -> np.ndarray:
+    """Closed-curve polygon approximation (``cv2.approxPolyDP``
+    analogue, ``/root/reference/ocr/postprocess.py:85-86``): anchor at
+    vertex 0 and the vertex farthest from it, Douglas-Peucker each
+    half, rejoin. Deterministic; not bit-identical to cv2's internal
+    split choice — goldens are pinned to this substitute."""
+    p = poly.astype(np.float64)
+    if len(p) < 3:
+        return p
+    d0 = np.hypot(p[:, 0] - p[0, 0], p[:, 1] - p[0, 1])
+    k = int(d0.argmax())
+    if k == 0:
+        return p[:1]
+    first = _dp_open(p[: k + 1], eps)
+    second = _dp_open(np.concatenate([p[k:], p[:1]]), eps)
+    return np.concatenate([first[:-1], second[:-1]])
+
+
+def poly_mask_mean(prob: np.ndarray, poly: np.ndarray) -> float:
+    """Mean of prob inside an arbitrary simple polygon, evaluated over
+    its clipped bbox — ``box_score_fast`` generalized beyond quads for
+    the poly path (``/root/reference/ocr/postprocess.py:101``).
+    Crossing-number (even-odd) rasterization."""
+    h, w = prob.shape
+    xmin = int(np.clip(np.floor(poly[:, 0].min()), 0, w - 1))
+    xmax = int(np.clip(np.ceil(poly[:, 0].max()), 0, w - 1))
+    ymin = int(np.clip(np.floor(poly[:, 1].min()), 0, h - 1))
+    ymax = int(np.clip(np.ceil(poly[:, 1].max()), 0, h - 1))
+    hh, ww = ymax - ymin + 1, xmax - xmin + 1
+    xs, ys = np.meshgrid(
+        np.arange(xmin, xmin + ww, dtype=np.float64),
+        np.arange(ymin, ymin + hh, dtype=np.float64),
+    )
+    inside = np.zeros((hh, ww), dtype=bool)
+    q = poly.astype(np.float64)
+    n_pts = len(q)
+    for i in range(n_pts):
+        p1, p2 = q[i], q[(i + 1) % n_pts]
+        if p1[1] == p2[1]:
+            continue
+        cond = (p1[1] > ys) != (p2[1] > ys)
+        xi = (p2[0] - p1[0]) * (ys - p1[1]) / (p2[1] - p1[1]) + p1[0]
+        inside ^= cond & (xs < xi)
+    if not inside.any():
+        return 0.0
+    return float(prob[ymin : ymax + 1, xmin : xmax + 1][inside].mean())
 
 
 # --------------------------------------------------------- clip / order
