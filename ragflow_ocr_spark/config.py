@@ -41,6 +41,9 @@ class OCRConfig:
     det_db_unclip_ratio: float = 1.5
     max_candidates: int = 1000
     min_size: int = 3
+    # DBPostProcess mode switches (ocr/ocr.py:272-273, postprocess.py:52-64)
+    det_box_type: str = "quad"        # 'quad' | 'poly'
+    det_score_mode: str = "fast"      # 'fast' | 'slow'
     # recognition (ocr/config.py:39-40, ocr/ocr.py:150-151)
     rec_image_height: int = 48
     rec_batch_num: int = 16

@@ -54,14 +54,25 @@ def boxes_from_prob_map(
     net_h, net_w = prob.shape
     seg = prob > cfg.det_db_thresh
     regions = connected_components(seg, max_regions=cfg.max_candidates)
+    # slow score mode: mean over the exact region contour polygon, not
+    # the min-rect quad (box_score_slow, postprocess.py:211-230;
+    # selected at postprocess.py:142-145). region_boundaries emits in
+    # the same document order as connected_components, so zip aligns.
+    slow = cfg.det_score_mode == "slow"
+    boundaries = (
+        region_boundaries(seg, max_regions=cfg.max_candidates) if slow else None
+    )
 
     boxes: list[np.ndarray] = []
     scores: list[float] = []
-    for pts in regions:
+    for ridx, pts in enumerate(regions):
         quad, sside = min_area_rect(pts.astype(np.float64))
         if sside < cfg.min_size:
             continue
-        score = quad_mask_mean(prob, quad)
+        if slow:
+            score = poly_mask_mean(prob, boundaries[ridx].astype(np.float64))
+        else:
+            score = quad_mask_mean(prob, quad)
         if score < cfg.det_db_box_thresh:
             continue
         expanded = unclip_quad(quad, cfg.det_db_unclip_ratio)
@@ -130,6 +141,26 @@ def polygons_from_prob_map(
         polys.append(box)
         scores.append(score)
     return polys, scores
+
+
+def db_postprocess(
+    prob: np.ndarray,
+    src_h: int,
+    src_w: int,
+    cfg: OCRConfig | None = None,
+):
+    """``box_type`` dispatch — semantics of ``DBPostProcess.__call__``
+    (``/root/reference/ocr/postprocess.py:246-256``): 'quad' →
+    :func:`boxes_from_prob_map`, 'poly' →
+    :func:`polygons_from_prob_map`, anything else raises."""
+    cfg = cfg or OCRConfig()
+    if cfg.det_box_type == "quad":
+        return boxes_from_prob_map(prob, src_h, src_w, cfg)
+    if cfg.det_box_type == "poly":
+        return polygons_from_prob_map(prob, src_h, src_w, cfg)
+    raise ValueError(
+        f"box_type can only be one of ['quad', 'poly'], got {cfg.det_box_type!r}"
+    )
 
 
 def filter_tag_det_res(boxes: np.ndarray, src_h: int, src_w: int) -> np.ndarray:

@@ -131,6 +131,48 @@ def test_polygons_rescale_to_source_and_clip_to_dest():
     assert box[:, 0].max() > 250  # actually rescaled, not net coords
 
 
+def test_db_postprocess_box_type_dispatch():
+    from ragflow_ocr_spark.config import OCRConfig
+    from ragflow_ocr_spark.kernels.db_postprocess import db_postprocess
+
+    prob = _l_shape_prob()
+    quads, _ = db_postprocess(prob, 64, 96, OCRConfig(det_box_type="quad"))
+    assert quads.shape[1:] == (4, 2)
+    polys, _ = db_postprocess(prob, 64, 96, OCRConfig(det_box_type="poly"))
+    assert polys[0].shape[0] >= 6
+    with pytest.raises(ValueError):
+        db_postprocess(prob, 64, 96, OCRConfig(det_box_type="oval"))
+
+
+def test_score_mode_slow_scores_contour_not_minrect():
+    """On an L-shaped region the min-rect quad covers a low-probability
+    rectangle corner (score diluted); the slow mode scores only inside
+    the contour, so it reports the blob's true probability."""
+    from ragflow_ocr_spark.config import OCRConfig
+
+    prob = _l_shape_prob()
+    _, fast_scores = boxes_from_prob_map(
+        prob, 64, 96, OCRConfig(det_score_mode="fast", det_db_box_thresh=0.1)
+    )
+    _, slow_scores = boxes_from_prob_map(
+        prob, 64, 96, OCRConfig(det_score_mode="slow", det_db_box_thresh=0.1)
+    )
+    assert len(fast_scores) == len(slow_scores) == 1
+    assert slow_scores[0] > fast_scores[0]
+    assert slow_scores[0] == pytest.approx(0.9, abs=0.02)
+
+
+def test_score_mode_equal_on_solid_rectangle():
+    prob = np.zeros((40, 60))
+    prob[10:30, 10:50] = 0.8
+    from ragflow_ocr_spark.config import OCRConfig
+
+    _, fast = boxes_from_prob_map(prob, 40, 60, OCRConfig(det_score_mode="fast"))
+    _, slow = boxes_from_prob_map(prob, 40, 60, OCRConfig(det_score_mode="slow"))
+    assert len(fast) == len(slow) == 1
+    assert abs(fast[0] - slow[0]) < 0.05
+
+
 def test_polygons_deterministic():
     prob = _l_shape_prob()
     a, sa = polygons_from_prob_map(prob, 64, 96)
