@@ -196,10 +196,21 @@ def extract_payload(data: bytes | None, cfg: OCRConfig | None = None) -> OcrResu
         except ValueError:
             return OcrResult(None, 0, "error:decode", [], [])
         return ocr_image(img, cfg)
-    if kind == "jpeg":
-        # no JPEG decoder in-sandbox; deterministic error row, never a
-        # task failure (F9 guard semantics)
-        return OcrResult(None, 0, "error:unsupported_codec", [], [])
+    if kind in ("jpeg", "bmp", "tiff"):
+        # reference covers these via cv2.imdecode (operators.py:37-46);
+        # here: stdlib/numpy codecs with the same contract
+        from ragflow_ocr_spark.kernels import imgcodecs
+
+        decoder = {
+            "jpeg": imgcodecs.decode_jpeg,
+            "bmp": imgcodecs.decode_bmp,
+            "tiff": imgcodecs.decode_tiff,
+        }[kind]
+        try:
+            img = decoder(data)
+        except ValueError:
+            return OcrResult(None, 0, "error:decode", [], [])
+        return ocr_image(img, cfg)
     if kind == "pdf":
         img = extract_pdf_payload(data)
         if img is None:

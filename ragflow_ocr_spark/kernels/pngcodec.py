@@ -141,10 +141,11 @@ def decode_png(data: bytes) -> np.ndarray:
 def sniff_payload(data: bytes | None) -> str:
     """Magic-byte payload router (SURVEY.md §2.2 F10).
 
-    Returns one of: 'null', 'png', 'jpeg', 'pdf', 'html'.
-    The reference routes by file extension at the CLI
-    (``/root/reference/examples/batch_processing.py:28``); content
-    sniffing is the scale-safe equivalent.
+    Returns one of: 'null', 'png', 'jpeg', 'bmp', 'tiff', 'pdf',
+    'html'. The reference routes by file extension at the CLI
+    (``/root/reference/examples/batch_processing.py:28``, globbing
+    ``*.jpg/.png/.bmp/.tiff``); content sniffing is the scale-safe
+    equivalent.
     """
     if data is None or len(data) == 0:
         return "null"
@@ -152,6 +153,12 @@ def sniff_payload(data: bytes | None) -> str:
         return "png"
     if data.startswith(b"\xff\xd8"):
         return "jpeg"
+    if data.startswith(b"II*\x00") or data.startswith(b"MM\x00*"):
+        return "tiff"
+    # 'BM' alone would misroute HTML that happens to start with "BM";
+    # require the BMP header's reserved zero bytes as a tiebreak
+    if data.startswith(b"BM") and len(data) >= 14 and data[6:10] == b"\x00\x00\x00\x00":
+        return "bmp"
     if data.startswith(b"%PDF"):
         return "pdf"
     return "html"

@@ -1,0 +1,171 @@
+"""BMP / uncompressed-TIFF / baseline-JPEG codecs (S3 parity: the
+reference decodes these via cv2.imdecode, `operators.py:37-46`, and its
+batch CLI globs `*.jpg/.png/.bmp/.tiff`,
+`examples/batch_processing.py:28-38`). Round trips, router coverage,
+malformed-input guards, and end-to-end extraction parity with PNG."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ragflow_ocr_spark.kernels import font5x7, imgcodecs as ic, pngcodec
+from ragflow_ocr_spark.kernels.ocr_pipeline import extract_payload
+
+RNG = np.random.default_rng(42)
+
+
+# ------------------------------------------------------------ round trips
+def test_bmp_rgb_round_trip():
+    rgb = RNG.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+    assert np.array_equal(ic.decode_bmp(ic.encode_bmp(rgb)), rgb)
+
+
+def test_bmp_gray_encodes_as_rgb():
+    gray = RNG.integers(0, 256, (21, 33), dtype=np.uint8)
+    out = ic.decode_bmp(ic.encode_bmp(gray))
+    assert np.array_equal(out, np.repeat(gray[:, :, None], 3, axis=2))
+
+
+def test_tiff_round_trips():
+    rgb = RNG.integers(0, 256, (19, 27, 3), dtype=np.uint8)
+    gray = RNG.integers(0, 256, (16, 24), dtype=np.uint8)
+    assert np.array_equal(ic.decode_tiff(ic.encode_tiff(rgb)), rgb)
+    assert np.array_equal(ic.decode_tiff(ic.encode_tiff(gray)), gray)
+
+
+def test_tiff_big_endian():
+    """Byte-swapped header variant decodes too (MM magic)."""
+    gray = RNG.integers(0, 256, (8, 8), dtype=np.uint8)
+    le = ic.encode_tiff(gray)
+    # swap to big-endian by re-writing header+IFD words
+    import struct
+
+    ifd_off = struct.unpack_from("<I", le, 4)[0]
+    (n_tags,) = struct.unpack_from("<H", le, ifd_off)
+    be = bytearray(le)
+    be[0:4] = b"MM\x00*"
+    struct.pack_into(">I", be, 4, ifd_off)
+    struct.pack_into(">H", be, ifd_off, n_tags)
+    for i in range(n_tags):
+        ent = ifd_off + 2 + i * 12
+        tid, ttype, count = struct.unpack_from("<HHI", le, ent)
+        struct.pack_into(">HHI", be, ent, tid, ttype, count)
+        if ttype == 3 and count == 1:
+            (v,) = struct.unpack_from("<H", le, ent + 8)
+            struct.pack_into(">H", be, ent + 8, v)
+        else:
+            (v,) = struct.unpack_from("<I", le, ent + 8)
+            struct.pack_into(">I", be, ent + 8, v)
+    struct.pack_into(">I", be, ifd_off + 2 + n_tags * 12, 0)
+    assert np.array_equal(ic.decode_tiff(bytes(be)), gray)
+
+
+def test_jpeg_round_trip_psnr_and_determinism():
+    x = np.linspace(0, 255, 64)
+    smooth = np.clip(
+        np.add.outer(np.sin(np.arange(48) / 8) * 40 + 120, x * 0.5), 0, 255
+    ).astype(np.uint8)
+    enc = ic.encode_jpeg(smooth, quality=90)
+    dec = ic.decode_jpeg(enc)
+    assert dec.shape == smooth.shape
+    mse = float(((dec.astype(float) - smooth) ** 2).mean())
+    assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 35
+    assert ic.encode_jpeg(smooth, quality=90) == enc
+    assert np.array_equal(ic.decode_jpeg(enc), dec)
+
+
+def test_jpeg_color_round_trip():
+    x = np.linspace(0, 255, 48)
+    base = np.clip(np.add.outer(x, x[:40] * 0.8), 0, 255).astype(np.uint8)
+    rgb = np.stack([base, base[::-1], 255 - base], axis=2)
+    dec = ic.decode_jpeg(ic.encode_jpeg(rgb, quality=90))
+    assert dec.shape == rgb.shape
+    mse = float(((dec.astype(float) - rgb) ** 2).mean())
+    assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 30
+
+
+def test_jpeg_non_multiple_of_8_dims():
+    img = RNG.integers(100, 156, (13, 21), dtype=np.uint8)  # low contrast
+    dec = ic.decode_jpeg(ic.encode_jpeg(img, quality=95))
+    assert dec.shape == img.shape
+    assert abs(float(dec.mean()) - float(img.mean())) < 8
+
+
+# --------------------------------------------------------------- guards
+@pytest.mark.parametrize(
+    "fn,bad",
+    [
+        (ic.decode_bmp, b"BM\x00"),
+        (ic.decode_bmp, b"NOTABMP" * 10),
+        (ic.decode_tiff, b"II*\x00\x10\x00\x00\x00"),
+        (ic.decode_tiff, b"garbage"),
+        (ic.decode_jpeg, b"\xff\xd8\xff"),
+        (ic.decode_jpeg, b"plain text"),
+    ],
+)
+def test_malformed_inputs_raise_value_error(fn, bad):
+    with pytest.raises(ValueError):
+        fn(bad)
+
+
+def test_truncated_bmp_raises():
+    good = ic.encode_bmp(RNG.integers(0, 256, (10, 10, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        ic.decode_bmp(good[: len(good) // 2])
+
+
+# ---------------------------------------------------------- router + e2e
+def test_sniff_covers_new_formats():
+    img = RNG.integers(0, 256, (8, 8), dtype=np.uint8)
+    assert pngcodec.sniff_payload(ic.encode_bmp(img)) == "bmp"
+    assert pngcodec.sniff_payload(ic.encode_tiff(img)) == "tiff"
+    assert pngcodec.sniff_payload(ic.encode_jpeg(img)) == "jpeg"
+    # HTML that merely starts with 'BM' must NOT route to bmp
+    assert pngcodec.sniff_payload(b"BMW pages <html>...</html>") == "html"
+
+
+def test_extraction_parity_across_codecs():
+    """The same rendered page must extract byte-identically through
+    PNG, BMP, and TIFF (lossless); JPEG at q90 is lossy but the
+    pipeline is pinned to still produce the identical text."""
+    img, drawn = font5x7.render_page(
+        ["CODEC PARITY CHECK 99", "SECOND LINE HERE"], 960, 256, 2
+    )
+    want = "\n".join(drawn)
+    assert extract_payload(pngcodec.encode_png(img)).text == want
+    for enc in (ic.encode_bmp, ic.encode_tiff):
+        r = extract_payload(enc(img))
+        assert r.status == "ok" and r.text == want
+    rj = extract_payload(ic.encode_jpeg(img, quality=90))
+    assert rj.status == "ok" and rj.text == want
+
+
+def test_spark_extract_stage_routes_new_codecs(spark):
+    """The mapInPandas extract stage must route BMP/TIFF/JPEG payloads
+    end-to-end with the same per-url text as the PNG route."""
+    import datetime
+
+    from ragflow_ocr_spark.spark.pipeline import extract
+
+    img, drawn = font5x7.render_page(["SPARK STAGE CODEC ROW"], 960, 96, 2)
+    want = "\n".join(drawn)
+    ts = datetime.datetime(2025, 10, 17)
+    rows = [
+        ("png", ts, bytearray(pngcodec.encode_png(img)), None, "en"),
+        ("bmp", ts, bytearray(ic.encode_bmp(img)), None, "en"),
+        ("tiff", ts, bytearray(ic.encode_tiff(img)), None, "en"),
+        ("jpeg", ts, bytearray(ic.encode_jpeg(img, quality=90)), None, "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out = {r.url: (r.status, r.extracted_text) for r in extract(pages).collect()}
+    assert out == {k: ("ok", want) for k in ("png", "bmp", "tiff", "jpeg")}
+
+
+def test_corrupt_payload_yields_error_row_not_exception():
+    r = extract_payload(b"II*\x00" + b"\x00" * 4)
+    assert r.status == "error:decode"
+    r2 = extract_payload(b"\xff\xd8\xff\xe0" + b"\x00" * 8)
+    assert r2.status == "error:decode"

@@ -206,9 +206,11 @@ def test_pdf_route():
     assert r.text == "\n".join(drawn)
 
 
-def test_jpeg_unsupported_not_fatal():
+def test_jpeg_malformed_not_fatal():
+    # jpeg is a real decode route now (kernels/imgcodecs.py); malformed
+    # bytes must still land as a per-row error, never an exception
     r = extract_payload(b"\xff\xd8\xff\xe0fakejpeg")
-    assert r.status == "error:unsupported_codec"
+    assert r.status == "error:decode"
 
 
 def test_charset_blank_space_construction():
