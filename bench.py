@@ -60,6 +60,8 @@ HEADLINE = [
     "percentile_price",
     "range_join_error_clicks",
     "moving_avg_revenue",
+    "dedup_url_canonical",
+    "domain_profile",
     "html_extract_docs",
     "ocr_extract_docs",
 ]

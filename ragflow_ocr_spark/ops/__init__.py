@@ -23,12 +23,21 @@ from ragflow_ocr_spark.ops import (
     relational_ext,
     similarity,
     textstats,
+    weburl,
 )
 
 
 def all_queries():
     out = {}
-    for mod in (relational, relational_ext, dedup, similarity, textstats, multimodal):
+    for mod in (
+        relational,
+        relational_ext,
+        dedup,
+        similarity,
+        textstats,
+        multimodal,
+        weburl,
+    ):
         for k, v in mod.QUERIES.items():
             assert k not in out, f"duplicate query name {k}"
             out[k] = v

@@ -91,6 +91,13 @@ CHECKS = {
         (r"HashAggregate", "distributed day-level pre-aggregation"),
         (r"Window", "ROWS frame window over the reduced day series"),
     ],
+    "dedup_url_canonical": [
+        (r"HashAggregate", "canonical-url hash groupBy with map-side combine"),
+        (r"!BatchEvalPython|ArrowEvalPython|MapInPandas", "url surgery is pure JVM regexp — no Python stage"),
+    ],
+    "domain_profile": [
+        (r"count\(distinct lang", "per-host distinct-lang aggregate"),
+    ],
 }
 
 
