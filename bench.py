@@ -62,6 +62,7 @@ HEADLINE = [
     "moving_avg_revenue",
     "dedup_url_canonical",
     "domain_profile",
+    "exists_high_qty",
     "html_extract_docs",
     "ocr_extract_docs",
 ]

@@ -230,8 +230,35 @@ FROM daily
 """
 
 
+# ------------------------------------------------- correlated subquery
+# ONE ANSI SQL string, run verbatim by BOTH engines: Spark executes it
+# via spark.sql over temp views (Catalyst rewrites the correlated
+# EXISTS into a left-semi join — plan-asserted), DuckDB runs it as the
+# oracle. TPC-H Q4 shape.
+_EXISTS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+GROUP BY o_orderpriority
+"""
+
+
+def q_exists_high_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape) through the SQL surface.
+    Catalyst decorrelates to a left-semi join on o_orderkey — one
+    shuffle each side, the subquery never executes per-row. The exact
+    same SQL text is the DuckDB oracle."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_EXISTS_SQL)
+
+
 QUERIES = {
     "set_ops_customer_years": (q_set_ops_customer_years, ORACLE_SET_OPS),
+    "exists_high_qty": (q_exists_high_qty, _EXISTS_SQL),
     "tumbling_window_events": (q_tumbling_window_events, ORACLE_TUMBLING),
     "percentile_price": (q_percentile_price, ORACLE_PERCENTILE),
     "range_join_error_clicks": (q_range_join_error_clicks, ORACLE_RANGE_JOIN),
