@@ -590,8 +590,55 @@ def _quality_scale(q_base: np.ndarray, quality: int) -> np.ndarray:
     return t.astype(np.int32)
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
-    """HxW (gray) or HxWx3 uint8 → baseline JPEG (4:4:4, std tables)."""
+def _encode_block(bw: _BitWriter, block, qtab8, dc_code, ac_code, pred: int) -> int:
+    coef = _dct2(block)
+    qc = np.round(coef / qtab8).astype(np.int64)
+    zz = qc.reshape(64)[_ZIGZAG]
+    diff = int(zz[0]) - pred
+    pred = int(zz[0])
+    t = abs(diff).bit_length()
+    code, ln = dc_code[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k] != 0:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_code[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        t = abs(v).bit_length()
+        code, ln = ac_code[(run << 4) | t]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << t) - 1, t)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_code[0x00]  # EOB
+        bw.write(code, ln)
+    return pred
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """HxW (gray) or HxWx3 uint8 → baseline JPEG with the standard
+    Annex-K tables. ``subsample=True`` emits 4:2:0 (2x2 luma sampling,
+    chroma 2x2-mean-downsampled); ``restart_interval`` emits a DRI
+    segment and RSTn markers every N MCUs — both exist chiefly to
+    exercise the decoder's sampling/restart paths, which real-world
+    JPEGs use."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
     if gray:
@@ -613,12 +660,21 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
             int(qtab[z]) for z in _ZIGZAG
         )
-    # SOF0
+    # per-component sampling factors (h, v)
     nc = 1 if gray else 3
+    if gray:
+        samp = [(1, 1)]
+    elif subsample:
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1), (1, 1), (1, 1)]
+    # SOF0
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for c in range(nc):
-        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+        sof += bytes([c + 1, samp[c][0] << 4 | samp[c][1], 0 if c == 0 else 1])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # DHT
     specs = [(0, 0, _DC_LUMA), (1, 0, _AC_LUMA)]
     if not gray:
@@ -639,57 +695,57 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
         dc_codes.append(_build_huff_codes(*_DC_CHROMA))
         ac_codes.append(_build_huff_codes(*_AC_CHROMA))
 
-    bw = _BitWriter()
-    bh = (h + 7) // 8
-    bwid = (w + 7) // 8
-    preds = [0] * nc
-    # pad planes to block multiples by edge replication
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # per-component working planes: chroma downsampled when 4:2:0,
+    # each padded to its own MCU-grid size by edge replication
     padded = []
-    for p in planes:
-        pp = np.empty((bh * 8, bwid * 8))
-        pp[:h, :w] = p
-        pp[h:, :w] = p[-1:, :]
-        pp[:, w:] = pp[:, w - 1 : w]
+    for ci, p in enumerate(planes):
+        hs, vs = samp[ci]
+        if (hs, vs) != (hmax, vmax):
+            fy, fx = vmax // vs, hmax // hs
+            ph = (p.shape[0] + fy - 1) // fy
+            pw = (p.shape[1] + fx - 1) // fx
+            src = np.empty((ph * fy, pw * fx))
+            src[: p.shape[0], : p.shape[1]] = p
+            src[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+            src[:, p.shape[1] :] = src[:, p.shape[1] - 1 : p.shape[1]]
+            p = src.reshape(ph, fy, pw, fx).mean(axis=(1, 3))
+        th, tw = mcus_y * vs * 8, mcus_x * hs * 8
+        pp = np.empty((th, tw))
+        ch, cw = min(p.shape[0], th), min(p.shape[1], tw)
+        pp[:ch, :cw] = p[:ch, :cw]
+        pp[ch:, :cw] = pp[ch - 1 : ch, :cw]
+        pp[:, cw:] = pp[:, cw - 1 : cw]
         padded.append(pp)
-    for by in range(bh):
-        for bx in range(bwid):
+
+    bw = _BitWriter()
+    preds = [0] * nc
+    qt8 = [q.reshape(8, 8) for q in qts]
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * nc
             for ci in range(nc):
                 ti = 0 if ci == 0 else 1
-                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coef = _dct2(block)
-                qc = np.round(coef / qts[ti].reshape(8, 8)).astype(np.int64)
-                zz = qc.reshape(64)[_ZIGZAG]
-                diff = int(zz[0]) - preds[ci]
-                preds[ci] = int(zz[0])
-                mag = abs(diff)
-                t = mag.bit_length()
-                code, ln = dc_codes[ti][t]
-                bw.write(code, ln)
-                if t:
-                    bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
-                run = 0
-                last_nz = 0
-                for k in range(63, 0, -1):
-                    if zz[k] != 0:
-                        last_nz = k
-                        break
-                for k in range(1, last_nz + 1):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_codes[ti][0xF0]
-                        bw.write(code, ln)
-                        run -= 16
-                    t = abs(v).bit_length()
-                    code, ln = ac_codes[ti][(run << 4) | t]
-                    bw.write(code, ln)
-                    bw.write(v if v >= 0 else v + (1 << t) - 1, t)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = ac_codes[ti][0x00]  # EOB
-                    bw.write(code, ln)
+                hs, vs = samp[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        block = padded[ci][y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        preds[ci] = _encode_block(
+                            bw, block, qt8[ti], dc_codes[ti], ac_codes[ti], preds[ci]
+                        )
+            mcu_count += 1
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"  # EOI

@@ -92,6 +92,48 @@ def test_jpeg_non_multiple_of_8_dims():
     assert abs(float(dec.mean()) - float(img.mean())) < 8
 
 
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(((a.astype(float) - b.astype(float)) ** 2).mean())
+    return 10 * np.log10(255**2 / max(mse, 1e-9))
+
+
+def _smooth_rgb() -> np.ndarray:
+    x = np.linspace(0, 255, 96)
+    base = np.clip(
+        np.add.outer(np.sin(np.arange(80) / 9) * 50 + 120, x * 0.6), 0, 255
+    ).astype(np.uint8)
+    return np.stack([base, base[::-1], 255 - base], axis=2)
+
+
+def test_jpeg_420_subsampling_round_trip():
+    """4:2:0 exercises the decoder's sampling-factor MCU interleave and
+    chroma upsampling — the layout real-world JPEGs use."""
+    rgb = _smooth_rgb()
+    enc = ic.encode_jpeg(rgb, 90, subsample=True)
+    dec = ic.decode_jpeg(enc)
+    assert dec.shape == rgb.shape
+    assert _psnr(dec, rgb) > 32
+    assert len(enc) < len(ic.encode_jpeg(rgb, 90))  # chroma actually halved
+
+
+def test_jpeg_restart_markers_round_trip():
+    rgb = _smooth_rgb()
+    enc = ic.encode_jpeg(rgb, 90, restart_interval=3)
+    assert b"\xff\xdd" in enc and b"\xff\xd0" in enc
+    dec = ic.decode_jpeg(enc)
+    assert _psnr(dec, rgb) > 35
+    # restart segmentation must not change content vs the plain stream
+    plain = ic.decode_jpeg(ic.encode_jpeg(rgb, 90))
+    assert _psnr(dec, plain) > 40
+
+
+def test_jpeg_420_restart_odd_dims():
+    odd = _smooth_rgb()[:77, :93]
+    dec = ic.decode_jpeg(ic.encode_jpeg(odd, 85, subsample=True, restart_interval=2))
+    assert dec.shape == odd.shape
+    assert _psnr(dec, odd) > 30
+
+
 # --------------------------------------------------------------- guards
 @pytest.mark.parametrize(
     "fn,bad",
