@@ -23,9 +23,28 @@ Scope (documented substitution, like the PNG codec):
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
+
+
+def _codec_errors(fn):
+    """Decoder boundary guard: truncated/malformed input hits
+    struct.unpack / indexing before a length check can — normalize to
+    the contractual ValueError (the Spark stage maps ValueError to a
+    per-row error status; anything else would fail the task). Found by
+    the codec fuzzers in tests/test_properties.py."""
+
+    @functools.wraps(fn)
+    def inner(data: bytes) -> np.ndarray:
+        try:
+            return fn(data)
+        except (struct.error, IndexError) as e:
+            raise ValueError(f"malformed input: {e}") from e
+
+    return inner
+
 
 # ----------------------------------------------------------------- BMP
 BMP_MAGIC = b"BM"
@@ -47,6 +66,7 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + info + data
 
 
+@_codec_errors
 def decode_bmp(data: bytes) -> np.ndarray:
     """BMP bytes → HxW (if palette is grayscale) or HxWx3 uint8 RGB."""
     if len(data) < 54 or data[:2] != BMP_MAGIC:
@@ -131,6 +151,7 @@ def encode_tiff(img: np.ndarray) -> bytes:
     return TIFF_MAGIC_LE + struct.pack("<I", ifd_off) + ifd + extra + px
 
 
+@_codec_errors
 def decode_tiff(data: bytes) -> np.ndarray:
     """Uncompressed TIFF → HxW or HxWx3 uint8."""
     if data[:4] == TIFF_MAGIC_LE:
@@ -445,6 +466,7 @@ def _decode_block(
     return pos, pred
 
 
+@_codec_errors
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JPEG → HxW (grayscale) or HxWx3 uint8 RGB."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":

@@ -29,6 +29,43 @@ def test_extract_payload_never_raises(data):
     assert (r.text is None) == r.status.startswith("error")
 
 
+# random bytes almost never carry a codec magic, so the generic fuzzer
+# above barely reaches the decoders — these force each route
+_MAGICS = [
+    b"\x89PNG\r\n\x1a\n",
+    b"\xff\xd8\xff\xe0",
+    b"BM\x00\x00\x00\x00\x00\x00\x00\x00",
+    b"II*\x00",
+    b"MM\x00*",
+    b"%PDF-1.4\n",
+]
+
+
+@given(st.sampled_from(_MAGICS), st.binary(max_size=512))
+@settings(max_examples=150, deadline=None)
+def test_extract_payload_fuzzed_codec_routes_never_raise(magic, tail):
+    r = extract_payload(magic + tail)
+    assert r.status
+    assert (r.text is None) == r.status.startswith("error")
+
+
+@given(st.binary(max_size=512))
+@settings(max_examples=100, deadline=None)
+def test_codec_decoders_raise_value_error_only(tail):
+    from ragflow_ocr_spark.kernels import imgcodecs
+
+    for magic, dec in [
+        (b"BM\x00\x00\x00\x00\x00\x00\x00\x00", imgcodecs.decode_bmp),
+        (b"II*\x00", imgcodecs.decode_tiff),
+        (b"\xff\xd8\xff\xe0", imgcodecs.decode_jpeg),
+    ]:
+        try:
+            out = dec(magic + tail)
+            assert out.dtype == np.uint8
+        except ValueError:
+            pass  # the only contractually-allowed exception type
+
+
 @given(
     st.integers(2, 40),
     st.integers(2, 40),
