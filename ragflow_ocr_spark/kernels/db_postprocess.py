@@ -56,12 +56,11 @@ def boxes_from_prob_map(
     regions = connected_components(seg, max_regions=cfg.max_candidates)
     # slow score mode: mean over the exact region contour polygon, not
     # the min-rect quad (box_score_slow, postprocess.py:211-230;
-    # selected at postprocess.py:142-145). region_boundaries emits in
-    # the same document order as connected_components, so zip aligns.
+    # selected at postprocess.py:142-145). Passing the precomputed
+    # regions skips a second labeling pass and makes boundary[i] ↔
+    # regions[i] alignment hold by construction.
     slow = cfg.det_score_mode == "slow"
-    boundaries = (
-        region_boundaries(seg, max_regions=cfg.max_candidates) if slow else None
-    )
+    boundaries = region_boundaries(seg, regions=regions) if slow else None
 
     boxes: list[np.ndarray] = []
     scores: list[float] = []

@@ -40,10 +40,18 @@ def _codec_errors(fn):
     def inner(data: bytes) -> np.ndarray:
         try:
             return fn(data)
-        except (struct.error, IndexError) as e:
-            raise ValueError(f"malformed input: {e}") from e
+        except (struct.error, IndexError, KeyError, ZeroDivisionError) as e:
+            # KeyError: scan/frame referencing an undefined DQT/DHT table
+            # or component id; ZeroDivisionError: zero sampling factor
+            raise ValueError(f"malformed input: {e!r}") from e
 
     return inner
+
+
+# untrusted-payload ceiling: a ~200-byte JPEG can declare 32768x32768
+# and would otherwise allocate GBs of coefficient arrays and iterate
+# millions of MCUs in Python. 64 MPix covers any real page scan.
+MAX_DECODE_PIXELS = 1 << 26
 
 
 # ----------------------------------------------------------------- BMP
@@ -533,19 +541,27 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF/SOS")
     h, w, nc = frame
-    if not (0 < h <= 1 << 15 and 0 < w <= 1 << 15):
+    if not (0 < h and 0 < w and h * w <= MAX_DECODE_PIXELS):
         raise ValueError("bad JPEG dimensions")
+    if any(not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4) for c in comps):
+        raise ValueError("bad JPEG sampling factors")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = (w + mcu_w - 1) // mcu_w
     mcus_y = (h + mcu_h - 1) // mcu_h
 
+    # interleaved MCUs follow the SOS component order (legal baseline
+    # JPEGs may list scan components in a different order than SOF)
     by_id = {c["id"]: c for c in comps}
+    scan_comps = [by_id[s["cs"]] for s in scan]
+    if len(scan_comps) != len(comps):
+        raise ValueError("multi-scan baseline JPEG unsupported")
     for s in scan:
         c = by_id[s["cs"]]
         c["dc_tbl"] = huff_dc[s["dc"]]
         c["ac_tbl"] = huff_ac[s["ac"]]
+        qt[c["tq"]]  # raise now (as ValueError) if the table is missing
         n_blocks = mcus_y * mcus_x * c["h"] * c["v"]
         # entropy-decode into one (N, 64) zigzag coef array; the
         # dequant + IDCT then runs as ONE batched einsum per component
@@ -565,9 +581,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 br.align_to_marker()
                 buf = br.buf
                 bit_pos = 0
-                for c in comps:
+                for c in scan_comps:
                     c["pred"] = 0
-            for c in comps:
+            for c in scan_comps:
                 dcv, dcl = c["dc_tbl"]
                 acv, acl = c["ac_tbl"]
                 coefs = c["coefs"]

@@ -362,7 +362,9 @@ _MOORE = [(1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1)]
 
 
 def region_boundaries(
-    mask: np.ndarray, max_regions: int = 1000
+    mask: np.ndarray,
+    max_regions: int = 1000,
+    regions: list[np.ndarray] | None = None,
 ) -> list[np.ndarray]:
     """Outer boundary polyline per 8-connected region, document order,
     capped at ``max_regions`` — the findContours(RETR_LIST,
@@ -370,17 +372,19 @@ def region_boundaries(
     (``/root/reference/ocr/postprocess.py:81-82``). Moore-neighbor
     tracing, clockwise, from each region's topmost-then-leftmost pixel;
     termination by repeated (pixel, entry-direction) state. Returns
-    (N,2) int64 arrays of (x, y) boundary pixels."""
+    (N,2) int64 arrays of (x, y) boundary pixels.
+
+    Pass ``regions`` (the output of ``connected_components`` on the
+    same mask) to skip the internal labeling pass — output index i is
+    then the boundary of ``regions[i]`` by construction."""
     h, w = mask.shape
+    if regions is None:
+        regions = connected_components(mask, max_regions=max_regions)
     starts: list[tuple[int, int]] = []
-    seen_start: set[tuple[int, int]] = set()
-    for pts in connected_components(mask, max_regions=max_regions):
+    for pts in regions:
         # connected_components emits run endpoints in scan order; the
         # first point is the region's topmost-leftmost pixel
-        s = (int(pts[0, 0]), int(pts[0, 1]))
-        if s not in seen_start:
-            seen_start.add(s)
-            starts.append(s)
+        starts.append((int(pts[0, 0]), int(pts[0, 1])))
 
     out: list[np.ndarray] = []
     for sx, sy in starts:
@@ -421,22 +425,34 @@ def poly_perimeter(poly: np.ndarray, closed: bool = True) -> float:
 
 
 def _dp_open(pts: np.ndarray, eps: float) -> np.ndarray:
-    """Douglas-Peucker on an open chain, endpoints always kept."""
-    if len(pts) <= 2:
+    """Douglas-Peucker on an open chain, endpoints always kept.
+    Iterative (explicit range stack): recursion depth is O(n) on
+    adversarial chains (spiral/staircase region boundaries) and would
+    raise RecursionError past ~1000 points."""
+    n_pts = len(pts)
+    if n_pts <= 2:
         return pts
-    a, b = pts[0], pts[-1]
-    ab = b - a
-    n = np.hypot(ab[0], ab[1])
-    if n == 0:
-        d = np.hypot(pts[:, 0] - a[0], pts[:, 1] - a[1])
-    else:
-        d = np.abs(ab[0] * (pts[:, 1] - a[1]) - ab[1] * (pts[:, 0] - a[0])) / n
-    k = int(d.argmax())
-    if d[k] <= eps:
-        return np.stack([a, b])
-    left = _dp_open(pts[: k + 1], eps)
-    right = _dp_open(pts[k:], eps)
-    return np.concatenate([left[:-1], right])
+    keep = np.zeros(n_pts, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n_pts - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        a, b = pts[i], pts[j]
+        seg = pts[i + 1 : j]
+        ab = b - a
+        norm = np.hypot(ab[0], ab[1])
+        if norm == 0:
+            d = np.hypot(seg[:, 0] - a[0], seg[:, 1] - a[1])
+        else:
+            d = np.abs(ab[0] * (seg[:, 1] - a[1]) - ab[1] * (seg[:, 0] - a[0])) / norm
+        k = int(d.argmax()) + i + 1
+        if d[k - i - 1] > eps:
+            keep[k] = True
+            stack.append((i, k))
+            stack.append((k, j))
+    return pts[keep]
 
 
 def approx_poly_dp(poly: np.ndarray, eps: float) -> np.ndarray:

@@ -24,11 +24,11 @@ from ragflow_ocr_spark.kernels import pngcodec
 from ragflow_ocr_spark.kernels.crop import get_rotate_crop_image, rotation_probe
 from ragflow_ocr_spark.kernels.ctc import ctc_greedy_decode
 from ragflow_ocr_spark.kernels.db_postprocess import (
-    boxes_from_prob_map,
+    db_postprocess,
     filter_tag_det_res,
 )
 from ragflow_ocr_spark.kernels.det_preprocess import det_preprocess
-from ragflow_ocr_spark.kernels.imgeom import resize_bilinear
+from ragflow_ocr_spark.kernels.imgeom import min_area_rect, resize_bilinear
 from ragflow_ocr_spark.kernels.infer import get_det_net, get_rec_net, run_with_retry
 from ragflow_ocr_spark.kernels.reading_order import sorted_boxes
 from ragflow_ocr_spark.kernels.stubnet import REC_CHARSET
@@ -53,11 +53,22 @@ def _to_rgb(img: np.ndarray) -> np.ndarray:
 def detect(img: np.ndarray, cfg: OCRConfig) -> np.ndarray:
     """Gray or RGB uint8 → reading-ordered quads (N,4,2) in source
     coords. Kernel equivalent of ``OCR.detect``
-    (``/root/reference/ocr/ocr.py:490-509``)."""
+    (``/root/reference/ocr/ocr.py:490-509``).
+
+    ``det_box_type='poly'`` routes through the poly postprocess and
+    reduces each polygon to its min-area rect for the downstream quad
+    contract (the reference's crop path is quad-only too — its poly
+    mode would crash in ``get_rotate_crop_image``; reducing instead of
+    crashing is our documented deviation). Invalid values raise."""
     src_h, src_w = img.shape[:2]
     nchw, _ = det_preprocess(img, cfg.det_limit_side_len)
     prob = run_with_retry(get_det_net(), nchw)[0, 0]
-    boxes, _scores = boxes_from_prob_map(prob, src_h, src_w, cfg)
+    boxes, _scores = db_postprocess(prob, src_h, src_w, cfg)
+    if cfg.det_box_type == "poly":
+        quads = [min_area_rect(p)[0] for p in boxes]
+        boxes = (
+            np.stack(quads) if quads else np.zeros((0, 4, 2), dtype=np.float64)
+        )
     boxes = filter_tag_det_res(boxes, src_h, src_w)
     if boxes.shape[0] == 0:
         return boxes
@@ -179,41 +190,48 @@ def extract_pdf_payload(data: bytes) -> np.ndarray | None:
         return None
 
 
+IMAGE_KINDS = ("png", "jpeg", "bmp", "tiff", "pdf")
+
+
+def decode_payload_image(data: bytes | None) -> tuple[str, np.ndarray | None]:
+    """(kind, image-or-None): the ONE decoder router for binary image
+    payloads — png/jpeg/bmp/tiff (cv2.imdecode's format set,
+    ``/root/reference/ocr/operators.py:37-46``) plus the pdf stub
+    route. None image = decode failure or a non-image kind; never
+    raises (per-row error contract)."""
+    kind = pngcodec.sniff_payload(data)
+    if kind == "pdf":
+        return kind, extract_pdf_payload(data)
+    if kind == "png":
+        dec = pngcodec.decode_png
+    elif kind in ("jpeg", "bmp", "tiff"):
+        from ragflow_ocr_spark.kernels import imgcodecs
+
+        dec = {
+            "jpeg": imgcodecs.decode_jpeg,
+            "bmp": imgcodecs.decode_bmp,
+            "tiff": imgcodecs.decode_tiff,
+        }[kind]
+    else:
+        return kind, None
+    try:
+        return kind, dec(data)
+    except ValueError:
+        return kind, None
+
+
 def extract_payload(data: bytes | None, cfg: OCRConfig | None = None) -> OcrResult:
     """Route one payload by magic bytes (F10) and extract.
 
     HTML routing is handled a level up (the Spark stage splits HTML
     rows to the html_extract kernel); this function owns the binary
-    routes: png/jpeg/pdf/null.
+    routes: png/jpeg/bmp/tiff/pdf/null.
     """
     cfg = cfg or OCRConfig()
-    kind = pngcodec.sniff_payload(data)
+    kind, img = decode_payload_image(data)
     if kind == "null":
         return OcrResult(None, 0, "error:null", [], [])
-    if kind == "png":
-        try:
-            img = pngcodec.decode_png(data)
-        except ValueError:
-            return OcrResult(None, 0, "error:decode", [], [])
-        return ocr_image(img, cfg)
-    if kind in ("jpeg", "bmp", "tiff"):
-        # reference covers these via cv2.imdecode (operators.py:37-46);
-        # here: stdlib/numpy codecs with the same contract
-        from ragflow_ocr_spark.kernels import imgcodecs
-
-        decoder = {
-            "jpeg": imgcodecs.decode_jpeg,
-            "bmp": imgcodecs.decode_bmp,
-            "tiff": imgcodecs.decode_tiff,
-        }[kind]
-        try:
-            img = decoder(data)
-        except ValueError:
-            return OcrResult(None, 0, "error:decode", [], [])
-        return ocr_image(img, cfg)
-    if kind == "pdf":
-        img = extract_pdf_payload(data)
-        if img is None:
-            return OcrResult(None, 0, "error:decode", [], [])
-        return ocr_image(img, cfg)
-    return OcrResult(None, 0, "error:route", [], [])
+    if img is None:
+        status = "error:decode" if kind in IMAGE_KINDS else "error:route"
+        return OcrResult(None, 0, status, [], [])
+    return ocr_image(img, cfg)

@@ -108,26 +108,25 @@ def detect_stage(cfg: PipelineConfig | None = None):
     cfg = cfg or DEFAULT
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ragflow_ocr_spark.kernels import pngcodec
-        from ragflow_ocr_spark.kernels.ocr_pipeline import detect, extract_pdf_payload
+        from ragflow_ocr_spark.kernels.ocr_pipeline import (
+            IMAGE_KINDS,
+            decode_payload_image,
+            detect,
+        )
 
         for pdf in batches:
             all_blocks = []
             statuses = []
             for data in pdf["html"]:
                 payload = bytes(data) if data is not None else None
-                kind = pngcodec.sniff_payload(payload)
-                img = None
-                if kind == "png":
-                    try:
-                        img = pngcodec.decode_png(payload)
-                    except ValueError:
-                        pass
-                elif kind == "pdf":
-                    img = extract_pdf_payload(payload)
+                # same router as the unified extract stage — the two
+                # public surfaces must agree on supported formats
+                kind, img = decode_payload_image(payload)
                 if img is None:
                     all_blocks.append([])
-                    statuses.append("error:decode" if kind in ("png", "pdf") else f"skip:{kind}")
+                    statuses.append(
+                        "error:decode" if kind in IMAGE_KINDS else f"skip:{kind}"
+                    )
                     continue
                 boxes = detect(img, cfg.ocr)
                 all_blocks.append(
@@ -157,11 +156,10 @@ def recognize_stage(cfg: PipelineConfig | None = None):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from ragflow_ocr_spark.kernels import pngcodec
         from ragflow_ocr_spark.kernels.crop import get_rotate_crop_image, rotation_probe
         from ragflow_ocr_spark.kernels.ocr_pipeline import (
             _rec_one,
-            extract_pdf_payload,
+            decode_payload_image,
             recognize_crops,
         )
 
@@ -175,12 +173,9 @@ def recognize_stage(cfg: PipelineConfig | None = None):
                 blocks = row["blocks"]  # ndarray via Arrow — no truthiness
                 if payload is None or blocks is None or len(blocks) == 0:
                     continue
-                kind = pngcodec.sniff_payload(payload)
-                img = (
-                    extract_pdf_payload(payload)
-                    if kind == "pdf"
-                    else pngcodec.decode_png(payload)
-                )
+                _kind, img = decode_payload_image(payload)
+                if img is None:
+                    continue  # per-row error contract: skip, never raise
                 crops = []
                 for b in blocks:
                     # Arrow hands nested lists back as object arrays of

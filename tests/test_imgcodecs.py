@@ -211,3 +211,67 @@ def test_corrupt_payload_yields_error_row_not_exception():
     assert r.status == "error:decode"
     r2 = extract_payload(b"\xff\xd8\xff\xe0" + b"\x00" * 8)
     assert r2.status == "error:decode"
+
+
+def _jpeg_with(segs):
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    for m, payload in segs:
+        out += bytes([0xFF, m]) + struct.pack(">H", 2 + len(payload)) + payload
+    return bytes(out)
+
+
+def test_crafted_crash_payloads_become_error_rows():
+    """Review-found crashers: structurally-valid JPEG/TIFF headers with
+    semantic lies (undefined DHT, zero sampling factor, bomb
+    dimensions, ASCII-typed width tag) raised KeyError /
+    ZeroDivisionError / huge allocations — all must be error rows."""
+    import struct
+
+    sof_undef = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    sos_undef = bytes([1, 1, 0x33]) + bytes([0, 63, 0])
+    undef_dht = _jpeg_with([(0xC0, sof_undef), (0xDA, sos_undef)])
+
+    dqt = bytes([0]) + bytes(64)
+    dht0 = bytes([0x00]) + bytes([0] * 15 + [1]) + bytes([0])
+    dht1 = bytes([0x10]) + bytes([0] * 15 + [1]) + bytes([0])
+    sos1 = bytes([1, 1, 0x00]) + bytes([0, 63, 0])
+    sof_zero = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x00, 0])
+    zero_sampling = _jpeg_with(
+        [(0xDB, dqt), (0xC4, dht0), (0xC4, dht1), (0xC0, sof_zero), (0xDA, sos1)]
+    )
+
+    sof_bomb = struct.pack(">BHHB", 8, 32000, 32000, 1) + bytes([1, 0x11, 0])
+    bomb = _jpeg_with([(0xDB, dqt), (0xC0, sof_bomb), (0xDA, sos1)])
+
+    ascii_tiff = (
+        b"II*\x00"
+        + struct.pack("<I", 8)
+        + struct.pack("<H", 1)
+        + struct.pack("<HHII", 256, 2, 1, 65)
+        + struct.pack("<I", 0)
+    )
+    for payload in (undef_dht, zero_sampling, bomb, ascii_tiff):
+        r = extract_payload(payload)
+        assert r.status.startswith("error"), r.status
+
+
+def test_decode_pixel_ceiling():
+    assert ic.MAX_DECODE_PIXELS >= (8192 * 8192)  # real page scans fit
+    with pytest.raises(ValueError):
+        import struct
+
+        sof = struct.pack(">BHHB", 8, 30000, 30000, 1) + bytes([1, 0x11, 0])
+        ic.decode_jpeg(_jpeg_with([(0xC0, sof), (0xDA, bytes([1, 1, 0]) + bytes([0, 63, 0]))]))
+
+
+def test_staged_detect_agrees_with_extract_on_codecs():
+    """detect_stage and the unified extract stage must support the
+    same formats — a JPEG/BMP/TIFF page gets blocks, not skip."""
+    from ragflow_ocr_spark.kernels.ocr_pipeline import decode_payload_image
+
+    img, _ = font5x7.render_page(["AGREEMENT ROW"], 480, 96, 2)
+    for enc in (ic.encode_bmp, ic.encode_tiff, lambda i: ic.encode_jpeg(i, 90)):
+        kind, decoded = decode_payload_image(enc(img))
+        assert decoded is not None, kind

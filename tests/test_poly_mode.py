@@ -173,6 +173,42 @@ def test_score_mode_equal_on_solid_rectangle():
     assert abs(fast[0] - slow[0]) < 0.05
 
 
+def test_detect_honors_box_type_config():
+    """det_box_type must reach the pipeline: poly mode routes through
+    the poly postprocess (min-rect-reduced for the quad crop
+    contract), and an invalid value raises instead of silently
+    producing quads."""
+    from ragflow_ocr_spark.config import OCRConfig
+    from ragflow_ocr_spark.kernels import font5x7
+    from ragflow_ocr_spark.kernels.ocr_pipeline import detect, ocr_image
+
+    img, drawn = font5x7.render_page(["BOX TYPE WIRE CHECK"], 480, 96, 2)
+    quads = detect(img, OCRConfig(det_box_type="quad"))
+    polys = detect(img, OCRConfig(det_box_type="poly"))
+    assert quads.shape[0] > 0 and polys.shape[1:] == (4, 2)
+    with pytest.raises(ValueError):
+        detect(img, OCRConfig(det_box_type="oval"))
+    # poly mode survives the full pipeline (crop contract holds)
+    r = ocr_image(img, OCRConfig(det_box_type="poly"))
+    assert r.status == "ok" and r.text == "\n".join(drawn)
+
+
+def test_dp_open_survives_deep_chains():
+    """Iterative Douglas-Peucker: a 20k-point staircase would blow the
+    recursion limit in the recursive formulation."""
+    n = 20000
+    stair = np.zeros((n, 2))
+    stair[:, 0] = np.arange(n) // 2
+    stair[:, 1] = (np.arange(n) + 1) // 2
+    # eps below the stair-corner deviation (≈0.707): every split
+    # recurses to depth O(n) — the case that blew the recursive
+    # version's stack. Completing (keeping every point) is the pass.
+    out = approx_poly_dp(stair, eps=0.3)
+    assert len(out) == n
+    # above the corner deviation the whole chain collapses to anchors
+    assert len(approx_poly_dp(stair, eps=0.8)) <= 4
+
+
 def test_polygons_deterministic():
     prob = _l_shape_prob()
     a, sa = polygons_from_prob_map(prob, 64, 96)
