@@ -63,6 +63,7 @@ HEADLINE = [
     "dedup_url_canonical",
     "domain_profile",
     "exists_high_qty",
+    "sample_split",
     "html_extract_docs",
     "ocr_extract_docs",
 ]

@@ -137,7 +137,65 @@ FROM canon GROUP BY host
 """
 
 
+# ------------------------------------------------ deterministic splits
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based corpus partitioning: train/val/test
+    assignment (80/10/10) plus an independent stratified 10% sample
+    flag, rolled up per (source, split).
+
+    At 10^12 docs, seeded Bernoulli sampling is NOT reproducible across
+    engines/retries (RNG stream depends on partitioning); the curation
+    idiom is hash-mod bucketing — md5(doc_id) % 100 — which is
+    engine-portable, stable under repartition/recompute, and exactly
+    oracle-checkable. The sample flag hashes a salted key so sample
+    membership is independent of split membership. Pure JVM expressions,
+    map-side combine on the rollup."""
+    d = _docs(spark, sf_dir)
+    key = F.col("doc_id").cast("string")
+    bucket = (
+        F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("long") % 100
+    )
+    sbucket = (
+        F.conv(F.substring(F.md5(F.concat(key, F.lit("#s"))), 1, 4), 16, 10)
+        .cast("long") % 10
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.withColumn("split", split)
+        .withColumn("in_sample", (sbucket == 0).cast("int"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("in_sample").cast("long").alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+ORACLE_SAMPLE_SPLIT = """
+WITH b AS (
+  SELECT source, n_chars,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS UBIGINT) AS BIGINT) % 100 AS bucket,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#s'), 1, 4)) AS UBIGINT) AS BIGINT) % 10 AS sbucket
+  FROM documents
+)
+SELECT source,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN sbucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "dedup_url_canonical": (q_dedup_url_canonical, ORACLE_URL_DEDUP),
     "domain_profile": (q_domain_profile, ORACLE_DOMAIN),
+    "sample_split": (q_sample_split, ORACLE_SAMPLE_SPLIT),
 }

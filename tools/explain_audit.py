@@ -98,6 +98,10 @@ CHECKS = {
     "domain_profile": [
         (r"count\(distinct lang", "per-host distinct-lang aggregate"),
     ],
+    "sample_split": [
+        (r"HashAggregate", "hash-bucket split rollup with map-side combine"),
+        (r"!Sample", "no RNG Sample operator — determinism comes from md5 buckets"),
+    ],
     "exists_high_qty": [
         (r"Join LeftSemi", "correlated EXISTS decorrelated to a left-semi join"),
         (r"PushedFilters: \[.*l_quantity", "subquery predicate pushed to the lineitem scan"),
