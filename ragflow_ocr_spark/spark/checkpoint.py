@@ -21,8 +21,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 CHECKPOINT_SCHEMA = (
-    "run_id string, bucket int, status string, n_docs long, n_ok long, "
-    "n_empty long, n_error long, wall_ms long"
+    "run_id string, bucket int, n_buckets int, status string, n_docs long, "
+    "n_ok long, n_empty long, n_error long, wall_ms long"
 )
 
 
@@ -32,22 +32,40 @@ class CheckpointStore:
         self.root = root
         self.table_dir = os.path.join(root, "checkpoint")
 
-    def done_buckets(self) -> DataFrame:
-        """Buckets already completed (any run)."""
+    def _table(self) -> DataFrame | None:
         if not os.path.isdir(self.table_dir) or not any(
             f.endswith(".parquet")
             for _, _, fs in os.walk(self.table_dir)
             for f in fs
         ):
+            return None
+        return self.spark.read.parquet(self.table_dir)
+
+    def done_buckets(self, n_buckets: int) -> DataFrame:
+        """Buckets already completed (any run) under the SAME bucket
+        numbering. Bucket ids are only meaningful relative to
+        ``n_buckets``: resuming a root written with a different count
+        would anti-join the WRONG url sets out (silently losing rows)
+        and mix incompatibly-numbered ``extracted/bucket=`` partitions
+        — so a mismatch is refused outright."""
+        t = self._table()
+        if t is None:
             return self.spark.createDataFrame([], "bucket int")
+        seen = [r["n_buckets"] for r in t.select("n_buckets").distinct().collect()]
+        wrong = [n for n in seen if n != n_buckets]
+        if wrong:
+            raise ValueError(
+                f"checkpoint at {self.table_dir} was written with "
+                f"n_buckets={sorted(set(wrong))}; resume must use the same "
+                f"value (got {n_buckets}) or a fresh output root"
+            )
         return (
-            self.spark.read.parquet(self.table_dir)
-            .where(F.col("status") == "done")
+            t.where(F.col("status") == "done")
             .select("bucket")
             .distinct()
         )
 
-    def mark_done(self, rows: list[dict]) -> None:
+    def mark_done(self, rows: list[dict], n_buckets: int) -> None:
         """Append completion rows (one per bucket). Parquet append of a
         handful of rows ⇔ the MERGE INTO of the production path."""
         if not rows:
@@ -57,6 +75,7 @@ class CheckpointStore:
                 (
                     r["run_id"],
                     int(r["bucket"]),
+                    int(n_buckets),
                     "done",
                     int(r.get("n_docs", 0)),
                     int(r.get("n_ok", 0)),
@@ -72,9 +91,12 @@ class CheckpointStore:
 
     @staticmethod
     def parse_metrics_rows(metric_rows: list) -> list[dict]:
+        """One dict per TASK PARTITION (``part_id`` — NOT a bucket:
+        under spread/grouping one partition holds rows from several
+        buckets)."""
         out = []
         for row in metric_rows:
             d = json.loads(row["extracted_text"])
-            d["bucket"] = row["part_id"]
+            d["part_id"] = row["part_id"]
             out.append(d)
         return out

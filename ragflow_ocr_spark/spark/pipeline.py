@@ -52,6 +52,12 @@ def spread_for_extract(
     the tail, at any scale. Light rows: plain hash(url) repartition.
     Placement never affects output bytes — rows are independent
     (verified by the repartition-invariance test).
+
+    Cost note: the where-split evaluates the source twice. That is
+    deliberate — see run_extract_job's docstring for why the heavy
+    scan is metadata-cheap on a real crawl table (content_length
+    row-group pruning); caching payload bytes to avoid it would cost
+    far more at 100 TB.
     """
     cost = F.coalesce(F.length(F.col("html")), F.lit(0))
     heavy = df.where(cost > cfg.salt_heavy_bytes)
@@ -107,10 +113,16 @@ def run_extract_job(
 
     Buckets are processed in GROUPS of ``bucket_group_size`` — one
     Spark job per group. Each job filters on ``bucket IN (group)``, so
-    the number of input scans is n_buckets/group_size, not n_buckets
+    the number of group jobs is n_buckets/group_size, not n_buckets
     (at 100 TB the input is an Iceberg table partitioned by
     ``bucket(url, n_buckets)``, so each scan additionally prunes to
-    the group's files — see spark/checkpoint.py). The group size is
+    the group's files — see spark/checkpoint.py). With ``spread=True``
+    each group is scanned twice (the heavy/light where-split below);
+    at Iceberg scale the heavy predicate runs against a stored
+    ``content_length`` column whose row-group stats prune the heavy
+    scan to the handful of files containing heavy rows, so the second
+    scan is metadata-cheap — worth it to keep 100× rows off the stage
+    tail. The group size is
     the classic durability/throughput knob: lost work on failure ≤ one
     group, scan overhead ∝ 1/group_size. Within a group, output lands
     via dynamic partition overwrite under ``extracted/bucket=<b>`` —
@@ -125,7 +137,8 @@ def run_extract_job(
     bucket_of_url = F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
 
     work = pages.withColumn("bucket", bucket_of_url)
-    done = ckpt.done_buckets()
+    done = ckpt.done_buckets(n_buckets)  # raises on a numbering mismatch
+    n_done_prior = done.count()
     pending = work.join(F.broadcast(done), on="bucket", how="left_anti")
 
     pending_buckets = sorted(
@@ -134,10 +147,39 @@ def run_extract_job(
     gs = max(1, bucket_group_size)
     groups = [pending_buckets[i : i + gs] for i in range(0, len(pending_buckets), gs)]
 
-    # only the touched bucket= partitions are replaced on (re)write
+    # only the touched bucket= partitions are replaced on (re)write;
+    # session conf restored on exit — leaving dynamic mode on would
+    # change unrelated writers' overwrite semantics
+    prev_overwrite_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     n_processed = 0
+    try:
+        _run_groups(
+            spark, ckpt, groups, pending, bucket_of_url, run_id, n_buckets,
+            cfg, fail_buckets, spread, out_root,
+        )
+        n_processed = sum(len(g) for g in groups)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_overwrite_mode
+        )
+
+    return {
+        "run_id": run_id,
+        "buckets_processed": n_processed,
+        # buckets with a prior 'done' checkpoint row — NOT n_buckets −
+        # pending (that would count never-populated buckets as skipped)
+        "buckets_skipped": n_done_prior,
+    }
+
+
+def _run_groups(
+    spark, ckpt, groups, pending, bucket_of_url, run_id, n_buckets,
+    cfg, fail_buckets, spread, out_root,
+) -> None:
     for group in groups:
         gdf = pending.where(F.col("bucket").isin([int(b) for b in group]))
         if spread:
@@ -161,6 +203,10 @@ def run_extract_job(
             )
             metric_rows = out.where(F.col("engine") == "_metrics").collect()
             stats = CheckpointStore.parse_metrics_rows(metric_rows)
+            # group-granular wall: metrics are per task partition and a
+            # partition mixes buckets under spread/grouping, so the
+            # finest honest attribution is the GROUP's critical-path
+            # wall, recorded on every bucket row of the group
             wall_ms = max((s["wall_ms"] for s in stats), default=0)
             per_bucket = (
                 data_rows.withColumn("bucket", bucket_of_url)
@@ -187,21 +233,15 @@ def run_extract_job(
                         "wall_ms": wall_ms,
                     }
                     for r in per_bucket
-                ]
+                ],
+                n_buckets,
             )
-            n_processed += len(group)
         finally:
             out.unpersist()
         if fail_buckets and set(group) & set(fail_buckets):
             raise RuntimeError(
                 f"injected failure after group containing {sorted(set(group) & set(fail_buckets))}"
             )
-
-    return {
-        "run_id": run_id,
-        "buckets_processed": n_processed,
-        "buckets_skipped": n_buckets - len(pending_buckets),
-    }
 
 
 def read_extracted(spark: SparkSession, out_root: str) -> DataFrame:

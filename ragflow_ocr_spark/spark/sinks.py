@@ -23,13 +23,20 @@ def write_json(extracted: DataFrame, path: str, partitions: int | None = None) -
 
 
 def write_text(extracted: DataFrame, path: str) -> None:
-    """Debug sink: 'url<TAB>n_blocks<TAB>text with newlines escaped'."""
+    """Debug sink: 'url<TAB>n_blocks<TAB>text' with backslash, tab,
+    and newline escaped (in that order — backslash first, so '\\n' in
+    source text stays distinguishable from an escaped newline and the
+    3-column format is unambiguous)."""
+    body = F.coalesce(F.col("extracted_text"), F.lit(""))
+    body = F.regexp_replace(body, "\\\\", "\\\\\\\\")
+    body = F.regexp_replace(body, "\t", "\\\\t")
+    body = F.regexp_replace(body, "\n", "\\\\n")
     lines = extracted.select(
         F.concat_ws(
             "\t",
             F.col("url"),
             F.col("n_blocks").cast("string"),
-            F.regexp_replace(F.coalesce(F.col("extracted_text"), F.lit("")), "\n", "\\\\n"),
+            body,
         ).alias("value")
     )
     lines.write.mode("overwrite").text(path)

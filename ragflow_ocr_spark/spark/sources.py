@@ -12,7 +12,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-IMAGE_GLOB = "*.{png,PNG,jpg,jpeg,JPG,bmp,tiff}"
+IMAGE_GLOB = (
+    "*.{png,PNG,jpg,JPG,jpeg,JPEG,bmp,BMP,tif,TIF,tiff,TIFF}"
+)  # reference glob set (examples/batch_processing.py:28) + common casings
 
 
 def read_image_dir(

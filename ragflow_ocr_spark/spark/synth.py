@@ -155,7 +155,7 @@ def _make_image_png(rng: np.random.Generator) -> tuple[bytes, str]:
     # canvas sized to content (multiple of 32, capped at 960) — page
     # images in the wild aren't uniformly huge, and det cost ∝ pixels
     needed = max(
-        (sum(6 if c == " " else 6 for c in ln) * 2 for ln in lines), default=64
+        (sum(font5x7.SPACE_ADVANCE if c == " " else font5x7.ADVANCE for c in ln) * 2 for ln in lines), default=64
     )
     width = min(960, max(128, ((needed + 2 * 24 + 31) // 32) * 32))
     img, drawn = font5x7.render_page(lines, width=width, height=height, scale=2)
@@ -185,6 +185,14 @@ def _make_null_invalid(rng: np.random.Generator, row_id: int) -> tuple[bytes | N
 
 
 def row_class(row_id: int) -> str:
+    # KNOWN QUIRK, kept deliberately: this draws from the stream
+    # _rng(2·row_id+1), which is also make_row(2·row_id+1)'s stream —
+    # so class(r) and row 2r+1's first attribute draw share bits.
+    # Harmless for this corpus's uses (each row's OWN class and
+    # attributes stay independent; nothing stratifies across rows),
+    # and changing the seed now would re-pin every golden and reset
+    # the bench-corpus history. A future corpus v2 should namespace
+    # the seed (e.g. SeedSequence([SEED, row_id, 1])).
     u = float(_rng(row_id * 2 + 1).random())
     for edge, name in _CLASS_EDGES:
         if u < edge:

@@ -36,13 +36,13 @@ def test_resume_after_injected_failure(spark, pages, tmp_path):
         )
 
     ckpt = CheckpointStore(spark, root)
-    done_after_crash = {r["bucket"] for r in ckpt.done_buckets().collect()}
+    done_after_crash = {r["bucket"] for r in ckpt.done_buckets(N_BUCKETS).collect()}
     assert len(done_after_crash) == 2  # two buckets committed before the crash
 
     # run 2: resumes — processes only the remaining buckets
     summary = run_extract_job(spark, pages, root, n_buckets=N_BUCKETS)
     assert summary["buckets_processed"] + len(done_after_crash) >= len(
-        {r["bucket"] for r in ckpt.done_buckets().collect()}
+        {r["bucket"] for r in ckpt.done_buckets(N_BUCKETS).collect()}
     )
 
     out = read_extracted(spark, root)
@@ -83,7 +83,7 @@ def test_resume_group_mode(spark, pages, tmp_path):
             fail_buckets={all_buckets[0]}, bucket_group_size=2,
         )
     ckpt = CheckpointStore(spark, root)
-    done = {r["bucket"] for r in ckpt.done_buckets().collect()}
+    done = {r["bucket"] for r in ckpt.done_buckets(N_BUCKETS).collect()}
     assert done == set(all_buckets[:2])
 
     summary = run_extract_job(
@@ -94,3 +94,40 @@ def test_resume_group_mode(spark, pages, tmp_path):
     out = read_extracted(spark, root)
     urls = [r["url"] for r in out.select("url").collect()]
     assert len(urls) == N_ROWS and len(set(urls)) == N_ROWS
+
+
+def test_resume_with_different_n_buckets_is_refused(spark, pages, tmp_path):
+    """Bucket ids are relative to n_buckets: resuming under a different
+    numbering would anti-join the wrong url sets out (silent row loss)
+    and mix incompatible extracted/bucket= partitions — must raise."""
+    root = str(tmp_path / "job")
+    run_extract_job(spark, pages, root, n_buckets=N_BUCKETS)
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_extract_job(spark, pages, root, n_buckets=N_BUCKETS * 2)
+    # same numbering still resumes cleanly (everything already done)
+    summary = run_extract_job(spark, pages, root, n_buckets=N_BUCKETS)
+    assert summary["buckets_processed"] == 0
+    assert summary["buckets_skipped"] > 0
+
+
+def test_job_restores_partition_overwrite_mode(spark, pages, tmp_path):
+    """run_extract_job must not leak partitionOverwriteMode=dynamic
+    into the shared session (it changes unrelated writers' overwrite
+    semantics)."""
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    run_extract_job(spark, pages, str(tmp_path / "job2"), n_buckets=N_BUCKETS)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        == before
+    )
+
+
+def test_buckets_skipped_counts_prior_done_only(spark, pages, tmp_path):
+    """A fresh run must report 0 skipped even when n_buckets exceeds
+    the number of populated buckets (empty != done)."""
+    root = str(tmp_path / "job3")
+    s1 = run_extract_job(spark, pages, root, n_buckets=64)  # > distinct buckets
+    assert s1["buckets_skipped"] == 0
+    s2 = run_extract_job(spark, pages, root, n_buckets=64)
+    assert s2["buckets_skipped"] == s1["buckets_processed"]
+    assert s2["buckets_processed"] == 0
