@@ -44,8 +44,11 @@ class OCRConfig:
     # DBPostProcess mode switches (ocr/ocr.py:272-273, postprocess.py:52-64)
     det_box_type: str = "quad"        # 'quad' | 'poly'
     det_score_mode: str = "fast"      # 'fast' | 'slow'
-    # recognition (ocr/config.py:39-40, ocr/ocr.py:150-151)
+    # recognition (ocr/config.py:39-40, ocr/ocr.py:150-151) —
+    # rec_image_shape is [3, 48, 320]; the width seeds each
+    # micro-batch's max_wh_ratio at 320/48 (ocr/ocr.py:211)
     rec_image_height: int = 48
+    rec_image_width: int = 320
     rec_batch_num: int = 16
     # final line filter (ocr/config.py:31, ocr/ocr.py:566-571)
     drop_score: float = 0.5

@@ -2,8 +2,10 @@
 
 - ``get_rotate_crop_image`` — semantics of the reference function of
   the same name (``/root/reference/ocr/ocr.py:411-440``): 4-point
-  perspective warp to a rectangle sized by the quad's edge norms; if
-  the result is very tall (h/w ≥ 1.5) rotate 90°.
+  perspective warp to a rectangle sized by the quad's edge norms. The
+  reference handles tall results (h/w ≥ 1.5) ONLY via the probe below
+  (inlined there at ``ocr.py:443-464``) — there is no unconditional
+  rotate; the caller composes crop + probe to the same effect.
 - ``rotation_probe`` — the reference's best-of-three-rotations trick
   for tall crops (``/root/reference/ocr/ocr.py:441-464``), including
   its quirk: the counter-clockwise branch updates best_img on a win
@@ -47,11 +49,7 @@ def get_rotate_crop_image(img: np.ndarray, points: np.ndarray) -> np.ndarray:
         dtype=np.float64,
     )
     m = perspective_matrix(pts, dst)
-    crop = warp_perspective(img, m, img_crop_width, img_crop_height)
-    h, w = crop.shape[:2]
-    if h * 1.0 / max(w, 1) >= 1.5:
-        crop = np.rot90(crop)  # ocr/ocr.py:437-438
-    return crop
+    return warp_perspective(img, m, img_crop_width, img_crop_height)
 
 
 def rotation_probe(

@@ -40,9 +40,16 @@ def _codec_errors(fn):
     def inner(data: bytes) -> np.ndarray:
         try:
             return fn(data)
-        except (struct.error, IndexError, KeyError, ZeroDivisionError) as e:
+        except (
+            struct.error,
+            IndexError,
+            KeyError,
+            ZeroDivisionError,
+            OverflowError,
+        ) as e:
             # KeyError: scan/frame referencing an undefined DQT/DHT table
-            # or component id; ZeroDivisionError: zero sampling factor
+            # or component id; ZeroDivisionError: zero sampling factor;
+            # OverflowError: crafted coefficients exceeding int32
             raise ValueError(f"malformed input: {e!r}") from e
 
     return inner
@@ -438,6 +445,8 @@ def _decode_block(
     ln = dcl[peek]
     if ln == 0:
         raise ValueError("bad JPEG huffman code")
+    if t > 11:  # baseline DC categories are 0..11; a crafted DHT can
+        raise ValueError("bad JPEG DC category")  # overflow int32 preds
     pos += ln
     if t:
         b = pos >> 3
@@ -543,8 +552,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     h, w, nc = frame
     if not (0 < h and 0 < w and h * w <= MAX_DECODE_PIXELS):
         raise ValueError("bad JPEG dimensions")
+    # baseline limits (ITU T.81 B.2.2/B.2.3): ≤4 components per scan,
+    # Σ(h·v) ≤ 10 per MCU. Without these caps a ~1 KB header declaring
+    # 255 components × 4×4 sampling allocates tens of GB of
+    # coefficient arrays before decoding a single MCU.
+    if not (1 <= nc <= 4) or len(comps) != nc:
+        raise ValueError("bad JPEG component count")
     if any(not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4) for c in comps):
         raise ValueError("bad JPEG sampling factors")
+    if sum(c["h"] * c["v"] for c in comps) > 10:
+        raise ValueError("bad JPEG sampling product")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
@@ -592,6 +609,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         buf, bit_pos, coefs[c["n"]], dcv, dcl, acv, acl, c["pred"]
                     )
                     c["n"] += 1
+            if bit_pos > br.nbits_total:
+                # ran into the 1-padding: the stream is shorter than the
+                # declared MCU count — truncated file. Without this
+                # check the padding decodes to near-zero blocks and a
+                # mostly-gray image would return status 'ok'.
+                raise ValueError("truncated JPEG entropy stream")
             mcu_count += 1
 
     planes = []

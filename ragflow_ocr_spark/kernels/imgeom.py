@@ -346,7 +346,11 @@ def unclip_poly(poly: np.ndarray, ratio: float) -> np.ndarray:
             t = np.linalg.solve(a, b)
             out[i] = p1 + t[0] * d1
         except np.linalg.LinAlgError:
-            out[i] = q[i]
+            # collinear consecutive edges (parallel offset lines, e.g.
+            # at a DP anchor vertex): offset the vertex along its own
+            # edge's line rather than leaving it un-offset — the
+            # original point would dent the expanded polygon inward
+            out[i] = p2
     return out
 
 
@@ -506,20 +510,28 @@ def poly_mask_mean(prob: np.ndarray, poly: np.ndarray) -> float:
 # --------------------------------------------------------- clip / order
 def order_points_clockwise(pts: np.ndarray) -> np.ndarray:
     """TL,TR,BR,BL via sum/diff heuristic — exact semantics of the
-    reference (``/root/reference/ocr/ocr.py:290-299``)."""
+    reference (``/root/reference/ocr/ocr.py:290-299``): the sum
+    extremes are REMOVED (np.delete) before the diff pick, so TR/BL
+    come from the remaining two points — picking the diff extremes
+    over all four can duplicate a corner for ~45°-rotated boxes
+    (degenerate quad → dropped line, or a singular warp matrix)."""
     s = pts.sum(axis=1)
-    tl = pts[np.argmin(s)]
-    br = pts[np.argmax(s)]
-    d = np.diff(pts, axis=1).ravel()
-    tr = pts[np.argmin(d)]
-    bl = pts[np.argmax(d)]
+    i_tl, i_br = int(np.argmin(s)), int(np.argmax(s))
+    tl = pts[i_tl]
+    br = pts[i_br]
+    rest = np.delete(pts, (i_tl, i_br), axis=0)
+    d = np.diff(rest, axis=1).ravel()
+    tr = rest[np.argmin(d)]
+    bl = rest[np.argmax(d)]
     return np.array([tl, tr, br, bl], dtype=pts.dtype)
 
 
 def clip_quad(pts: np.ndarray, h: int, w: int) -> np.ndarray:
-    """Clamp quad into [0, w-1] × [0, h-1]
-    (``/root/reference/ocr/ocr.py:301-305``)."""
+    """Clamp quad into [0, w-1] × [0, h-1] with int() TRUNCATION, not
+    rounding — ``int(min(max(p, 0), w-1))`` verbatim
+    (``/root/reference/ocr/ocr.py:301-305``); a .6 coordinate floors,
+    which feeds the ≤3 px degenerate filter differently than round."""
     out = pts.copy()
-    out[:, 0] = np.clip(np.round(out[:, 0]), 0, w - 1)
-    out[:, 1] = np.clip(np.round(out[:, 1]), 0, h - 1)
+    out[:, 0] = np.trunc(np.clip(out[:, 0], 0, w - 1))
+    out[:, 1] = np.trunc(np.clip(out[:, 1], 0, h - 1))
     return out

@@ -81,11 +81,12 @@ def resize_norm_img(
     """Rec crop → (3, rec_h, W) float32 in [-1,1], zero-padded right.
 
     Semantics of ``TextRecognizer.resize_norm_img``
-    (``/root/reference/ocr/ocr.py:161-185``): W = ceil(rec_h ·
-    max_wh_ratio); resize to h=rec_h, w=min(ceil(rec_h·ar), W);
-    normalize /255 → −0.5 → /0.5; pad right with zeros.
+    (``/root/reference/ocr/ocr.py:161-185``): W = int(rec_h ·
+    max_wh_ratio) — TRUNCATED, not ceil (``ocr.py:166``); resize to
+    h=rec_h, w=min(ceil(rec_h·ar), W); normalize /255 → −0.5 → /0.5;
+    pad right with zeros.
     """
-    img_w = int(math.ceil(rec_h * max_wh_ratio))
+    img_w = int(rec_h * max_wh_ratio)
     h, w = img.shape[:2]
     ratio = w / float(h)
     resized_w = img_w if math.ceil(rec_h * ratio) > img_w else int(
@@ -121,8 +122,10 @@ def recognize_crops(
     net = get_rec_net()
     for beg in range(0, n, cfg.rec_batch_num):
         end = min(n, beg + cfg.rec_batch_num)
-        # per-micro-batch pad width — bytes-affecting, kept verbatim
-        max_wh_ratio = rec_h * 1.0 / rec_h  # == 1.0 base like w/h of square
+        # per-micro-batch pad width seeded at imgW/imgH = 320/48 — the
+        # reference floor (``ocr.py:211``): narrow batches still pad to
+        # the model's native width. Bytes-affecting; kept verbatim.
+        max_wh_ratio = cfg.rec_image_width * 1.0 / rec_h
         for k in range(beg, end):
             max_wh_ratio = max(max_wh_ratio, ratios[indices[k]])
         batch = np.stack(

@@ -16,6 +16,8 @@ import zlib
 import numpy as np
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# same untrusted-payload ceiling as kernels/imgcodecs.py (64 MPix)
+MAX_DECODE_PIXELS = 1 << 26
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -123,9 +125,23 @@ def decode_png(data: bytes) -> np.ndarray:
     if bit_depth != 8 or color_type not in (0, 2):
         raise ValueError(f"unsupported PNG (depth={bit_depth}, color={color_type})")
     channels = 1 if color_type == 0 else 3
+    # decompression-bomb guard (untrusted crawl payloads): validate the
+    # declared pixel count BEFORE inflating, and bound the inflate to
+    # exactly the expected bytes — a ~1 MB PNG declaring 30000×30000
+    # would otherwise allocate GBs inside zlib before any size check
+    if width == 0 or height == 0 or width * height > MAX_DECODE_PIXELS:
+        raise ValueError("bad PNG dimensions")
     stride = width * channels
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if raw.size != height * (stride + 1):
+    expected = height * (stride + 1)
+    d = zlib.decompressobj()
+    try:
+        inflated = d.decompress(bytes(idat), expected)
+    except zlib.error as e:
+        raise ValueError(f"bad PNG deflate stream: {e}") from e
+    if d.unconsumed_tail or not d.eof:
+        raise ValueError("bad PNG payload size")
+    raw = np.frombuffer(inflated, dtype=np.uint8)
+    if raw.size != expected:
         raise ValueError("bad PNG payload size")
     raw = raw.reshape(height, stride + 1)
     # Fast path: no filtering anywhere (our own encoder's output).

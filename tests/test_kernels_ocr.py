@@ -113,12 +113,15 @@ def test_sorted_boxes_quirk_single_pass_break():
 
 
 # ------------------------------------------------------------------ crop
-def test_crop_tall_rotated():
+def test_crop_preserves_tall_orientation_for_probe():
+    """The crop itself must NOT rotate tall results — the reference
+    handles h/w >= 1.5 only via the recognition-scored rotation probe
+    (ocr/ocr.py:443-464); an unconditional rot90 here would make the
+    probe a no-op (ratio < 1.5 on arrival) and always pick ccw."""
     img = np.zeros((100, 100), dtype=np.uint8)
     pts = np.array([[10, 10], [20, 10], [20, 60], [10, 60]], float)
     crop = get_rotate_crop_image(img, pts)
-    # 10x50 quad -> h/w >= 1.5 -> rotated to 50x10
-    assert crop.shape[0] < crop.shape[1]
+    assert crop.shape[0] > crop.shape[1]  # stays 50x10, probe-eligible
 
 
 def test_rotation_probe_quirk_ccw_no_score_update():
