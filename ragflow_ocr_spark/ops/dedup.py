@@ -21,13 +21,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ragflow_ocr_spark.ops._tables import read_fanout
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # test corpus is a single parquet file → one input split; fan out
-    # before the compute-heavy shingle/hash derivations (at real scale
-    # the scan has thousands of splits and this is a no-op-sized cost)
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    return read_fanout(spark, sf_dir, "documents")
 
 
 # ------------------------------------------------------------ exact dedup
@@ -55,7 +53,7 @@ FROM documents GROUP BY 1
 
 
 # ------------------------------------------------- word-3-gram shingles
-def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle table, deliberately NOT ``.cache()``d even though the
     minhash query scans it 3×: the explode is cheap and fuses into the
     downstream aggregates under whole-stage codegen, while a cached
@@ -95,7 +93,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join counts the intersection; |A∪B| = |A|+|B|−|A∩B|. The
     shingle join key is high-cardinality → well-distributed shuffle.
     """
-    sh = _shingles_cached(spark, sf_dir)
+    sh = _shingles_df(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -137,13 +135,17 @@ WITH sh AS (
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
-SELECT id_a, id_b, n_common,
-       ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+SELECT id_a, id_b, n_common, jaccard FROM (
+  SELECT id_a, id_b, n_common,
+         ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b)
+WHERE jaccard >= 0.5
 """
+# the oracle thresholds the ROUNDED value because the Spark side does —
+# raw-ratio filtering would diverge for J in [0.4999995, 0.5) on
+# million-shingle documents
 
 
 # ------------------------------------------------------------ MinHash+LSH
@@ -160,7 +162,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard SQL — valid because verified candidates are exact
     and band recall at the threshold is ≈1 (miss prob < 1e-8).
     """
-    sh = _shingles_cached(spark, sf_dir)
+    sh = _shingles_df(spark, sf_dir)
     # K permutation-free minhashes as K plain agg columns — each
     # min() gets map-side partial aggregation and whole-stage codegen;
     # the array+element_at formulation is ~40× slower (measured).
@@ -175,7 +177,6 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # affect recall, never output correctness of surfaced pairs.
     hashed = sh.select("doc_id", F.xxhash64(F.col("shingle")).alias("h1"))
     sig = hashed.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_sh"),
         *[
             F.min(F.xxhash64(F.col("h1"), F.lit(i))).alias(f"h{i}")
             for i in range(N_HASHES)
@@ -213,7 +214,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # exact verification of candidates only (shingle df reused from cache)
+    # exact verification of candidates only (shingles recomputed from
+    # lineage — deliberately uncached, see _shingles_df)
     sh_a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
     inter = (

@@ -165,7 +165,12 @@ def thumbnail_stage(max_side: int = 16):
                     h, w = img.shape[:2]
                     r = max_side / max(h, w)
                     th, tw = max(1, int(h * r)), max(1, int(w * r))
-                    thumb = resize_bilinear(img, th, tw).astype(np.uint8)
+                    # round-half-up like cv2, NOT truncate: fp noise
+                    # (2.9999997) and .5 interpolation midpoints would
+                    # otherwise all shift a full level down
+                    thumb = np.floor(
+                        resize_bilinear(img, th, tw) + 0.5
+                    ).astype(np.uint8)
                     rows.append(
                         (int(mid), pngcodec.encode_png(thumb), tw, th, "ok")
                     )
@@ -232,7 +237,14 @@ def thumbnail_luma_stage():
                 if status != "ok" or thumb is None:
                     rows.append((int(mid), 0, 0, 0.0, str(status)))
                     continue
-                img = pngcodec.decode_png(bytes(thumb))
+                try:
+                    img = pngcodec.decode_png(bytes(thumb))
+                except ValueError:
+                    # bit-rot / producer bug in intermediate bytes →
+                    # per-row error, never a task failure (the contract
+                    # every other stage in this module honors)
+                    rows.append((int(mid), 0, 0, 0.0, "error:decode"))
+                    continue
                 # round(3): bilinear of a constant image is constant to
                 # ~1e-12 (per-pixel rounding), so 3 decimals are exact
                 rows.append(

@@ -16,6 +16,8 @@ embedding ARRAY<FLOAT>, label INT).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ragflow_ocr_spark.ops._tables import read_fanout
 from pyspark.sql.window import Window
 
 N_QUERIES = 10  # vec_id < 10 are the query set
@@ -23,9 +25,7 @@ TOP_K = 5
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    # single-file test input → fan out (see ops/dedup.py)
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    return read_fanout(spark, sf_dir, "embeddings")
 
 
 def _dot(a: Column, b: Column) -> Column:

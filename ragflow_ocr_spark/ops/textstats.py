@@ -7,13 +7,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ragflow_ocr_spark.ops._tables import read_fanout
+
 _STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # single-file test input → fan out (see ops/dedup.py)
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    return read_fanout(spark, sf_dir, "documents")
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from ragflow_ocr_spark.ops._tables import read_fanout
+
 _RAW_URL_SQL = """
     CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END
     || source || '.example.com/article/' || CAST(doc_id % 100 AS VARCHAR)
@@ -68,10 +70,7 @@ _CANON_SQL = r"""
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    return read_fanout(spark, sf_dir, "documents")
 
 
 def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:

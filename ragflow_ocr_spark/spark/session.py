@@ -44,6 +44,10 @@ def get_spark(
         # Parquet scans: pushdown + pruning stay on (defaults, pinned
         # so a misconfigured cluster can't silently disable them).
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Pin the session clock: TIMESTAMP_NTZ→LTZ casts (unix_micros
+        # paths) otherwise inherit the host JVM zone, where DST gaps
+        # would shift gap/window arithmetic vs the naive-clock oracles.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
