@@ -64,6 +64,7 @@ HEADLINE = [
     "domain_profile",
     "exists_high_qty",
     "sample_split",
+    "char_entropy",
     "html_extract_docs",
     "ocr_extract_docs",
 ]

@@ -191,11 +191,22 @@ AUDIO_FEATURES_SCHEMA = (
 
 def audio_features_stage():
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ragflow_ocr_spark.kernels import wavcodec
+
         for b in batches:
             rows = []
             for mid, payload in zip(b["media_id"], b["payload"]):
                 try:
-                    pcm = np.frombuffer(bytes(payload), dtype="<i2").astype(np.float64)
+                    raw = bytes(payload)
+                    if raw.startswith(wavcodec.WAV_MAGIC):
+                        # real container route: RIFF/PCM16 (multi-channel
+                        # is mixed down to mono for the features)
+                        samples, _sr = wavcodec.decode_wav(raw)
+                        if samples.ndim == 2:
+                            samples = samples.mean(axis=1)
+                        pcm = samples.astype(np.float64)
+                    else:
+                        pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64)
                     pcm /= 32768.0
                     zc = int(np.count_nonzero(np.diff(np.signbit(pcm))))
                     rows.append(

@@ -253,8 +253,65 @@ ORDER BY n DESC, bigram LIMIT {TOP_NGRAMS_K}
 """
 
 
+# ------------------------------------------------------- char entropy
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-unigram Shannon entropy — the classic
+    gibberish/boilerplate signal (low entropy = repeated filler, high =
+    random bytes; natural language sits in a band).
+
+    Fully relational: explode positions → substr chars → two
+    aggregations (char counts, then −Σ p·log2 p per doc). The explode
+    multiplies rows by document length, but both aggregations combine
+    map-side, so the shuffle carries |distinct chars per doc| rows —
+    bounded by the alphabet, not by text length. Entropy is ROUND(6):
+    the unordered float sum differs between engines only at ~1e-15."""
+    d = _docs(spark, sf_dir)
+    chars = (
+        d.where(F.length("text") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+            "text",
+        )
+        .select("doc_id", "lang", F.expr("substring(text, i, 1)").alias("ch"))
+    )
+    counts = chars.groupBy("doc_id", "lang", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        counts.join(totals, "doc_id")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.max("n").cast("long").alias("n_ch"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"),
+        )
+    )
+
+
+ORACLE_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, lang, substr(text, CAST(i AS INTEGER), 1) AS ch
+  FROM documents, UNNEST(RANGE(1, LENGTH(text) + 1)) AS t(i)
+  WHERE text IS NOT NULL AND LENGTH(text) > 0
+), cnt AS (
+  SELECT doc_id, lang, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2, 3
+), tot AS (
+  SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY 1
+)
+SELECT doc_id, lang, CAST(MAX(n) AS BIGINT) AS n_ch,
+       ROUND(-SUM((c / CAST(n AS DOUBLE)) * LOG2(c / CAST(n AS DOUBLE))), 6)
+         AS entropy
+FROM cnt JOIN tot USING (doc_id)
+GROUP BY doc_id, lang
+"""
+
+
 QUERIES = {
     "text_quality": (q_text_quality, ORACLE_QUALITY),
+    "char_entropy": (q_char_entropy, ORACLE_ENTROPY),
     "lang_id": (q_lang_id, ORACLE_LANG),
     "token_count_bpe": (q_token_count_bpe, ORACLE_BPE),
     "fingerprint": (q_fingerprint, ORACLE_FP),

@@ -14,8 +14,8 @@ def test_registry_shape():
     # every query callable, every oracle non-empty SQL
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in oracles.values())
-    # coverage floor (grow-only): 44 queries, all but one oracle-checked
-    assert len(qs) >= 44
+    # coverage floor (grow-only): 45 queries, all but one oracle-checked
+    assert len(qs) >= 45
     assert len(qs) - len(oracles) <= 1
     # rows-only exceptions must stay exactly the documented set
     assert set(qs) - set(oracles) == {"extract_synthetic_pages"}

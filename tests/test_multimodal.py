@@ -128,3 +128,34 @@ def test_contract_queries_match_analytic_truth(spark):
     for r in rows:
         assert (r["thumb_w"], r["thumb_h"]) == (16, 12)
         assert r["mean_luma"] == float((r["media_id"] * 5 + 7) % 256)
+
+
+def test_audio_stage_decodes_wav_container(spark):
+    """A WAV-wrapped payload must produce the same features as the
+    identical raw PCM payload — the container route is real, not a
+    stub (kernels/wavcodec.py)."""
+    import numpy as np
+
+    from ragflow_ocr_spark.kernels import wavcodec
+    from ragflow_ocr_spark.ops import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    pcm_bytes = mm.make_audio_payload(rng)
+    pcm = np.frombuffer(pcm_bytes, dtype="<i2")
+    rows = [
+        (0, "audio", bytearray(pcm_bytes), "pcm_s16le", 0, 0, 16000),
+        (1, "audio", bytearray(wavcodec.encode_wav(pcm)), "wav", 0, 0, 16000),
+        (2, "audio", bytearray(b"RIFF1234WAVEjunk"), "wav", 0, 0, 16000),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r
+        for r in df.mapInPandas(
+            mm.audio_features_stage(), schema=mm.AUDIO_FEATURES_SCHEMA
+        ).collect()
+    }
+    assert out[0]["status"] == out[1]["status"] == "ok"
+    assert out[0]["rms"] == out[1]["rms"]
+    assert out[0]["zero_crossings"] == out[1]["zero_crossings"]
+    assert out[0]["n_samples"] == out[1]["n_samples"]
+    assert out[2]["status"] == "error"  # malformed WAV -> error row

@@ -102,6 +102,10 @@ CHECKS = {
         (r"HashAggregate", "hash-bucket split rollup with map-side combine"),
         (r"!Sample", "no RNG Sample operator — determinism comes from md5 buckets"),
     ],
+    "char_entropy": [
+        (r"HashAggregate", "two-phase char-count + entropy aggregations (map-side combine)"),
+        (r"explode\(sequence", "position explode feeding substr"),
+    ],
     "exists_high_qty": [
         (r"Join LeftSemi", "correlated EXISTS decorrelated to a left-semi join"),
         (r"PushedFilters: \[.*l_quantity", "subquery predicate pushed to the lineitem scan"),
