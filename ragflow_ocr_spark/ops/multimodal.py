@@ -2,15 +2,15 @@
 metadata, processed by iterator ``mapInPandas`` stages.
 
 Container/codec reality in this sandbox (no PIL/cv2/ffmpeg):
-- **image**: PNG decodes for real (kernels/pngcodec); JPEG/WEBP raise
-  at the decode seam and surface as per-row ``error:unsupported_codec``
-  — the production build swaps the decoder, nothing else changes.
-- **audio**: raw PCM s16le payloads (deterministic synth) — RMS /
-  zero-crossing / peak features are real numpy.
-- **video**: a deterministic frame container (``MOCKV1``: magic +
-  frame count + length-prefixed PNG frames). Frame sampling, decode,
-  and per-frame features are real; only the container format is the
-  stand-in for mp4 demuxing.
+- **image**: PNG, baseline JPEG, BMP, and uncompressed TIFF all decode
+  for real (kernels/pngcodec + kernels/imgcodecs); genuinely unbundled
+  codecs (webp, ...) surface as per-row ``error:unsupported_codec`` —
+  the production build swaps the decoder, nothing else changes.
+- **audio**: raw PCM s16le payloads AND real RIFF/WAV PCM16 containers
+  (kernels/wavcodec) — RMS / zero-crossing / peak features are real.
+- **video**: MOCKV1 (deterministic synth container) and real RIFF
+  AVI/MJPEG — frame sampling, JPEG/PNG frame decode, and per-frame
+  features are real; only mp4/webm demuxing remains a stand-in.
 
 Every stage is init-once-per-worker, Arrow-batched, and returns typed
 columns — the schema/partitioning/batch-shape plumbing the 100 TB
@@ -93,14 +93,72 @@ def media_df(spark, n_rows: int = 60, partitions: int = 4):
 def decode_image(payload: bytes, codec: str) -> np.ndarray:
     """The codec seam. PNG is real; everything else raises — callers
     convert to per-row error status (never a task failure)."""
-    if codec == "png" or pngcodec.sniff_payload(payload) == "png":
+    kind = pngcodec.sniff_payload(payload)
+    if codec == "png" or kind == "png":
         return pngcodec.decode_png(payload)
+    if kind in ("jpeg", "bmp", "tiff"):
+        from ragflow_ocr_spark.kernels import imgcodecs
+
+        return {
+            "jpeg": imgcodecs.decode_jpeg,
+            "bmp": imgcodecs.decode_bmp,
+            "tiff": imgcodecs.decode_tiff,
+        }[kind](payload)
     raise NotImplementedError(f"decoder for {codec!r} not bundled in this sandbox")
 
 
+def _decode_frame(frame: bytes) -> "np.ndarray":
+    """Frame bytes → image; frames are PNG (MOCKV1) or JPEG (AVI)."""
+    if frame.startswith(b"\xff\xd8"):
+        from ragflow_ocr_spark.kernels import imgcodecs
+
+        return imgcodecs.decode_jpeg(frame)
+    return pngcodec.decode_png(frame)
+
+
+def encode_avi_mjpeg(frames_jpeg: list[bytes]) -> bytes:
+    """Minimal MJPEG AVI: RIFF('AVI ') + LIST('movi') of '00dc' JPEG
+    chunks (word-aligned). Real MJPEG AVIs carry hdrl/idx1 chunks too —
+    the reader below skips unknown chunks, so those files parse as
+    well; this writer emits only what the frame path needs."""
+    movi = bytearray(b"movi")
+    for fr in frames_jpeg:
+        movi += b"00dc" + struct.pack("<I", len(fr)) + fr
+        if len(fr) & 1:
+            movi += b"\x00"
+    body = b"LIST" + struct.pack("<I", len(movi)) + bytes(movi)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def _iter_avi_frames(payload: bytes) -> Iterator[bytes]:
+    """Yield video-stream ('NNdc'/'NNdb') chunk payloads from a RIFF
+    AVI, skipping hdrl/idx1/junk; recurses into LIST chunks."""
+    pos = 12  # past RIFF....AVI_
+
+    def walk(lo: int, hi: int) -> Iterator[bytes]:
+        p = lo
+        while p + 8 <= hi:
+            tag = payload[p : p + 4]
+            (ln,) = struct.unpack_from("<I", payload, p + 4)
+            if p + 8 + ln > hi:
+                raise ValueError("truncated AVI chunk")
+            if tag == b"LIST":
+                yield from walk(p + 12, p + 8 + ln)
+            elif tag[2:4] in (b"dc", b"db") and tag[:2].isdigit():
+                yield payload[p + 8 : p + 8 + ln]
+            p += 8 + ln + (ln & 1)
+
+    yield from walk(pos, len(payload))
+
+
 def iter_video_frames(payload: bytes) -> Iterator[bytes]:
+    """MOCKV1 (deterministic synth) or RIFF AVI/MJPEG (real container
+    subset — the mp4 demux stand-in got real for the MJPEG case)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        yield from _iter_avi_frames(payload)
+        return
     if not payload.startswith(VIDEO_MAGIC):
-        raise ValueError("not a MOCKV1 container")
+        raise ValueError("not a MOCKV1/AVI container")
     (n,) = struct.unpack_from("<I", payload, len(VIDEO_MAGIC))
     pos = len(VIDEO_MAGIC) + 4
     for _ in range(n):
@@ -284,13 +342,20 @@ def frame_sample_stage(every_k: int = 2):
             rows = []
             for mid, payload in zip(b["media_id"], b["payload"]):
                 try:
+                    n_sampled = 0
                     for idx, fr in enumerate(iter_video_frames(bytes(payload))):
                         if idx % every_k:
                             continue
-                        img = pngcodec.decode_png(fr)
+                        img = _decode_frame(fr)
                         rows.append(
                             (int(mid), idx, fr, round(float(img.mean()), 6), "ok")
                         )
+                        n_sampled += 1
+                    if n_sampled == 0:
+                        # container parsed but held no video chunks
+                        # (e.g. header-only AVI): a row must still
+                        # witness the input
+                        rows.append((int(mid), -1, None, 0.0, "error"))
                 except Exception:
                     rows.append((int(mid), -1, None, 0.0, "error"))
             yield pd.DataFrame(

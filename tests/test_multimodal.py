@@ -53,15 +53,35 @@ def test_image_features_truth(media, spark):
         assert out[r["media_id"]]["mean_luma"] == round(float(img.mean()), 6)
 
 
-def test_unsupported_codec_is_row_error_not_task_failure(spark):
+def test_codec_routes_are_row_errors_not_task_failures(spark):
+    """jpeg/bmp/tiff are REAL decode routes now (kernels/imgcodecs) —
+    a valid JPEG succeeds, malformed bytes become a decode-error row,
+    and a genuinely unbundled codec (webp) stays unsupported. None of
+    them may raise out of the stage."""
+    import numpy as np
+
+    from ragflow_ocr_spark.kernels import imgcodecs
+
+    good_jpeg = imgcodecs.encode_jpeg(
+        np.full((16, 24), 90, dtype=np.uint8), quality=95
+    )
     df = spark.createDataFrame(
-        [(1, "image", bytearray(b"\xff\xd8\xff\xe0jpeg"), "jpeg", 0, 0, 0)],
+        [
+            (1, "image", bytearray(good_jpeg), "jpeg", 24, 16, 0),
+            (2, "image", bytearray(b"\xff\xd8\xff\xe0jpeg"), "jpeg", 0, 0, 0),
+            (3, "image", bytearray(b"RIFFxxxxWEBPVP8 "), "webp", 0, 0, 0),
+        ],
         mm.MEDIA_SCHEMA,
     )
-    rows = df.mapInPandas(
-        mm.image_features_stage(), schema=mm.IMAGE_FEATURES_SCHEMA
-    ).collect()
-    assert rows[0]["status"] == "error:unsupported_codec"
+    rows = {
+        r["media_id"]: r
+        for r in df.mapInPandas(
+            mm.image_features_stage(), schema=mm.IMAGE_FEATURES_SCHEMA
+        ).collect()
+    }
+    assert rows[1]["status"] == "ok" and abs(rows[1]["mean_luma"] - 90) < 2
+    assert rows[2]["status"].startswith("error")
+    assert rows[3]["status"] == "error:unsupported_codec"
 
 
 def test_thumbnail_roundtrip(media, spark):
@@ -159,3 +179,53 @@ def test_audio_stage_decodes_wav_container(spark):
     assert out[0]["zero_crossings"] == out[1]["zero_crossings"]
     assert out[0]["n_samples"] == out[1]["n_samples"]
     assert out[2]["status"] == "error"  # malformed WAV -> error row
+
+
+def test_frame_stage_decodes_avi_mjpeg(spark):
+    """An MJPEG AVI payload goes through the SAME frame-sampling stage
+    as the MOCKV1 container — the video demux seam is real for the
+    RIFF/MJPEG subset (encode_avi_mjpeg writes it, real MJPEG AVIs
+    parse too since unknown chunks are skipped)."""
+    import numpy as np
+
+    from ragflow_ocr_spark.kernels import imgcodecs
+    from ragflow_ocr_spark.ops import multimodal as mm
+
+    frames = []
+    for k in range(6):
+        img = np.full((24, 32), 40 * k, dtype=np.uint8)
+        frames.append(imgcodecs.encode_jpeg(img, quality=95))
+    avi = mm.encode_avi_mjpeg(frames)
+    rows = [
+        (0, "video", bytearray(avi), "mjpeg", 32, 24, 0),
+        (1, "video", bytearray(b"RIFF\x00\x00\x00\x00AVI garbage"), "mjpeg", 0, 0, 0),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = df.mapInPandas(
+        mm.frame_sample_stage(every_k=2), schema=mm.FRAME_SAMPLE_SCHEMA
+    ).collect()
+    ok = sorted(
+        (r["frame_idx"], r["mean_luma"]) for r in out if r["media_id"] == 0
+    )
+    assert [i for i, _ in ok] == [0, 2, 4]  # every 2nd of 6 frames
+    # constant frames: JPEG round-trips the constant nearly exactly
+    for (idx, luma), want in zip(ok, (0.0, 80.0, 160.0)):
+        assert abs(luma - want) < 2.0, (idx, luma)
+    assert [r["status"] for r in out if r["media_id"] == 1] == ["error"]
+
+
+def test_avi_walker_skips_header_lists():
+    """A realistic AVI layout (hdrl LIST + junk before movi) yields
+    exactly the video chunks."""
+    import struct
+
+    from ragflow_ocr_spark.ops import multimodal as mm
+
+    fr = b"\xff\xd8FAKEJPEG"
+    hdrl = b"LIST" + struct.pack("<I", 8) + b"hdrlavih"
+    junk = b"JUNK" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    movi = b"00dc" + struct.pack("<I", len(fr)) + fr
+    movi_list = b"LIST" + struct.pack("<I", 4 + len(movi)) + b"movi" + movi
+    body = hdrl + junk + movi_list
+    avi = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+    assert list(mm.iter_video_frames(avi)) == [fr]
