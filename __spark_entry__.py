@@ -152,7 +152,7 @@ WITH s AS (
   FROM documents WHERE doc_id < {_OCR_DOC_LIMIT}
 )
 SELECT doc_id,
-       CASE WHEN sanitized = '' THEN '' ELSE sanitized END AS extracted_text,
+       sanitized AS extracted_text,
        CASE WHEN sanitized = '' THEN 0
             ELSE len(string_split(sanitized, chr(10))) END AS n_blocks,
        CASE WHEN sanitized = '' THEN 'empty' ELSE 'ok' END AS status

@@ -3,7 +3,7 @@
 
 Usage:
     spark-submit --py-files ragflow_ocr_spark.zip \
-        -m ragflow_ocr_spark.jobs.extract \
+        ragflow_ocr_spark/jobs/extract.py \
         --input  <pages parquet/Iceberg path> \
         --output <job root (extracted/ + checkpoint/ live under it)> \
         [--buckets 256] [--synthesize N]
@@ -39,6 +39,10 @@ def main(argv: list[str] | None = None) -> int:
         help="generate N deterministic synthetic pages instead of --input",
     )
     args = p.parse_args(argv)
+    # validate BEFORE paying SparkSession startup (tens of seconds on a
+    # cluster); conflicting flags are an error, not a silent preference
+    if bool(args.synthesize) == bool(args.input):
+        p.error("exactly one of --input / --synthesize is required")
 
     from ragflow_ocr_spark.spark import synth
     from ragflow_ocr_spark.spark.pipeline import run_extract_job
@@ -47,10 +51,8 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="ragflow-ocr-extract")
     if args.synthesize:
         pages = synth.pages_df(spark, args.synthesize)
-    elif args.input:
-        pages = spark.read.parquet(args.input)
     else:
-        p.error("one of --input / --synthesize is required")
+        pages = spark.read.parquet(args.input)
 
     summary = run_extract_job(
         spark,

@@ -20,6 +20,7 @@ TABLES = (
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
     from decimal import Decimal
 
     df = df.reindex(sorted(df.columns), axis=1).copy()
@@ -27,17 +28,31 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]").astype(str)
             continue
+        if pd.api.types.is_integer_dtype(df[c]):
+            # keep integers exact: float64 canonicalization would give
+            # >2^53 values (e.g. 60-bit simhashes) ~1024-ulp slack and
+            # could false-PASS a low-bit divergence
+            df[c] = df[c].astype("int64")
+            continue
         if df[c].dtype == object:
             vals = df[c].dropna()
+            if len(vals) and all(isinstance(v, int) for v in vals):
+                df[c] = df[c].map(lambda v: None if v is None else int(v))
+                continue
             if len(vals) and all(
                 isinstance(v, (int, float, Decimal)) for v in vals
             ):
                 df[c] = df[c].astype(float)
         if pd.api.types.is_numeric_dtype(df[c]):
-            # canonical numeric: float64 rounded (int64 ≤ 2^53 exact)
             df[c] = df[c].astype(float).round(9)
         elif df[c].dtype == object:
-            df[c] = df[c].map(lambda v: None if v is None else str(v))
+            # container values stringify differently per engine
+            # (ndarray '[1 2 3]' vs list '[1, 2, 3]') — canonicalize
+            df[c] = df[c].map(
+                lambda v: None
+                if v is None
+                else str(v.tolist() if isinstance(v, np.ndarray) else v)
+            )
     df = df.sort_values(by=list(df.columns), kind="stable").reset_index(drop=True)
     return df
 
@@ -56,6 +71,12 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd filter must not silently check nothing and exit 0
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        print(f"known: {sorted(qs)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
