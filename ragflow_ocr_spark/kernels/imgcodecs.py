@@ -211,6 +211,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
     h = vals(257)[0]
     if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
         raise ValueError("bad TIFF dimensions")
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError(f"TIFF too large ({w}x{h} > {MAX_DECODE_PIXELS} px)")
     comp = vals(259, [1])[0]
     if comp != 1:
         raise ValueError(f"unsupported TIFF compression {comp}")
@@ -221,12 +223,17 @@ def decode_tiff(data: bytes) -> np.ndarray:
     offs = vals(273)
     counts = vals(279, [w * h * spp])
     rows_per_strip = vals(278, [h])[0] or h
+    need = w * h * spp
     buf = bytearray()
+    # strip offsets are attacker-controlled and may alias the same file
+    # bytes; cap assembly at `need` so sum(counts) can't amplify a small
+    # payload into an unbounded buffer (per-row ValueError, never OOM)
     for o, c in zip(offs, counts):
         if o + c > len(data):
             raise ValueError("truncated TIFF strip")
-        buf += data[o : o + c]
-    need = w * h * spp
+        if len(buf) >= need:
+            break
+        buf += data[o : o + min(c, need - len(buf))]
     if len(buf) < need:
         raise ValueError("TIFF pixel data short")
     px = np.frombuffer(bytes(buf[:need]), dtype=np.uint8)

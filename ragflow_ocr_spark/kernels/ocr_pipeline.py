@@ -175,6 +175,11 @@ def ocr_image(img: np.ndarray, cfg: OCRConfig | None = None) -> OcrResult:
             kept_lines.append(text)
             kept_boxes.append(box.tolist())
             kept_scores.append(score)
+    if not kept_lines:
+        # distinct from detect-empty: boxes existed but every line fell
+        # below drop_score — downstream quality filters need to tell
+        # "blank page" from "all-low-confidence page"
+        return OcrResult("", 0, "empty:dropped", [], [])
     return OcrResult("\n".join(kept_lines), len(kept_lines), "ok", kept_boxes, kept_scores)
 
 

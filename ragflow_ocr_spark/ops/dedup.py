@@ -12,9 +12,11 @@ Scale notes:
   verified with exact Jaccard, so the output is exact (LSH recall at
   J≥0.5 with 64 bands × 2 rows ≈ 1-1e-8) and the DuckDB oracle can be
   the exact-Jaccard query;
-- SimHash uses an md5-derived 60-bit token hash (identical hex in both
-  engines) so the banded pair output is oracle-checked exactly; the
-  production build swaps in xxhash64 (same plan shape, cheaper hash).
+- SimHash has a ``hash_family`` switch: xxhash64 is the production
+  default (one JVM call per token; registered rows-only as
+  ``dedup_simhash_fast``), while the md5-derived 60-bit family
+  (identical hex in both engines) is kept for the oracle-checked
+  ``dedup_simhash`` entry. Same plan shape either way.
 """
 
 from __future__ import annotations
@@ -247,17 +249,36 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BITS = 60  # 15 hex chars of md5 → portable across Spark & DuckDB
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _token_hash(hash_family: str):
+    """60-bit token hash expression over column ``tok``.
+
+    - ``xxhash64`` (production default): one cheap JVM hash, masked to
+      60 bits. NOT DuckDB-reproducible — rows-only checked.
+    - ``md5``: 15 hex chars → conv → long; three string ops per token
+      but byte-identical in DuckDB, so the oracle run uses it.
+    """
+    if hash_family == "xxhash64":
+        return F.xxhash64(F.col("tok")).bitwiseAND(F.lit((1 << SIMHASH_BITS) - 1))
+    if hash_family == "md5":
+        return F.conv(
+            F.substring(F.md5(F.encode(F.col("tok"), "UTF-8")), 1, 15), 16, 10
+        ).cast("long")
+    raise ValueError(f"unknown simhash hash_family: {hash_family!r}")
+
+
+def q_dedup_simhash(
+    spark: SparkSession, sf_dir: str, hash_family: str = "xxhash64"
+) -> DataFrame:
     """60-bit SimHash per document + hamming-near pairs (≤ 6 bits).
 
-    Token hash = first 15 hex chars of md5 (identical in Spark and
-    DuckDB → fully oracle-checked); per-bit weighted vote; then a band
-    join on four 15-bit sub-keys (single-band buckets, the standard
-    Charikar trick — recall < 1 by construction, and the oracle mirrors
-    the banding exactly so the check is still exact). At 100 TB the
-    production build swaps md5 for xxhash64 (same plan shape, cheaper
-    hash); the vote aggregation is 60 plain agg columns → map-side
-    partial aggregation, like the minhash signatures.
+    Per-bit weighted vote; then a band join on four 15-bit sub-keys
+    (single-band buckets, the standard Charikar trick — recall < 1 by
+    construction; the md5 oracle mirrors the banding exactly so that
+    check is still exact). ``hash_family`` selects the token hash:
+    xxhash64 is the production default (one JVM call per token), md5 is
+    kept for the DuckDB oracle run (see _token_hash). The vote
+    aggregation is 60 plain agg columns → map-side partial aggregation,
+    like the minhash signatures.
     """
     d = _docs(spark, sf_dir)
     tokens = d.select(
@@ -265,18 +286,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.length("tok") > 0)
     # pre-aggregate (doc_id, tok) → count, then hash each DISTINCT
     # token occurrence once and weight the vote by the count — exact
-    # same integer votes as per-instance ±1, with ~4× fewer md5's and
+    # same integer votes as per-instance ±1, with ~4× fewer hashes and
     # a ~4× smaller input to the 60-column vote aggregation (map-side
     # combine handles the (doc_id, tok) shuffle)
     tok_counts = tokens.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).alias("c")
     )
-    h = tok_counts.withColumn(
-        "h",
-        F.conv(
-            F.substring(F.md5(F.encode(F.col("tok"), "UTF-8")), 1, 15), 16, 10
-        ).cast("long"),
-    )
+    h = tok_counts.withColumn("h", _token_hash(hash_family))
     bit_cols = [
         F.sum(
             F.when(
@@ -372,9 +388,16 @@ FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 6
 """
 
 
+def _q_dedup_simhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q_dedup_simhash(spark, sf_dir, hash_family="md5")
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, ORACLE_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_NGRAM),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_NGRAM),
-    "dedup_simhash": (q_dedup_simhash, _oracle_simhash()),
+    # oracle entry pins the md5 family (DuckDB-reproducible values);
+    # the production xxhash64 default is the rows-only _fast entry
+    "dedup_simhash": (_q_dedup_simhash_oracle, _oracle_simhash()),
+    "dedup_simhash_fast": (q_dedup_simhash, None),
 }

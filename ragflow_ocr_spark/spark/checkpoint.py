@@ -51,6 +51,12 @@ class CheckpointStore:
         t = self._table()
         if t is None:
             return self.spark.createDataFrame([], "bucket int")
+        if "n_buckets" not in t.columns:
+            raise ValueError(
+                f"checkpoint at {self.table_dir} predates the n_buckets "
+                "schema (written by an older build); resume must use a "
+                "fresh output root"
+            )
         seen = [r["n_buckets"] for r in t.select("n_buckets").distinct().collect()]
         wrong = [n for n in seen if n != n_buckets]
         if wrong:

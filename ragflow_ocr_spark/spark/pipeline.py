@@ -214,7 +214,7 @@ def _run_groups(
                 .agg(
                     F.count(F.lit(1)).alias("n_docs"),
                     F.count(F.when(F.col("status") == "ok", 1)).alias("n_ok"),
-                    F.count(F.when(F.col("status") == "empty", 1)).alias("n_empty"),
+                    F.count(F.when(F.col("status").startswith("empty"), 1)).alias("n_empty"),
                     F.count(F.when(F.col("status").startswith("error"), 1)).alias(
                         "n_error"
                     ),

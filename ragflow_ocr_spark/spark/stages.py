@@ -168,9 +168,13 @@ def recognize_stage(cfg: PipelineConfig | None = None):
                 "url": [], "warc_ts": [], "lang": [],
                 "block_id": [], "bbox": [], "text": [], "score": [],
             }
-            for _, row in pdf.iterrows():
-                payload = bytes(row["html"]) if row["html"] is not None else None
-                blocks = row["blocks"]  # ndarray via Arrow — no truthiness
+            # column zip, not iterrows: iterrows materializes a Series
+            # per row — an avoidable per-row constant at scale
+            for url, warc_ts, lang, html, blocks in zip(
+                pdf["url"], pdf["warc_ts"], pdf["lang"], pdf["html"], pdf["blocks"]
+            ):
+                payload = bytes(html) if html is not None else None
+                # blocks is an ndarray via Arrow — no truthiness
                 if payload is None or blocks is None or len(blocks) == 0:
                     continue
                 _kind, img = decode_payload_image(payload)
@@ -187,9 +191,9 @@ def recognize_stage(cfg: PipelineConfig | None = None):
                     crops.append(rotation_probe(crop, lambda c: _rec_one(c, cfg.ocr)))
                 rec = recognize_crops(crops, cfg.ocr)
                 for b, (text, score) in zip(blocks, rec):
-                    rows["url"].append(row["url"])
-                    rows["warc_ts"].append(row["warc_ts"])
-                    rows["lang"].append(row["lang"])
+                    rows["url"].append(url)
+                    rows["warc_ts"].append(warc_ts)
+                    rows["lang"].append(lang)
                     rows["block_id"].append(b["block_id"])
                     rows["bbox"].append(b["bbox"])
                     # batch-rec drop semantics: emit "" below threshold
@@ -230,7 +234,7 @@ def extract_stage_with_metrics(cfg: PipelineConfig | None = None, run_id: str = 
                 n_docs += 1
                 if s == "ok":
                     n_ok += 1
-                elif s == "empty":
+                elif s.startswith("empty"):
                     n_empty += 1
                 else:
                     n_err += 1

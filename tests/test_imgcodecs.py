@@ -257,6 +257,64 @@ def test_crafted_crash_payloads_become_error_rows():
         assert r.status.startswith("error"), r.status
 
 
+def test_tiff_bomb_dimensions_rejected():
+    import struct
+
+    # 60000x60000 passes the 65536 side gate but is 3.6 Gpix — must hit
+    # the MAX_DECODE_PIXELS ceiling as a ValueError, not a MemoryError
+    t = (
+        b"II*\x00"
+        + struct.pack("<I", 8)
+        + struct.pack("<H", 4)
+        + struct.pack("<HHII", 256, 4, 1, 60000)
+        + struct.pack("<HHII", 257, 4, 1, 60000)
+        + struct.pack("<HHII", 273, 4, 1, 8)
+        + struct.pack("<HHII", 279, 4, 1, 100)
+        + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError):
+        ic.decode_tiff(t)
+    assert extract_payload(t).status == "error:decode"
+
+
+def test_tiff_aliased_strips_capped_at_need():
+    import struct
+
+    # 1000 strips all aliasing the same 64 pixel bytes: sum(counts) is
+    # 64000 for an 8x8 image — assembly must stop at `need`, not
+    # amplify the payload 1000x
+    w = h = 8
+    px = bytes(range(64))
+    n_strips = 1000
+    n_tags = 5
+    ifd_off = 8
+    offs_arr = ifd_off + 2 + n_tags * 12 + 4
+    counts_arr = offs_arr + 4 * n_strips
+    px_off = counts_arr + 4 * n_strips
+    tags = b"".join(
+        [
+            struct.pack("<HHII", 256, 4, 1, w),
+            struct.pack("<HHII", 257, 4, 1, h),
+            struct.pack("<HHII", 273, 4, n_strips, offs_arr),
+            struct.pack("<HHII", 278, 4, 1, h),
+            struct.pack("<HHII", 279, 4, n_strips, counts_arr),
+        ]
+    )
+    data = (
+        b"II*\x00"
+        + struct.pack("<I", ifd_off)
+        + struct.pack("<H", n_tags)
+        + tags
+        + struct.pack("<I", 0)
+        + struct.pack("<I", px_off) * n_strips
+        + struct.pack("<I", 64) * n_strips
+        + px
+    )
+    img = ic.decode_tiff(data)
+    assert img.shape == (8, 8)
+    assert img.tobytes() == px
+
+
 def test_decode_pixel_ceiling():
     assert ic.MAX_DECODE_PIXELS >= (8192 * 8192)  # real page scans fit
     with pytest.raises(ValueError):

@@ -193,6 +193,15 @@ def test_ocr_blank_page_empty():
     assert (r.text, r.n_blocks, r.status) == ("", 0, "empty")
 
 
+def test_ocr_all_lines_dropped_distinct_status():
+    # boxes detected but every line below drop_score: distinct from
+    # detect-empty so quality filters can tell the two apart
+    img, _ = font5x7.render_page(["HELLO WORLD"], 960, 96, 2)
+    r = ocr_image(img, OCRConfig(drop_score=1.01))  # scores are <= 1.0
+    assert (r.text, r.n_blocks, r.status) == ("", 0, "empty:dropped")
+    assert r.boxes == [] and r.scores == []
+
+
 def test_ocr_null_guard():
     r = extract_payload(None)
     assert (r.text, r.status) == (None, "error:null")

@@ -110,6 +110,22 @@ def test_resume_with_different_n_buckets_is_refused(spark, pages, tmp_path):
     assert summary["buckets_skipped"] > 0
 
 
+def test_resume_pre_n_buckets_checkpoint_is_refused(spark, pages, tmp_path):
+    """A checkpoint written before the n_buckets schema column must be
+    refused with a clear ValueError, not an opaque AnalysisException
+    from selecting a missing column."""
+    root = str(tmp_path / "job")
+    old = spark.createDataFrame(
+        [("r0", 0, "done", 10, 10, 0, 0, 5)],
+        "run_id string, bucket int, status string, n_docs long, "
+        "n_ok long, n_empty long, n_error long, wall_ms long",
+    )
+    old.coalesce(1).write.mode("append").parquet(str(tmp_path / "job" / "checkpoint"))
+    ckpt = CheckpointStore(spark, root)
+    with pytest.raises(ValueError, match="fresh output root"):
+        ckpt.done_buckets(N_BUCKETS)
+
+
 def test_job_restores_partition_overwrite_mode(spark, pages, tmp_path):
     """run_extract_job must not leak partitionOverwriteMode=dynamic
     into the shared session (it changes unrelated writers' overwrite

@@ -52,6 +52,10 @@ CHECKS = {
     "dedup_simhash": [
         (r"HashAggregate", "map-side partial aggregation of the 60 vote columns"),
     ],
+    "dedup_simhash_fast": [
+        (r"HashAggregate", "map-side partial aggregation of the 60 vote columns"),
+        (r"xxhash64", "production token-hash family (one JVM call, no md5/conv chain)"),
+    ],
     "media_frame_sample": [
         (r"MapInPandas|ArrowEvalPython|PythonMapInArrow", "vectorized Arrow Python stages (synth + sample)"),
     ],
