@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
+from typing import Any
 
 
 def _env_float(name: str, default: float) -> float:
@@ -52,6 +53,13 @@ class OCRConfig:
     rec_batch_num: int = 16
     # final line filter (ocr/config.py:31, ocr/ocr.py:566-571)
     drop_score: float = 0.5
+    # model routing (ocr/ocr.py:69-145 load_model): serialized model
+    # payload per stage — raw bytes or a pyspark Broadcast of bytes
+    # (resolved worker-side; see kernels/infer.py). None → default
+    # in-process stub nets. Formats: ONNX protobuf (real ort session),
+    # NPZLOGITS1 (recorded-logits replay), STUBNET1 (stub params).
+    det_model: Any = None
+    rec_model: Any = None
 
     @staticmethod
     def from_env() -> "OCRConfig":

@@ -15,10 +15,13 @@ Scope (documented substitution, like the PNG codec):
   row orders.
 - TIFF: uncompressed (compression=1), little- or big-endian, gray or
   RGB, chunky, any strip layout.
-- JPEG: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr
-  with arbitrary sampling factors (4:4:4, 4:2:0, ...), restart
-  markers; the encoder emits 4:4:4 / grayscale with the standard
-  Annex-K tables.
+- JPEG: baseline sequential DCT (SOF0) AND progressive DCT (SOF2 —
+  spectral selection + successive approximation, EOBn runs, DC/AC
+  refinement scans; the most common real-crawl payload after
+  baseline), 8-bit, grayscale or YCbCr with arbitrary sampling
+  factors (4:4:4, 4:2:0, ...), restart markers; the encoders emit
+  the standard Annex-K tables (progressive script: DC first Al=1 →
+  AC first Al=1 per component → AC refine → DC refine).
 """
 
 from __future__ import annotations
@@ -417,6 +420,9 @@ class _BitReader:
             else:  # EOI or next header marker: end of entropy data
                 break
         self.segments.append(bytes(seg))
+        # source bytes consumed before the terminating marker — the
+        # multi-scan (progressive) parser resumes header parsing here
+        self.consumed = i
         self.seg_idx = 0
         self._load(0)
 
@@ -490,19 +496,236 @@ def _decode_block(
     return pos, pred
 
 
+def _huff(buf: bytes, p: int, valt: list[int], lent: list[int]) -> tuple[int, int]:
+    b = p >> 3
+    w = int.from_bytes(buf[b : b + 4], "big")
+    peek = (w >> (16 - (p & 7))) & 0xFFFF
+    ln = lent[peek]
+    if ln == 0:
+        raise ValueError("bad JPEG huffman code")
+    return valt[peek], p + ln
+
+
+def _bits(buf: bytes, p: int, n: int) -> tuple[int, int]:
+    if n == 0:
+        return 0, p
+    b = p >> 3
+    w = int.from_bytes(buf[b : b + 4], "big")
+    return (w >> (32 - (p & 7) - n)) & ((1 << n) - 1), p + n
+
+
+def _baseline_scan(br: "_BitReader", scan_comps: list[dict],
+                   restart_interval: int, mcus_x: int, mcus_y: int) -> None:
+    """Single interleaved baseline scan: every MCU, every block."""
+    buf = br.buf
+    bit_pos = 0
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.align_to_marker()
+                buf = br.buf
+                bit_pos = 0
+                for c in scan_comps:
+                    c["pred"] = 0
+            for c in scan_comps:
+                dcv, dcl = c["dc_tbl"]
+                acv, acl = c["ac_tbl"]
+                coefs = c["coefs"]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        bit_pos, c["pred"] = _decode_block(
+                            buf, bit_pos,
+                            coefs[my * c["v"] + by, mx * c["h"] + bx],
+                            dcv, dcl, acv, acl, c["pred"],
+                        )
+            if bit_pos > br.nbits_total:
+                # ran into the 1-padding: the stream is shorter than the
+                # declared MCU count — truncated file. Without this
+                # check the padding decodes to near-zero blocks and a
+                # mostly-gray image would return status 'ok'.
+                raise ValueError("truncated JPEG entropy stream")
+            mcu_count += 1
+
+
+def _ac_first_block(buf, p, coef, ss, se, al, acv, acl, eobrun):
+    """Progressive AC first pass for one block (T.81 G.1.2.2)."""
+    if eobrun > 0:
+        return p, eobrun - 1
+    k = ss
+    while k <= se:
+        rs, p = _huff(buf, p, acv, acl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                v, p = _bits(buf, p, r)
+                eobrun += v
+            eobrun -= 1  # current block is covered by the EOB run
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC overflow")
+        v, p = _bits(buf, p, s)
+        val = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+        coef[k] = val << al
+        k += 1
+    return p, eobrun
+
+
+def _ac_refine_block(buf, p, coef, ss, se, al, acv, acl, eobrun):
+    """Progressive AC refinement for one block (T.81 G.1.2.3):
+    newly-nonzero coefficients arrive as ±1<<al, coefficients already
+    nonzero from earlier passes collect one correction bit each."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs, p = _huff(buf, p, acv, acl)
+            r, s = rs >> 4, rs & 15
+            s_val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        v, p = _bits(buf, p, r)
+                        eobrun += v
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad JPEG refinement symbol")
+                bit, p = _bits(buf, p, 1)
+                s_val = p1 if bit else -p1
+            while k <= se:
+                if coef[k] != 0:
+                    bit, p = _bits(buf, p, 1)
+                    if bit and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s_val and k <= se:
+                coef[k] = s_val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k] != 0:
+                bit, p = _bits(buf, p, 1)
+                if bit and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] >= 0 else -p1
+            k += 1
+        eobrun -= 1
+    return p, eobrun
+
+
+def _progressive_scan(br, scan_comps, scan, huff_dc, huff_ac,
+                      ss, se, ah, al, restart_interval, mcus_x, mcus_y):
+    """One progressive scan (DC or single-component AC band)."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError("bad progressive spectral selection")
+    else:
+        if len(scan_comps) != 1 or ss > se or se > 63:
+            raise ValueError("bad progressive AC scan parameters")
+    buf = br.buf
+    p = 0
+    eobrun = 0
+    unit = 0  # restart counting: MCUs (interleaved) or blocks
+    interleaved = ss == 0 and len(scan_comps) > 1
+
+    def _restart():
+        nonlocal buf, p, eobrun
+        br.align_to_marker()
+        buf = br.buf
+        p = 0
+        eobrun = 0
+        for c in scan_comps:
+            c["pred"] = 0
+
+    if ss == 0:  # DC scan
+        for s in scan:
+            c = s["_comp"]
+            if ah == 0:
+                c["dc_tbl"] = huff_dc[s["dc"]]
+        if interleaved:
+            grid = [
+                (c, my * c["v"] + by, mx * c["h"] + bx)
+                for my in range(mcus_y)
+                for mx in range(mcus_x)
+                for c in scan_comps
+                for by in range(c["v"])
+                for bx in range(c["h"])
+            ]
+            per_unit = sum(c["v"] * c["h"] for c in scan_comps)
+        else:
+            c = scan_comps[0]
+            grid = [
+                (c, by, bx) for by in range(c["by"]) for bx in range(c["bx"])
+            ]
+            per_unit = 1
+        for i, (c, byy, bxx) in enumerate(grid):
+            if (
+                restart_interval
+                and i
+                and i % (restart_interval * per_unit) == 0
+            ):
+                _restart()
+            coef = c["coefs"][byy, bxx]
+            if ah == 0:
+                dcv, dcl = c["dc_tbl"]
+                t, p = _huff(buf, p, dcv, dcl)
+                if t > 11:
+                    raise ValueError("bad JPEG DC category")
+                diff = 0
+                if t:
+                    v, p = _bits(buf, p, t)
+                    diff = v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+                c["pred"] += diff
+                coef[0] = c["pred"] << al
+            else:
+                bit, p = _bits(buf, p, 1)
+                if bit:
+                    coef[0] |= 1 << al
+            if p > br.nbits_total:
+                raise ValueError("truncated JPEG entropy stream")
+    else:  # AC scan, one component
+        c = scan_comps[0]
+        acv, acl = huff_ac[scan[0]["ac"]]
+        block_fn = _ac_first_block if ah == 0 else _ac_refine_block
+        for byy in range(c["by"]):
+            for bxx in range(c["bx"]):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    _restart()
+                p, eobrun = block_fn(
+                    buf, p, c["coefs"][byy, bxx], ss, se, al, acv, acl, eobrun
+                )
+                if p > br.nbits_total:
+                    raise ValueError("truncated JPEG entropy stream")
+                unit += 1
+
+
 @_codec_errors
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG → HxW (grayscale) or HxWx3 uint8 RGB."""
+    """Baseline (SOF0) or progressive (SOF2) JPEG → HxW (grayscale) or
+    HxWx3 uint8 RGB."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
     qt: dict[int, np.ndarray] = {}
-    huff_dc: dict[int, dict] = {}
-    huff_ac: dict[int, dict] = {}
+    huff_dc: dict[int, tuple] = {}
+    huff_ac: dict[int, tuple] = {}
     frame = None
+    progressive = False
     restart_interval = 0
     comps: list[dict] = []
-    scan = None
+    hmax = vmax = mcus_x = mcus_y = 0
+    n_scans = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -532,110 +755,102 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 tbl = _build_huff_decoder(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = seg[0], struct.unpack_from(">H", seg, 1)[0], struct.unpack_from(">H", seg, 3)[0], seg[5]
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
+            if not (0 < h and 0 < w and h * w <= MAX_DECODE_PIXELS):
+                raise ValueError("bad JPEG dimensions")
+            # limits (ITU T.81 B.2.2/B.2.3): ≤4 components, Σ(h·v) ≤ 10
+            # per MCU. Without these caps a ~1 KB header declaring 255
+            # components × 4×4 sampling allocates tens of GB of
+            # coefficient arrays before decoding a single MCU.
+            if not (1 <= nc <= 4):
+                raise ValueError("bad JPEG component count")
             comps = []
-            for c in range(nc):
-                cid, hv, tq = seg[6 + c * 3], seg[7 + c * 3], seg[8 + c * 3]
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + ci * 3], seg[7 + ci * 3], seg[8 + ci * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            if any(not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4) for c in comps):
+                raise ValueError("bad JPEG sampling factors")
+            if sum(c["h"] * c["v"] for c in comps) > 10:
+                raise ValueError("bad JPEG sampling product")
             frame = (h, w, nc)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG (SOF0) supported")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                # actual (ceil) block grid for non-interleaved scans vs
+                # MCU-padded grid for interleaved ones; coefficients are
+                # stored natural-raster (by, bx, zigzag-64) so the
+                # dequant + IDCT runs as ONE batched einsum per
+                # component instead of 2 small matmuls per 8x8 block
+                c["bx"] = (-(-(w * c["h"]) // hmax) + 7) // 8
+                c["by"] = (-(-(h * c["v"]) // vmax) + 7) // 8
+                c["coefs"] = np.zeros(
+                    (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32
+                )
+                c["pred"] = 0
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline (SOF0) / progressive (SOF2) JPEG supported")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             scan = []
-            for c in range(ns):
-                cs, tabs = seg[1 + c * 2], seg[2 + c * 2]
-                scan.append({"cs": cs, "dc": tabs >> 4, "ac": tabs & 0xF})
+            by_id = {c["id"]: c for c in comps}
+            for ci in range(ns):
+                cs, tabs = seg[1 + ci * 2], seg[2 + ci * 2]
+                scan.append({"cs": cs, "dc": tabs >> 4, "ac": tabs & 0xF,
+                             "_comp": by_id[cs]})
+            ss, se, ahal = seg[1 + ns * 2], seg[2 + ns * 2], seg[3 + ns * 2]
+            scan_comps = [s["_comp"] for s in scan]
             pos += seg_len
+            br = _BitReader(data[pos:])
+            if progressive:
+                _progressive_scan(
+                    br, scan_comps, scan, huff_dc, huff_ac,
+                    ss, se, ahal >> 4, ahal & 15,
+                    restart_interval, mcus_x, mcus_y,
+                )
+                n_scans += 1
+                pos += br.consumed
+                continue
+            # interleaved baseline: scan order may differ from SOF order
+            if len(scan_comps) != len(comps):
+                raise ValueError("multi-scan baseline JPEG unsupported")
+            for s in scan:
+                c = s["_comp"]
+                c["dc_tbl"] = huff_dc[s["dc"]]
+                c["ac_tbl"] = huff_ac[s["ac"]]
+                qt[c["tq"]]  # raise now (as ValueError) if missing
+            _baseline_scan(br, scan_comps, restart_interval, mcus_x, mcus_y)
+            n_scans += 1
             break
         pos += seg_len
-    if frame is None or scan is None:
+    if frame is None or n_scans == 0:
         raise ValueError("JPEG missing SOF/SOS")
     h, w, nc = frame
-    if not (0 < h and 0 < w and h * w <= MAX_DECODE_PIXELS):
-        raise ValueError("bad JPEG dimensions")
-    # baseline limits (ITU T.81 B.2.2/B.2.3): ≤4 components per scan,
-    # Σ(h·v) ≤ 10 per MCU. Without these caps a ~1 KB header declaring
-    # 255 components × 4×4 sampling allocates tens of GB of
-    # coefficient arrays before decoding a single MCU.
-    if not (1 <= nc <= 4) or len(comps) != nc:
-        raise ValueError("bad JPEG component count")
-    if any(not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4) for c in comps):
-        raise ValueError("bad JPEG sampling factors")
-    if sum(c["h"] * c["v"] for c in comps) > 10:
-        raise ValueError("bad JPEG sampling product")
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (w + mcu_w - 1) // mcu_w
-    mcus_y = (h + mcu_h - 1) // mcu_h
-
-    # interleaved MCUs follow the SOS component order (legal baseline
-    # JPEGs may list scan components in a different order than SOF)
-    by_id = {c["id"]: c for c in comps}
-    scan_comps = [by_id[s["cs"]] for s in scan]
-    if len(scan_comps) != len(comps):
-        raise ValueError("multi-scan baseline JPEG unsupported")
-    for s in scan:
-        c = by_id[s["cs"]]
-        c["dc_tbl"] = huff_dc[s["dc"]]
-        c["ac_tbl"] = huff_ac[s["ac"]]
-        qt[c["tq"]]  # raise now (as ValueError) if the table is missing
-        n_blocks = mcus_y * mcus_x * c["h"] * c["v"]
-        # entropy-decode into one (N, 64) zigzag coef array; the
-        # dequant + IDCT then runs as ONE batched einsum per component
-        # instead of 2 small matmuls per 8x8 block (page-level: ~5x)
-        c["coefs"] = np.zeros((n_blocks, 64), dtype=np.int32)
-        c["n"] = 0
-        c["pred"] = 0
-
-    # entropy-coded data runs until the next non-RST marker
-    br = _BitReader(data[pos:])
-    buf = br.buf
-    bit_pos = 0
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.align_to_marker()
-                buf = br.buf
-                bit_pos = 0
-                for c in scan_comps:
-                    c["pred"] = 0
-            for c in scan_comps:
-                dcv, dcl = c["dc_tbl"]
-                acv, acl = c["ac_tbl"]
-                coefs = c["coefs"]
-                for _blk in range(c["v"] * c["h"]):
-                    bit_pos, c["pred"] = _decode_block(
-                        buf, bit_pos, coefs[c["n"]], dcv, dcl, acv, acl, c["pred"]
-                    )
-                    c["n"] += 1
-            if bit_pos > br.nbits_total:
-                # ran into the 1-padding: the stream is shorter than the
-                # declared MCU count — truncated file. Without this
-                # check the padding decodes to near-zero blocks and a
-                # mostly-gray image would return status 'ok'.
-                raise ValueError("truncated JPEG entropy stream")
-            mcu_count += 1
 
     planes = []
     for c in comps:
         q = qt[c["tq"]]
-        deq = c["coefs"].astype(np.float64) * q[None, :]
+        coefs = c["coefs"].reshape(-1, 64)
+        deq = coefs.astype(np.float64) * q[None, :]
         blocks = np.zeros((len(deq), 64), dtype=np.float64)
         blocks[:, _ZIGZAG] = deq
         blocks = blocks.reshape(-1, 8, 8)
         px = np.einsum("ij,bjk,kl->bil", _C.T, blocks, _C, optimize=True) + 128.0
-        # blocks arrive MCU-raster-major: (my, mx, by, bx) → plane
-        ph, pw = mcus_y * c["v"] * 8, mcus_x * c["h"] * 8
-        px = px.reshape(mcus_y, mcus_x, c["v"], c["h"], 8, 8)
-        plane = px.transpose(0, 2, 4, 1, 3, 5).reshape(ph, pw)
+        by_pad, bx_pad = c["coefs"].shape[:2]
+        plane = (
+            px.reshape(by_pad, bx_pad, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by_pad * 8, bx_pad * 8)
+        )
         # upsample to full MCU grid resolution, then crop to (h, w)
         plane = np.repeat(
             np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
@@ -695,18 +910,10 @@ def _encode_block(bw: _BitWriter, block, qtab8, dc_code, ac_code, pred: int) -> 
     return pred
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    quality: int = 90,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """HxW (gray) or HxWx3 uint8 → baseline JPEG with the standard
-    Annex-K tables. ``subsample=True`` emits 4:2:0 (2x2 luma sampling,
-    chroma 2x2-mean-downsampled); ``restart_interval`` emits a DRI
-    segment and RSTn markers every N MCUs — both exist chiefly to
-    exercise the decoder's sampling/restart paths, which real-world
-    JPEGs use."""
+def _prep_encode(img: np.ndarray, quality: int, subsample: bool):
+    """Shared encoder front half (baseline + progressive): color
+    convert, pick sampling, downsample chroma, pad every plane to its
+    MCU grid by edge replication."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
     if gray:
@@ -721,53 +928,16 @@ def encode_jpeg(
     qts = [_quality_scale(_STD_LUMA_Q, quality)]
     if not gray:
         qts.append(_quality_scale(_STD_CHROMA_Q, quality))
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    for tq, qtab in enumerate(qts):
-        # DQT payload is in zigzag scan order: seg[k] = Q_nat[ZIGZAG[k]]
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
-            int(qtab[z]) for z in _ZIGZAG
-        )
-    # per-component sampling factors (h, v)
-    nc = 1 if gray else 3
     if gray:
         samp = [(1, 1)]
     elif subsample:
         samp = [(2, 2), (1, 1), (1, 1)]
     else:
         samp = [(1, 1), (1, 1), (1, 1)]
-    # SOF0
-    sof = struct.pack(">BHHB", 8, h, w, nc)
-    for c in range(nc):
-        sof += bytes([c + 1, samp[c][0] << 4 | samp[c][1], 0 if c == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    # DHT
-    specs = [(0, 0, _DC_LUMA), (1, 0, _AC_LUMA)]
-    if not gray:
-        specs += [(0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)]
-    for tc, th, (bits, vals) in specs:
-        payload = bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
-        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
-    # SOS
-    sos = bytes([nc])
-    for c in range(nc):
-        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-
-    dc_codes = [_build_huff_codes(*_DC_LUMA)]
-    ac_codes = [_build_huff_codes(*_AC_LUMA)]
-    if not gray:
-        dc_codes.append(_build_huff_codes(*_DC_CHROMA))
-        ac_codes.append(_build_huff_codes(*_AC_CHROMA))
-
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-
     # per-component working planes: chroma downsampled when 4:2:0,
     # each padded to its own MCU-grid size by edge replication
     padded = []
@@ -789,6 +959,65 @@ def encode_jpeg(
         pp[ch:, :cw] = pp[ch - 1 : ch, :cw]
         pp[:, cw:] = pp[:, cw - 1 : cw]
         padded.append(pp)
+    return gray, h, w, samp, qts, hmax, vmax, mcus_x, mcus_y, padded
+
+
+def _header_segments(
+    h: int, w: int, gray: bool, samp, qts, sof_marker: bytes,
+    restart_interval: int = 0,
+) -> bytearray:
+    """SOI + DQT + SOF + (DRI) + DHT common header stream."""
+    nc = 1 if gray else 3
+    out = bytearray(b"\xff\xd8")  # SOI
+    for tq, qtab in enumerate(qts):
+        # DQT payload is in zigzag scan order: seg[k] = Q_nat[ZIGZAG[k]]
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
+            int(qtab[z]) for z in _ZIGZAG
+        )
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for c in range(nc):
+        sof += bytes([c + 1, samp[c][0] << 4 | samp[c][1], 0 if c == 0 else 1])
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    specs = [(0, 0, _DC_LUMA), (1, 0, _AC_LUMA)]
+    if not gray:
+        specs += [(0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)]
+    for tc, th, (bits, vals) in specs:
+        payload = bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    return out
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """HxW (gray) or HxWx3 uint8 → baseline JPEG with the standard
+    Annex-K tables. ``subsample=True`` emits 4:2:0 (2x2 luma sampling,
+    chroma 2x2-mean-downsampled); ``restart_interval`` emits a DRI
+    segment and RSTn markers every N MCUs — both exist chiefly to
+    exercise the decoder's sampling/restart paths, which real-world
+    JPEGs use."""
+    gray, h, w, samp, qts, hmax, vmax, mcus_x, mcus_y, padded = _prep_encode(
+        img, quality, subsample
+    )
+    nc = 1 if gray else 3
+    out = _header_segments(h, w, gray, samp, qts, b"\xff\xc0", restart_interval)
+    # SOS
+    sos = bytes([nc])
+    for c in range(nc):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc_codes = [_build_huff_codes(*_DC_LUMA)]
+    ac_codes = [_build_huff_codes(*_AC_LUMA)]
+    if not gray:
+        dc_codes.append(_build_huff_codes(*_DC_CHROMA))
+        ac_codes.append(_build_huff_codes(*_AC_CHROMA))
 
     bw = _BitWriter()
     preds = [0] * nc
@@ -814,6 +1043,175 @@ def encode_jpeg(
                             bw, block, qt8[ti], dc_codes[ti], ac_codes[ti], preds[ci]
                         )
             mcu_count += 1
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------ progressive JPEG
+def _enc_ac_first_block(bw, band, ac_code, al: int) -> None:
+    """Progressive AC first pass, one block/band (T.81 G.1.2.2).
+    Magnitudes are point-transformed (|v| >> al, sign kept); EOB runs
+    are always emitted as EOB0 (the standard tables carry no EOBn>0
+    symbols — decoders must still handle general EOBn, ours does)."""
+    r = 0
+    for v in band:
+        v = int(v)
+        m = abs(v) >> al
+        if m == 0:
+            r += 1
+            continue
+        while r > 15:
+            c, ln = ac_code[0xF0]
+            bw.write(c, ln)
+            r -= 16
+        s = m.bit_length()
+        vp = m if v > 0 else -m
+        c, ln = ac_code[(r << 4) | s]
+        bw.write(c, ln)
+        bw.write(vp if vp >= 0 else vp + (1 << s) - 1, s)
+        r = 0
+    if r:
+        c, ln = ac_code[0x00]
+        bw.write(c, ln)
+
+
+def _enc_ac_refine_block(bw, band, ac_code, al: int) -> None:
+    """Progressive AC refinement, one block (T.81 G.1.2.3). Correction
+    bits for previously-nonzero coefficients buffer until the next
+    emitted symbol (ZRL / newly-nonzero / EOB) — the same flush points
+    the decoder's walk consumes them at."""
+    vals = [int(v) for v in band]
+    eob = -1  # last NEWLY-nonzero index: ZRLs beyond it fold into EOB
+    for i, v in enumerate(vals):
+        if (abs(v) >> al) == 1 and (abs(v) >> (al + 1)) == 0:
+            eob = i
+    r = 0
+    pending: list[int] = []
+    for i, v in enumerate(vals):
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob:
+            c, ln = ac_code[0xF0]
+            bw.write(c, ln)
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+            r -= 16
+        if (abs(v) >> (al + 1)) != 0:  # already nonzero: correction bit
+            pending.append(t & 1)
+            continue
+        c, ln = ac_code[(r << 4) | 1]
+        bw.write(c, ln)
+        bw.write(1 if v > 0 else 0, 1)
+        for b in pending:
+            bw.write(b, 1)
+        pending = []
+        r = 0
+    if r > 0 or pending:
+        c, ln = ac_code[0x00]
+        bw.write(c, ln)
+        for b in pending:
+            bw.write(b, 1)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    """HxW (gray) or HxWx3 uint8 → progressive JPEG (SOF2).
+
+    Scan script exercises every progressive decode path: interleaved
+    DC first at Al=1 → per-component AC 1-63 first at Al=1 →
+    per-component AC refinement to Al=0 → interleaved DC refinement.
+    Standard Annex-K tables throughout.
+    """
+    gray, h, w, samp, qts, hmax, vmax, mcus_x, mcus_y, padded = _prep_encode(
+        img, quality, subsample
+    )
+    nc = 1 if gray else 3
+    out = _header_segments(h, w, gray, samp, qts, b"\xff\xc2")
+    dc_codes = [_build_huff_codes(*_DC_LUMA)]
+    ac_codes = [_build_huff_codes(*_AC_LUMA)]
+    if not gray:
+        dc_codes.append(_build_huff_codes(*_DC_CHROMA))
+        ac_codes.append(_build_huff_codes(*_AC_CHROMA))
+
+    # quantize every block up front: (by_pad, bx_pad, 64) zigzag coefs
+    zz = []
+    for ci, p in enumerate(padded):
+        ti = 0 if ci == 0 else min(1, len(qts) - 1)
+        q8 = qts[ti].reshape(8, 8).astype(np.float64)
+        by, bx = p.shape[0] // 8, p.shape[1] // 8
+        blocks = (p - 128.0).reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ij,abjk,kl->abil", _C, blocks, _C.T, optimize=True)
+        qc = np.round(coef / q8).astype(np.int64)
+        zz.append(qc.reshape(by, bx, 64)[..., _ZIGZAG])
+
+    def sos(scan_comps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        payload = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            ti = 0 if ci == 0 else 1
+            payload += bytes([ci + 1, (ti << 4) | ti])
+        payload += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(payload)) + payload
+
+    def dc_block_iter():
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(nc):
+                    hs, vs = samp[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            yield ci, zz[ci][my * vs + by, mx * hs + bx]
+
+    # scan 1: DC first, interleaved, Al=1 (DC point transform is an
+    # arithmetic shift of the signed value — T.81 G.1.2.1)
+    out += sos(list(range(nc)), 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * nc
+    for ci, block in dc_block_iter():
+        v0 = int(block[0]) >> 1
+        diff = v0 - preds[ci]
+        preds[ci] = v0
+        t = abs(diff).bit_length()
+        c, ln = dc_codes[0 if ci == 0 else 1][t]
+        bw.write(c, ln)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    bw.flush()
+    out += bw.buf
+
+    # per-component actual (non-padded) block grids — AC scans are
+    # non-interleaved and cover ceil-dims only
+    grids = []
+    for ci in range(nc):
+        hs, vs = samp[ci]
+        gbx = (-(-(w * hs) // hmax) + 7) // 8
+        gby = (-(-(h * vs) // vmax) + 7) // 8
+        grids.append((gby, gbx))
+
+    for phase in ("first", "refine"):
+        for ci in range(nc):
+            gby, gbx = grids[ci]
+            ac_code = ac_codes[0 if ci == 0 else 1]
+            out += sos([ci], 1, 63, 0 if phase == "first" else 1,
+                       1 if phase == "first" else 0)
+            bw = _BitWriter()
+            enc = _enc_ac_first_block if phase == "first" else _enc_ac_refine_block
+            for by in range(gby):
+                for bx in range(gbx):
+                    enc(bw, zz[ci][by, bx, 1:], ac_code, 1 if phase == "first" else 0)
+            bw.flush()
+            out += bw.buf
+
+    # final scan: DC refinement to Al=0 — one raw bit per block
+    out += sos(list(range(nc)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    for _ci, block in dc_block_iter():
+        bw.write(int(block[0]) & 1, 1)
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"  # EOI

@@ -62,7 +62,7 @@ def detect(img: np.ndarray, cfg: OCRConfig) -> np.ndarray:
     crashing is our documented deviation). Invalid values raise."""
     src_h, src_w = img.shape[:2]
     nchw, _ = det_preprocess(img, cfg.det_limit_side_len)
-    prob = run_with_retry(get_det_net(), nchw)[0, 0]
+    prob = run_with_retry(get_det_net(cfg.det_model), nchw)[0, 0]
     boxes, _scores = db_postprocess(prob, src_h, src_w, cfg)
     if cfg.det_box_type == "poly":
         quads = [min_area_rect(p)[0] for p in boxes]
@@ -119,7 +119,7 @@ def recognize_crops(
     ratios = [c.shape[1] / float(c.shape[0]) for c in crops]
     indices = np.argsort(np.array(ratios), kind="stable")
     rec_h = cfg.rec_image_height
-    net = get_rec_net()
+    net = get_rec_net(cfg.rec_model)
     for beg in range(0, n, cfg.rec_batch_num):
         end = min(n, beg + cfg.rec_batch_num)
         # per-micro-batch pad width seeded at imgW/imgH = 320/48 — the

@@ -392,17 +392,34 @@ def _doc_ids(spark, sf_dir: str, limit: int):
 
 
 def q_media_image_stats(spark, sf_dir: str):
+    """Even doc_ids: two-tone PNG (exact mean/std closed form). Odd
+    doc_ids: PROGRESSIVE JPEG (SOF2) of a constant-value image — the
+    value is 128 + 3k so the quality-90 luma DC quantizer (q00=3)
+    divides the DC coefficient exactly and the decode is lossless,
+    keeping the oracle in closed form while the Spark side runs the
+    real multi-scan progressive decode path."""
+
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ragflow_ocr_spark.kernels import imgcodecs
+
         for b in batches:
             rows = []
             for did in b["doc_id"]:
                 did = int(did)
-                a = did % 256
-                v = (did * 7 + 13) % 256
-                img = np.empty((48, 64), dtype=np.uint8)
-                img[:, :32] = a
-                img[:, 32:] = v
-                rows.append((did, "image", pngcodec.encode_png(img), "png", 64, 48, 0))
+                if did % 2 == 0:
+                    a = did % 256
+                    v = (did * 7 + 13) % 256
+                    img = np.empty((48, 64), dtype=np.uint8)
+                    img[:, :32] = a
+                    img[:, 32:] = v
+                    rows.append(
+                        (did, "image", pngcodec.encode_png(img), "png", 64, 48, 0)
+                    )
+                else:
+                    v = 128 + 3 * ((did * 5 + 7) % 42 - 21)
+                    img = np.full((48, 64), v, dtype=np.uint8)
+                    payload = imgcodecs.encode_jpeg_progressive(img, quality=90)
+                    rows.append((did, "image", payload, "jpeg", 64, 48, 0))
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "kind", "payload", "meta_codec", "meta_w", "meta_h", "meta_sr"],
@@ -414,8 +431,13 @@ def q_media_image_stats(spark, sf_dir: str):
 
 ORACLE_IMAGE_STATS = f"""
 SELECT doc_id AS media_id, 64 AS width, 48 AS height,
-       ROUND(((doc_id % 256) + ((doc_id * 7 + 13) % 256)) / 2.0, 6) AS mean_luma,
-       ROUND(ABS((doc_id % 256) - ((doc_id * 7 + 13) % 256)) / 2.0, 6) AS std_luma,
+       ROUND(CASE WHEN doc_id % 2 = 0
+             THEN ((doc_id % 256) + ((doc_id * 7 + 13) % 256)) / 2.0
+             ELSE CAST(128 + 3 * ((doc_id * 5 + 7) % 42 - 21) AS DOUBLE)
+             END, 6) AS mean_luma,
+       ROUND(CASE WHEN doc_id % 2 = 0
+             THEN ABS((doc_id % 256) - ((doc_id * 7 + 13) % 256)) / 2.0
+             ELSE 0.0 END, 6) AS std_luma,
        'ok' AS status
 FROM documents WHERE doc_id < {_IMG_LIMIT}
 """

@@ -257,6 +257,91 @@ def test_crafted_crash_payloads_become_error_rows():
         assert r.status.startswith("error"), r.status
 
 
+# ------------------------------------------------------ progressive JPEG
+@pytest.mark.parametrize("rgb,subsample", [(False, False), (True, False), (True, True)])
+def test_progressive_jpeg_decodes_bit_identical_to_baseline(rgb, subsample):
+    """Same quantized coefficients, different entropy organization:
+    progressive decode must equal baseline decode exactly."""
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (9, 13)).astype(np.float64)
+    gray = np.kron(base, np.ones((8, 8)))[:70, :100].astype(np.uint8)
+    img = np.stack([gray, 255 - gray, gray // 2], axis=2) if rgb else gray
+    b = ic.decode_jpeg(ic.encode_jpeg(img, quality=85, subsample=subsample))
+    p = ic.decode_jpeg(ic.encode_jpeg_progressive(img, quality=85, subsample=subsample))
+    assert np.array_equal(b, p)
+
+
+def test_progressive_jpeg_ocr_roundtrip():
+    """A progressive-JPEG page routes through the payload router and
+    the full detect→recognize pipeline byte-identically."""
+    img, drawn = font5x7.render_page(["PROGRESSIVE JPEG PAGE"], 960, 96, 2)
+    payload = ic.encode_jpeg_progressive(img, quality=95)
+    assert pngcodec.sniff_payload(payload) == "jpeg"
+    r = extract_payload(payload)
+    assert r.status == "ok"
+    assert r.text == "\n".join(drawn)
+
+
+def test_progressive_jpeg_truncated_is_error_row():
+    img = np.full((32, 32), 200, dtype=np.uint8)
+    payload = ic.encode_jpeg_progressive(img)
+    r = extract_payload(payload[: len(payload) // 2])
+    assert r.status == "error:decode"
+
+
+def test_progressive_eobn_run_decode():
+    """Hand-built SOF2 file whose AC scan uses an EOBn>0 run (our
+    encoder emits only EOB0, but libjpeg-optimized real files batch
+    end-of-band runs across blocks — the decoder must honor them)."""
+    import struct
+
+    # two flat 8x8 blocks, quant table all ones → exact reconstruction
+    v1, v2 = 130, 100
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dc_bits, dc_vals = ic._DC_LUMA
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(dc_vals)) + bytes(
+        [0x00]
+    ) + bytes(dc_bits) + bytes(dc_vals)
+    # custom AC table: two 2-bit codes for EOB0 (0x00) and EOB2 (0x10)
+    ac_bits = [0, 2] + [0] * 14
+    ac_vals = [0x00, 0x10]
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(ac_vals)) + bytes(
+        [0x10]
+    ) + bytes(ac_bits) + bytes(ac_vals)
+    # DC scan (Ss=Se=0, Ah=Al=0)
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 0, 0])
+    dc_codes = ic._build_huff_codes(dc_bits, dc_vals)
+    bw = ic._BitWriter()
+    pred = 0
+    for v in (v1, v2):
+        dc = 8 * (v - 128)
+        diff = dc - pred
+        pred = dc
+        t = abs(diff).bit_length()
+        c, ln = dc_codes[t]
+        bw.write(c, ln)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    bw.flush()
+    out += bw.buf
+    # AC scan: one EOB2 symbol (r=1 → eobrun = 2 + 1 appended bit = 0)
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 1, 63, 0])
+    ac_codes = ic._build_huff_codes(ac_bits, ac_vals)
+    bw = ic._BitWriter()
+    c, ln = ac_codes[0x10]
+    bw.write(c, ln)
+    bw.write(0, 1)  # appended eobrun bit
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"
+    img = ic.decode_jpeg(bytes(out))
+    assert img.shape == (8, 16)
+    assert (img[:, :8] == v1).all() and (img[:, 8:] == v2).all()
+
+
 def test_tiff_bomb_dimensions_rejected():
     import struct
 
