@@ -5,9 +5,10 @@
 - ``queries()``     — relational surface + training-data ops
   (dedup/similarity/text-stats) + the extraction pipeline itself,
   each as (spark, sf_dir) -> DataFrame.
-- ``oracle_sql()``  — DuckDB-equivalent SQL per query. The two
-  extraction queries have real oracles: the synthetic page templates
-  are constructed so the byte-exact expected output is SQL-computable.
+- ``oracle_sql()``  — DuckDB-equivalent SQL per query. The three
+  extraction queries (html/ocr/pdf) have real oracles: the synthetic
+  page templates are constructed so the byte-exact expected output is
+  SQL-computable.
   ``dedup_simhash`` (md5-based 60-bit hash) and ``ann_lsh_bucketed``
   (plane constants materialized as double literals on both engines)
   are oracle-checked too — the oracle mirrors the banding/bucketing
@@ -160,6 +161,74 @@ FROM s
 """
 
 
+_PDF_DOC_LIMIT = 100
+_PDF_PREFIX_CHARS = 40
+
+
+def q_pdf_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-PDF route end-to-end: each document's first 40 chars
+    written as a FlateDecode'd single-page text PDF (kernels/pdf.py
+    writer), pushed through the payload router → PDF parse → Tj
+    rasterization → detect→recognize. Oracle = the same sanitization
+    closed form as the OCR query — byte-identity per doc."""
+    import pandas as pd
+
+    from ragflow_ocr_spark.kernels import pdf as pdfmod
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < _PDF_DOC_LIMIT)
+        .select("doc_id", "text", "lang")
+        .repartition(min(16, spark.sparkContext.defaultParallelism))
+    )
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for t in b["text"]:
+                line = (t or "")[:_PDF_PREFIX_CHARS]
+                payloads.append(pdfmod.build_text_pdf([line], compress=True))
+            yield pd.DataFrame(
+                {
+                    "url": b["doc_id"].astype(str),
+                    "warc_ts": pd.Timestamp("2025-10-17"),
+                    "html": payloads,
+                    "text": b["text"],
+                    "lang": b["lang"],
+                }
+            )
+
+    pages = d.mapInPandas(
+        render,
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = extract(pages)
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "extracted_text",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        "status",
+    )
+
+
+ORACLE_PDF_EXTRACT = f"""
+WITH s AS (
+  SELECT doc_id,
+         TRIM(REGEXP_REPLACE(
+           REGEXP_REPLACE(UPPER(SUBSTR(COALESCE(text, ''), 1, {_PDF_PREFIX_CHARS})),
+                          '[^A-Z0-9 .,:-]', '', 'g'),
+           ' +', ' ', 'g')) AS sanitized
+  FROM documents WHERE doc_id < {_PDF_DOC_LIMIT}
+)
+SELECT doc_id,
+       sanitized AS extracted_text,
+       CASE WHEN sanitized = '' THEN 0
+            ELSE len(string_split(sanitized, chr(10))) END AS n_blocks,
+       CASE WHEN sanitized = '' THEN 'empty' ELSE 'ok' END AS status
+FROM s
+"""
+
+
 def q_extract_synthetic_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full FIXTURES.md §1 page mix (HTML/boilerplate/edge/PNG/PDF/
     null) through the pipeline — payload synthesis is Python-side so
@@ -182,6 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: fn for name, (fn, _sql) in all_queries().items()}
     out["html_extract_docs"] = q_html_extract_docs
     out["ocr_extract_docs"] = q_ocr_extract_docs
+    out["pdf_extract_docs"] = q_pdf_extract_docs
     out["extract_synthetic_pages"] = q_extract_synthetic_pages
     return out
 
@@ -190,4 +260,5 @@ def oracle_sql() -> dict[str, str]:
     out = {name: sql for name, (_fn, sql) in all_queries().items() if sql}
     out["html_extract_docs"] = ORACLE_HTML_EXTRACT
     out["ocr_extract_docs"] = ORACLE_OCR_EXTRACT
+    out["pdf_extract_docs"] = ORACLE_PDF_EXTRACT
     return out

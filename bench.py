@@ -68,6 +68,7 @@ HEADLINE = [
     "char_entropy",
     "html_extract_docs",
     "ocr_extract_docs",
+    "pdf_extract_docs",
 ]
 
 

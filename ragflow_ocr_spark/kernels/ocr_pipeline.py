@@ -184,11 +184,20 @@ def ocr_image(img: np.ndarray, cfg: OCRConfig | None = None) -> OcrResult:
 
 
 def extract_pdf_payload(data: bytes) -> np.ndarray | None:
-    """PDF stub route: our synthetic PDFs embed one PNG page image in a
-    stream object (FIXTURES.md §1 pdf_stub). A full PDF parser is out
-    of scope for this sandbox (no pdf libs); we locate the embedded
-    PNG and hand it to the OCR path. Production swaps this for a real
-    rasterizer behind the same signature."""
+    """PDF route: real (minimal) PDF parse — object scan, FlateDecode/
+    DCTDecode, /Type /Page discovery, image-XObject pages returned
+    directly, Tj text rasterized (``kernels/pdf.py``). Legacy fallback:
+    early fixture PDFs embedded a bare PNG in a stream object; if the
+    structured parse fails we still locate and decode that."""
+    try:
+        from ragflow_ocr_spark.kernels import pdf
+
+        return pdf.pdf_to_image(data)
+    except Exception:
+        # router contract: a malformed PDF is a per-row error (None →
+        # status error:decode), never a task failure — the parser's
+        # tokenizer can surface Index/Key/ValueError on crafted input
+        pass
     i = data.find(pngcodec.PNG_MAGIC)
     if i < 0:
         return None

@@ -11,6 +11,10 @@ same idempotent semantics are implemented over parquet):
   rewriting a bucket is idempotent, exactly like MERGE on the key);
 - resume = LEFT ANTI JOIN of pending buckets against ``done`` rows
   (J3 in SURVEY.md §2.3) — broadcast, the checkpoint side is tiny.
+
+The exact production DDL / MERGE INTO / resume SQL this stands in for
+is emitted by ``spark/iceberg_sql.py`` (golden-pinned in
+``tests/test_iceberg_sql.py`` so the two can't drift).
 """
 
 from __future__ import annotations

@@ -163,16 +163,14 @@ def _make_image_png(rng: np.random.Generator) -> tuple[bytes, str]:
 
 
 def _make_pdf_stub(rng: np.random.Generator) -> tuple[bytes, str]:
+    """Real single-page PDF (kernels/pdf.py writer): scanned-page shape
+    with a FlateDecode'd gray image XObject drawn via Do. The expected
+    text is the rendered page's ground truth, same as the PNG class."""
+    from ragflow_ocr_spark.kernels import pdf as pdfmod
+
     png, expected = _make_image_png(rng)
-    pdf = (
-        b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n"
-        b"2 0 obj\n<< /Type /XObject /Subtype /Image /Length "
-        + str(len(png)).encode()
-        + b" >>\nstream\n"
-        + png
-        + b"\nendstream\nendobj\ntrailer\n<< /Root 1 0 R >>\n%%EOF\n"
-    )
-    return pdf, expected
+    page_img = pngcodec.decode_png(png)
+    return pdfmod.build_image_pdf(page_img, filter_="flate"), expected
 
 
 def _make_null_invalid(rng: np.random.Generator, row_id: int) -> tuple[bytes | None, None]:

@@ -1,0 +1,135 @@
+"""kernels/pdf.py — the real %PDF route: object parse, FlateDecode /
+DCTDecode, Tj rasterization, image-XObject pages, and the per-row
+error contract for everything outside the documented subset."""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pytest
+
+from ragflow_ocr_spark.config import OCRConfig
+from ragflow_ocr_spark.kernels import font5x7, pdf
+from ragflow_ocr_spark.kernels.ocr_pipeline import extract_payload, ocr_image
+
+
+# ------------------------------------------------------------ round trips
+@pytest.mark.parametrize("compress", [False, True])
+def test_text_pdf_rasterizes_and_ocr_reads_back(compress):
+    lines = ["HELLO PDF WORLD", "SECOND LINE 42"]
+    data = pdf.build_text_pdf(lines, compress=compress)
+    assert data.startswith(b"%PDF-1.4")
+    img = pdf.pdf_to_image(data)
+    assert img.shape == (792, 612)
+    r = ocr_image(img, OCRConfig())
+    assert r.text == "\n".join(lines)
+
+
+@pytest.mark.parametrize("filter_", ["raw", "flate", "dct"])
+def test_image_pdf_returns_embedded_page(filter_):
+    page, drawn = font5x7.render_page(["SCANNED PAGE IMG"], 480, 96, 2)
+    data = pdf.build_image_pdf(page, filter_=filter_)
+    img = pdf.pdf_to_image(data)
+    assert img.shape == (96, 480)
+    r = ocr_image(img, OCRConfig())
+    assert r.text == "\n".join(drawn)
+
+
+def test_pdf_route_through_payload_router():
+    data = pdf.build_text_pdf(["ROUTED VIA SNIFF 7"], compress=True)
+    r = extract_payload(data)
+    assert (r.status, r.text) == ("ok", "ROUTED VIA SNIFF 7")
+
+
+def test_legacy_embedded_png_fixture_still_decodes():
+    """Early fixture PDFs embedded a bare PNG stream with no page
+    tree; the fallback path must keep them working."""
+    from ragflow_ocr_spark.kernels import pngcodec
+
+    img, drawn = font5x7.render_page(["LEGACY PDF PAGE"], 480, 96, 2)
+    png = pngcodec.encode_png(img)
+    legacy = b"%PDF-1.4\nstream\n" + png + b"\nendstream\n%%EOF"
+    r = extract_payload(legacy)
+    assert (r.status, r.text) == ("ok", "\n".join(drawn))
+
+
+# ---------------------------------------------------------------- syntax
+def test_string_escapes_and_tj_array():
+    content = rb"BT /F1 24 Tf 40 700 Td [(A\(B\)C) (\134D)] TJ ET"
+    data = pdf.build_text_pdf([])  # template, then splice content
+    # build a page directly: reuse writer objects but custom content
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+    ]
+    img = pdf.pdf_to_image(pdf._assemble(objects))
+    r = ocr_image(img, OCRConfig())
+    # \( \) are literal parens (not in the 5x7 charset → dropped),
+    # \134 is a backslash (dropped); TJ parts concatenate with no
+    # implicit spacing, so A B C D glyphs run together
+    assert r.text == "ABCD"
+    del data
+
+
+def test_indirect_length_and_ref_resolution():
+    content = b"BT /F1 24 Tf 40 700 Td (REF LEN) Tj ET"
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >>",
+        b"<< /Length 5 0 R >>\nstream\n" + content + b"\nendstream",
+        str(len(content)).encode(),
+    ]
+    img = pdf.pdf_to_image(pdf._assemble(objects))
+    r = ocr_image(img, OCRConfig())
+    assert r.text == "REF LEN"
+
+
+# ------------------------------------------------------------ error rows
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"%PDF-1.4\nno objects here\n%%EOF",                       # no objects
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj\n%%EOF",  # no page
+        pdf.build_text_pdf(["X"], compress=True)[:-200],            # truncated
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Page /Contents 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Filter /FlateDecode /Length 4 >>\nstream\nXXXX\nendstream\n"
+        b"endobj\n%%EOF",                                           # bad flate
+    ],
+)
+def test_malformed_pdfs_become_error_rows(payload):
+    r = extract_payload(payload)
+    assert r.status == "error:decode", r.status
+
+
+def test_pdf_mediabox_bomb_rejected():
+    objects = [
+        b"<< /Type /Page /MediaBox [0 0 90000 90000] >>",
+    ]
+    with pytest.raises(ValueError, match="MediaBox"):
+        pdf.pdf_to_image(pdf._assemble(objects))
+
+
+def test_unsupported_filter_rejected():
+    objects = [
+        b"<< /Type /Page /Contents 2 0 R >>",
+        b"<< /Filter /LZWDecode /Length 4 >>\nstream\nXXXX\nendstream",
+    ]
+    with pytest.raises(ValueError, match="filter"):
+        pdf.pdf_to_image(pdf._assemble(objects))
+
+
+def test_flate_image_xobject_exact():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (20, 30, 3)).astype(np.uint8)
+    out = pdf.pdf_to_image(pdf.build_image_pdf(img, filter_="flate"))
+    assert np.array_equal(out, img)  # Flate is lossless
+
+    payload = zlib.compress(img.tobytes())
+    del payload

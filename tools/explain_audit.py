@@ -59,6 +59,10 @@ CHECKS = {
     "media_frame_sample": [
         (r"MapInPandas|ArrowEvalPython|PythonMapInArrow", "vectorized Arrow Python stages (synth + sample)"),
     ],
+    "pdf_extract_docs": [
+        (r"MapInPandas|ArrowEvalPython|PythonMapInArrow", "vectorized Arrow Python stages (pdf synth + extract)"),
+        (r"PushedFilters: \[.*doc_id", "doc_id slice pushed to the parquet scan"),
+    ],
     "sessionize_events": [
         (r"Window", "window function (single shuffle on session key)"),
     ],
