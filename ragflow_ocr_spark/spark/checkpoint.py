@@ -19,7 +19,6 @@ is emitted by ``spark/iceberg_sql.py`` (golden-pinned in
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -99,14 +98,3 @@ class CheckpointStore:
         )
         df.coalesce(1).write.mode("append").parquet(self.table_dir)
 
-    @staticmethod
-    def parse_metrics_rows(metric_rows: list) -> list[dict]:
-        """One dict per TASK PARTITION (``part_id`` — NOT a bucket:
-        under spread/grouping one partition holds rows from several
-        buckets)."""
-        out = []
-        for row in metric_rows:
-            d = json.loads(row["extracted_text"])
-            d["part_id"] = row["part_id"]
-            out.append(d)
-        return out

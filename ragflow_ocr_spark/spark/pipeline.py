@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ragflow_ocr_spark.config import DEFAULT, PipelineConfig
 from ragflow_ocr_spark.spark.checkpoint import CheckpointStore
 from ragflow_ocr_spark.spark.stages import (
-    EXTRACT_METRICS_SCHEMA,
+    EXTRACT_METRICS_BUCKET_SCHEMA,
     EXTRACT_SCHEMA,
     extract_stage,
     extract_stage_with_metrics,
@@ -158,7 +158,7 @@ def run_extract_job(
     n_processed = 0
     try:
         _run_groups(
-            spark, ckpt, groups, pending, bucket_of_url, run_id, n_buckets,
+            spark, ckpt, groups, pending, run_id, n_buckets,
             cfg, fail_buckets, spread, out_root,
         )
         n_processed = sum(len(g) for g in groups)
@@ -177,67 +177,70 @@ def run_extract_job(
 
 
 def _run_groups(
-    spark, ckpt, groups, pending, bucket_of_url, run_id, n_buckets,
+    spark, ckpt, groups, pending, run_id, n_buckets,
     cfg, fail_buckets, spread, out_root,
 ) -> None:
+    import json
+
     for group in groups:
         gdf = pending.where(F.col("bucket").isin([int(b) for b in group]))
         if spread:
             gdf = spread_for_extract(
                 gdf, spark.sparkContext.defaultParallelism, cfg
             )
-        out = gdf.select("url", "warc_ts", "lang", "html").mapInPandas(
-            extract_stage_with_metrics(cfg, run_id), schema=EXTRACT_METRICS_SCHEMA
+        out = gdf.select("url", "warc_ts", "lang", "html", "bucket").mapInPandas(
+            extract_stage_with_metrics(cfg, run_id, with_buckets=True),
+            schema=EXTRACT_METRICS_BUCKET_SCHEMA,
         )
-        # cache: the stage output feeds the data write AND the
-        # per-bucket stats — Python-stage work is the expensive part,
-        # exactly the "materialize shuffle-grade lineage" case
-        out = out.cache()
-        try:
-            data_rows = out.where(F.col("engine") != "_metrics").drop("part_id")
-            (
-                data_rows.withColumn("bucket", bucket_of_url)
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(f"{out_root}/extracted")
-            )
-            metric_rows = out.where(F.col("engine") == "_metrics").collect()
-            stats = CheckpointStore.parse_metrics_rows(metric_rows)
-            # group-granular wall: metrics are per task partition and a
-            # partition mixes buckets under spread/grouping, so the
-            # finest honest attribution is the GROUP's critical-path
-            # wall, recorded on every bucket row of the group
-            wall_ms = max((s["wall_ms"] for s in stats), default=0)
-            per_bucket = (
-                data_rows.withColumn("bucket", bucket_of_url)
-                .groupBy("bucket")
-                .agg(
-                    F.count(F.lit(1)).alias("n_docs"),
-                    F.count(F.when(F.col("status") == "ok", 1)).alias("n_ok"),
-                    F.count(F.when(F.col("status").startswith("empty"), 1)).alias("n_empty"),
-                    F.count(F.when(F.col("status").startswith("error"), 1)).alias(
-                        "n_error"
-                    ),
-                )
-                .collect()
-            )
-            ckpt.mark_done(
-                [
-                    {
-                        "run_id": run_id,
-                        "bucket": r["bucket"],
-                        "n_docs": r["n_docs"],
-                        "n_ok": r["n_ok"],
-                        "n_empty": r["n_empty"],
-                        "n_error": r["n_error"],
-                        "wall_ms": wall_ms,
-                    }
-                    for r in per_bucket
-                ],
-                n_buckets,
-            )
-        finally:
-            out.unpersist()
+        # ONE action on the expensive Python-stage lineage: data rows
+        # AND the per-partition metrics rows (bucket=-1 sentinel) land
+        # in the same partitioned write. The per-bucket counters are
+        # computed inside the stage, so there is no cache and no
+        # second pass over executor-memory-sized text (the old shape
+        # cached the full extract output to serve a groupBy).
+        (
+            out.drop("part_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{out_root}/extracted")
+        )
+        # metrics read-back is a disk read of one tiny partition (the
+        # next group's dynamic overwrite replaces it; read_extracted
+        # filters bucket >= 0)
+        metric_rows = (
+            spark.read.parquet(f"{out_root}/extracted")
+            .where(F.col("bucket") == -1)
+            .select("extracted_text")
+            .collect()
+        )
+        stats = [json.loads(r["extracted_text"]) for r in metric_rows]
+        stats = [s for s in stats if s.get("run_id") == run_id]
+        # group-granular wall: metrics are per task partition and a
+        # partition mixes buckets under spread/grouping, so the
+        # finest honest attribution is the GROUP's critical-path
+        # wall, recorded on every bucket row of the group
+        wall_ms = max((s["wall_ms"] for s in stats), default=0)
+        agg: dict[int, list[int]] = {}
+        for s in stats:
+            for b, c in s.get("buckets", {}).items():
+                acc = agg.setdefault(int(b), [0, 0, 0, 0])
+                for i in range(4):
+                    acc[i] += int(c[i])
+        ckpt.mark_done(
+            [
+                {
+                    "run_id": run_id,
+                    "bucket": b,
+                    "n_docs": c[0],
+                    "n_ok": c[1],
+                    "n_empty": c[2],
+                    "n_error": c[3],
+                    "wall_ms": wall_ms,
+                }
+                for b, c in sorted(agg.items())
+            ],
+            n_buckets,
+        )
         if fail_buckets and set(group) & set(fail_buckets):
             raise RuntimeError(
                 f"injected failure after group containing {sorted(set(group) & set(fail_buckets))}"
@@ -245,4 +248,6 @@ def _run_groups(
 
 
 def read_extracted(spark: SparkSession, out_root: str) -> DataFrame:
-    return spark.read.parquet(f"{out_root}/extracted")
+    # bucket=-1 is the metrics sentinel partition (last group's lineage
+    # rows) — partition-pruned out here, never data
+    return spark.read.parquet(f"{out_root}/extracted").where(F.col("bucket") >= 0)
