@@ -13,6 +13,9 @@ maps that to a per-row error status, never a task failure).
 Scope (documented substitution, like the PNG codec):
 - BMP: 8-bit palette / 24-bit / 32-bit uncompressed (BI_RGB), both
   row orders.
+- GIF: 87a/89a first frame — LZW, global/local color tables,
+  interlacing, extension blocks; the encoder emits single-frame
+  256-color GIF89a for fixtures.
 - TIFF: uncompressed (compression=1), little- or big-endian, gray or
   RGB, chunky, any strip layout.
 - JPEG: baseline sequential DCT (SOF0) AND progressive DCT (SOF2 —
@@ -244,6 +247,200 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if spp == 1:
         return px.reshape(h, w)
     return px.reshape(h, w, 3)
+
+
+# ----------------------------------------------------------------- GIF
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(min_code_size: int, data: bytes, max_out: int) -> bytearray:
+    """GIF LZW (LSB-first packing, CLEAR/EOI codes, 12-bit cap)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total = len(data) * 8
+    while bitpos + code_size <= total:
+        b = bitpos >> 3
+        w = int.from_bytes(data[b : b + 4], "little")
+        code = (w >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and code != eoi and code != clear:
+            entry = table[code]
+            if not entry and code >= clear:
+                raise ValueError("bad GIF LZW code")
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("bad GIF LZW code")
+        out += entry
+        if len(out) > max_out:
+            raise ValueError("GIF LZW output exceeds declared pixels")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out
+
+
+def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for ch in indices:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:  # table full: reset (keeps decoder in lockstep)
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
+    """uint8 gray or ≤256-unique-color RGB → single-frame GIF89a
+    (fixture-side encoder; the decoder handles the general format)."""
+    h, w = img.shape[:2]
+    if img.ndim == 2:
+        palette = np.arange(256, dtype=np.uint8).repeat(3).reshape(256, 3)
+        indices = img
+    else:
+        colors, inv = np.unique(img.reshape(-1, 3), axis=0, return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError("GIF encoder supports at most 256 colors")
+        palette = np.zeros((256, 3), dtype=np.uint8)
+        palette[: len(colors)] = colors
+        indices = inv.astype(np.uint8).reshape(h, w)
+    if interlace:
+        rows = np.concatenate(
+            [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
+        )
+        indices = indices[rows]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global 256-entry table
+    out += palette.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+    out.append(8)  # LZW min code size
+    lzw = _lzw_encode(8, indices.tobytes())
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+@_codec_errors
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF87a/89a first frame → HxW (grayscale palette) or HxWx3 uint8.
+    Handles global/local color tables, interlacing, and extension
+    blocks; animation frames beyond the first are ignored."""
+    if data[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF")
+    sw, sh, flags, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    global_pal = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        global_pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+        _left, _top, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        if not (0 < w and 0 < h and w * h <= MAX_DECODE_PIXELS):
+            raise ValueError("bad GIF dimensions")
+        pal = global_pal
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        if pos >= len(data):
+            raise ValueError("truncated GIF")
+        min_code = data[pos]
+        pos += 1
+        if not (2 <= min_code <= 8):
+            raise ValueError("bad GIF LZW code size")
+        chunks = []
+        while pos < len(data) and data[pos] != 0:
+            ln = data[pos]
+            chunks.append(data[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        idx_bytes = _lzw_decode(min_code, b"".join(chunks), w * h)
+        if len(idx_bytes) < w * h:
+            raise ValueError("short GIF pixel data")
+        idx = np.frombuffer(bytes(idx_bytes[: w * h]), np.uint8).reshape(h, w)
+        if idx.max() >= len(pal):
+            raise ValueError("GIF index out of palette range")
+        if iflags & 0x40:  # deinterlace
+            rows = np.concatenate(
+                [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
+            )
+            un = np.empty_like(idx)
+            un[rows] = idx
+            idx = un
+        rgb = pal[idx]
+        if (rgb[..., 0] == rgb[..., 1]).all() and (rgb[..., 1] == rgb[..., 2]).all():
+            return np.ascontiguousarray(rgb[..., 0])
+        return np.ascontiguousarray(rgb)
+    raise ValueError("GIF has no image block")
 
 
 # ---------------------------------------------------------------- JPEG

@@ -207,7 +207,7 @@ def extract_pdf_payload(data: bytes) -> np.ndarray | None:
         return None
 
 
-IMAGE_KINDS = ("png", "jpeg", "bmp", "tiff", "pdf")
+IMAGE_KINDS = ("png", "jpeg", "gif", "bmp", "tiff", "pdf")
 
 
 def decode_payload_image(data: bytes | None) -> tuple[str, np.ndarray | None]:
@@ -221,11 +221,12 @@ def decode_payload_image(data: bytes | None) -> tuple[str, np.ndarray | None]:
         return kind, extract_pdf_payload(data)
     if kind == "png":
         dec = pngcodec.decode_png
-    elif kind in ("jpeg", "bmp", "tiff"):
+    elif kind in ("jpeg", "gif", "bmp", "tiff"):
         from ragflow_ocr_spark.kernels import imgcodecs
 
         dec = {
             "jpeg": imgcodecs.decode_jpeg,
+            "gif": imgcodecs.decode_gif,
             "bmp": imgcodecs.decode_bmp,
             "tiff": imgcodecs.decode_tiff,
         }[kind]

@@ -3,9 +3,9 @@
 cv2 is unavailable in this environment, so the reference's
 ``cv2.imdecode``/``cv2.imencode`` (``/root/reference/ocr/operators.py:41-46``)
 is replaced by this codec. Scope: 8-bit grayscale (color type 0) and
-8-bit RGB (color type 2), no interlace — exactly what our synthetic
-page images use. Decode handles all five PNG scanline filters so that
-any conforming encoder's output of those color types also decodes.
+8-bit RGB (color type 2), sequential or Adam7-interlaced. Decode
+handles all five PNG scanline filters so that any conforming encoder's
+output of those color types also decodes.
 """
 
 from __future__ import annotations
@@ -29,8 +29,26 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """HW (gray) or HWC-RGB uint8 ndarray → PNG bytes (filter 0)."""
+# Adam7 pass grid: (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = max(0, (w - x0 + dx - 1) // dx)
+        ph = max(0, (h - y0 + dy - 1) // dy)
+        out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """HW (gray) or HWC-RGB uint8 ndarray → PNG bytes (filter 0).
+    ``interlace=True`` emits Adam7 (fixture-side: real crawl PNGs use
+    it; decode handles both)."""
     if img.dtype != np.uint8:
         raise ValueError("encode_png expects uint8")
     if img.ndim == 2:
@@ -40,12 +58,25 @@ def encode_png(img: np.ndarray) -> bytes:
     else:
         raise ValueError(f"unsupported shape {img.shape}")
     h, w = img.shape[:2]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = img.reshape(h, w * channels)
-    # filter byte 0 (None) per scanline
-    scanlines = np.concatenate(
-        [np.zeros((h, 1), dtype=np.uint8), raw], axis=1
-    ).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
+    if not interlace:
+        raw = img.reshape(h, w * channels)
+        # filter byte 0 (None) per scanline
+        scanlines = np.concatenate(
+            [np.zeros((h, 1), dtype=np.uint8), raw], axis=1
+        ).tobytes()
+    else:
+        px = img.reshape(h, w, channels)
+        parts = []
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
+            if not pw or not ph:
+                continue
+            sub = px[y0::dy, x0::dx].reshape(ph, pw * channels)
+            parts.append(
+                np.concatenate([np.zeros((ph, 1), dtype=np.uint8), sub], axis=1)
+                .tobytes()
+            )
+        scanlines = b"".join(parts)
     idat = zlib.compress(scanlines, level=6)
     return (
         PNG_MAGIC
@@ -114,8 +145,8 @@ def decode_png(data: bytes) -> np.ndarray:
             width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if interlace:
-                raise ValueError("interlaced PNG unsupported")
+            if interlace not in (0, 1):
+                raise ValueError("bad PNG interlace method")
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
@@ -132,7 +163,13 @@ def decode_png(data: bytes) -> np.ndarray:
     if width == 0 or height == 0 or width * height > MAX_DECODE_PIXELS:
         raise ValueError("bad PNG dimensions")
     stride = width * channels
-    expected = height * (stride + 1)
+    if interlace:
+        passes = _adam7_passes(width, height)
+        expected = sum(
+            ph * (1 + pw * channels) for _x, _y, _dx, _dy, pw, ph in passes if pw and ph
+        )
+    else:
+        expected = height * (stride + 1)
     d = zlib.decompressobj()
     try:
         inflated = d.decompress(bytes(idat), expected)
@@ -140,9 +177,29 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"bad PNG deflate stream: {e}") from e
     if d.unconsumed_tail or not d.eof:
         raise ValueError("bad PNG payload size")
-    raw = np.frombuffer(inflated, dtype=np.uint8)
-    if raw.size != expected:
+    if len(inflated) != expected:
         raise ValueError("bad PNG payload size")
+    if interlace:
+        # Adam7: 7 independently-filtered sub-images, scattered back
+        # onto the (dy, dx) grid of each pass
+        img = np.zeros((height, width, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            if not pw or not ph:
+                continue
+            sub_stride = pw * channels
+            nbytes = ph * (1 + sub_stride)
+            raw = np.frombuffer(inflated, np.uint8, nbytes, off).reshape(
+                ph, 1 + sub_stride
+            )
+            off += nbytes
+            if not raw[:, 0].any():
+                sub = raw[:, 1:].copy()
+            else:
+                sub = _unfilter(raw, ph, sub_stride, channels)
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+        return img.reshape(height, width) if channels == 1 else img
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     raw = raw.reshape(height, stride + 1)
     # Fast path: no filtering anywhere (our own encoder's output).
     if not raw[:, 0].any():
@@ -157,8 +214,8 @@ def decode_png(data: bytes) -> np.ndarray:
 def sniff_payload(data: bytes | None) -> str:
     """Magic-byte payload router (SURVEY.md §2.2 F10).
 
-    Returns one of: 'null', 'png', 'jpeg', 'bmp', 'tiff', 'pdf',
-    'html'. The reference routes by file extension at the CLI
+    Returns one of: 'null', 'png', 'jpeg', 'gif', 'bmp', 'tiff',
+    'pdf', 'html'. The reference routes by file extension at the CLI
     (``/root/reference/examples/batch_processing.py:28``, globbing
     ``*.jpg/.png/.bmp/.tiff``); content sniffing is the scale-safe
     equivalent.
@@ -169,6 +226,8 @@ def sniff_payload(data: bytes | None) -> str:
         return "png"
     if data.startswith(b"\xff\xd8"):
         return "jpeg"
+    if data.startswith(b"GIF87a") or data.startswith(b"GIF89a"):
+        return "gif"
     if data.startswith(b"II*\x00") or data.startswith(b"MM\x00*"):
         return "tiff"
     # 'BM' alone would misroute HTML that happens to start with "BM";

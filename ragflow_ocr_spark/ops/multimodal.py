@@ -96,11 +96,12 @@ def decode_image(payload: bytes, codec: str) -> np.ndarray:
     kind = pngcodec.sniff_payload(payload)
     if codec == "png" or kind == "png":
         return pngcodec.decode_png(payload)
-    if kind in ("jpeg", "bmp", "tiff"):
+    if kind in ("jpeg", "gif", "bmp", "tiff"):
         from ragflow_ocr_spark.kernels import imgcodecs
 
         return {
             "jpeg": imgcodecs.decode_jpeg,
+            "gif": imgcodecs.decode_gif,
             "bmp": imgcodecs.decode_bmp,
             "tiff": imgcodecs.decode_tiff,
         }[kind](payload)
@@ -392,12 +393,16 @@ def _doc_ids(spark, sf_dir: str, limit: int):
 
 
 def q_media_image_stats(spark, sf_dir: str):
-    """Even doc_ids: two-tone PNG (exact mean/std closed form). Odd
-    doc_ids: PROGRESSIVE JPEG (SOF2) of a constant-value image — the
-    value is 128 + 3k so the quality-90 luma DC quantizer (q00=3)
-    divides the DC coefficient exactly and the decode is lossless,
-    keeping the oracle in closed form while the Spark side runs the
-    real multi-scan progressive decode path."""
+    """Codec-mix families keyed by doc_id (every family's decoded
+    stats stay in closed form, so the DuckDB oracle is exact while the
+    Spark side runs the REAL decoders):
+    - id % 2 == 0: two-tone PNG (Adam7-interlaced for id % 4 == 0 —
+      interlacing is lossless, same closed form);
+    - id % 4 == 1: PROGRESSIVE JPEG (SOF2) of a constant-value image
+      whose value is 128 + 3k so the quality-90 luma DC quantizer
+      (q00=3) divides the DC coefficient exactly → lossless decode
+      through the real multi-scan path;
+    - id % 4 == 3: two-tone GIF (LZW is lossless)."""
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ragflow_ocr_spark.kernels import imgcodecs
@@ -412,14 +417,21 @@ def q_media_image_stats(spark, sf_dir: str):
                     img = np.empty((48, 64), dtype=np.uint8)
                     img[:, :32] = a
                     img[:, 32:] = v
-                    rows.append(
-                        (did, "image", pngcodec.encode_png(img), "png", 64, 48, 0)
-                    )
-                else:
+                    payload = pngcodec.encode_png(img, interlace=did % 4 == 0)
+                    rows.append((did, "image", payload, "png", 64, 48, 0))
+                elif did % 4 == 1:
                     v = 128 + 3 * ((did * 5 + 7) % 42 - 21)
                     img = np.full((48, 64), v, dtype=np.uint8)
                     payload = imgcodecs.encode_jpeg_progressive(img, quality=90)
                     rows.append((did, "image", payload, "jpeg", 64, 48, 0))
+                else:
+                    a = did % 256
+                    v = (did * 7 + 13) % 256
+                    img = np.empty((48, 64), dtype=np.uint8)
+                    img[:, :32] = a
+                    img[:, 32:] = v
+                    payload = imgcodecs.encode_gif(img, interlace=True)
+                    rows.append((did, "image", payload, "gif", 64, 48, 0))
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "kind", "payload", "meta_codec", "meta_w", "meta_h", "meta_sr"],
@@ -431,13 +443,14 @@ def q_media_image_stats(spark, sf_dir: str):
 
 ORACLE_IMAGE_STATS = f"""
 SELECT doc_id AS media_id, 64 AS width, 48 AS height,
-       ROUND(CASE WHEN doc_id % 2 = 0
-             THEN ((doc_id % 256) + ((doc_id * 7 + 13) % 256)) / 2.0
-             ELSE CAST(128 + 3 * ((doc_id * 5 + 7) % 42 - 21) AS DOUBLE)
+       ROUND(CASE WHEN doc_id % 4 = 1
+             THEN CAST(128 + 3 * ((doc_id * 5 + 7) % 42 - 21) AS DOUBLE)
+             ELSE ((doc_id % 256) + ((doc_id * 7 + 13) % 256)) / 2.0
              END, 6) AS mean_luma,
-       ROUND(CASE WHEN doc_id % 2 = 0
-             THEN ABS((doc_id % 256) - ((doc_id * 7 + 13) % 256)) / 2.0
-             ELSE 0.0 END, 6) AS std_luma,
+       ROUND(CASE WHEN doc_id % 4 = 1
+             THEN 0.0
+             ELSE ABS((doc_id % 256) - ((doc_id * 7 + 13) % 256)) / 2.0
+             END, 6) AS std_luma,
        'ok' AS status
 FROM documents WHERE doc_id < {_IMG_LIMIT}
 """

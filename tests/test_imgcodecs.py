@@ -257,6 +257,53 @@ def test_crafted_crash_payloads_become_error_rows():
         assert r.status.startswith("error"), r.status
 
 
+# ------------------------------------------------------------------ GIF
+def test_gif_roundtrip_gray_and_interlaced():
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (33, 47)).astype(np.uint8)
+    for interlace in (False, True):
+        dec = ic.decode_gif(ic.encode_gif(img, interlace=interlace))
+        assert np.array_equal(dec, img)
+
+
+def test_gif_roundtrip_rgb_palette():
+    rng = np.random.default_rng(22)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    img = pal[rng.integers(0, 16, (25, 31))]
+    dec = ic.decode_gif(ic.encode_gif(img))
+    assert np.array_equal(dec, img)
+
+
+def test_gif_ocr_roundtrip_via_router():
+    img, drawn = font5x7.render_page(["GIF PAYLOAD PAGE 3"], 960, 96, 2)
+    payload = ic.encode_gif(img)
+    assert pngcodec.sniff_payload(payload) == "gif"
+    r = extract_payload(payload)
+    assert (r.status, r.text) == ("ok", "\n".join(drawn))
+
+
+def test_gif_malformed_is_error_row():
+    for bad in (b"GIF89a", b"GIF89a" + b"\x00" * 24, b"GIF87a" + b"\xff" * 40):
+        r = extract_payload(bad)
+        assert r.status == "error:decode", r.status
+    # LZW stream shorter than declared pixels
+    good = bytearray(ic.encode_gif(np.zeros((8, 8), np.uint8)))
+    trunc = bytes(good[:-6]) + b"\x00\x3b"
+    r = extract_payload(trunc)
+    assert r.status == "error:decode"
+
+
+def test_interlaced_png_roundtrip_and_router():
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (40, 60, 3)).astype(np.uint8)
+    assert np.array_equal(
+        pngcodec.decode_png(pngcodec.encode_png(img, interlace=True)), img
+    )
+    page, drawn = font5x7.render_page(["ADAM7 PAGE OK"], 960, 96, 2)
+    r = extract_payload(pngcodec.encode_png(page, interlace=True))
+    assert (r.status, r.text) == ("ok", "\n".join(drawn))
+
+
 # ------------------------------------------------------ progressive JPEG
 @pytest.mark.parametrize("rgb,subsample", [(False, False), (True, False), (True, True)])
 def test_progressive_jpeg_decodes_bit_identical_to_baseline(rgb, subsample):
