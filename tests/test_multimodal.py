@@ -125,10 +125,15 @@ def test_contract_queries_match_analytic_truth(spark):
 
     rows = {r["media_id"]: r for r in mm.q_media_image_stats(spark, sf).collect()}
     for did, r in rows.items():
-        a, v = did % 256, (did * 7 + 13) % 256
         assert (r["width"], r["height"]) == (64, 48)
-        assert r["mean_luma"] == round((a + v) / 2.0, 6)
-        assert r["std_luma"] == round(abs(a - v) / 2.0, 6)
+        if did % 4 == 1:  # progressive-JPEG constant-value family
+            v = 128 + 3 * ((did * 5 + 7) % 42 - 21)
+            assert r["mean_luma"] == float(v)
+            assert r["std_luma"] == 0.0
+        else:  # two-tone PNG (even, Adam7 for %4==0) / GIF (%4==3)
+            a, v = did % 256, (did * 7 + 13) % 256
+            assert r["mean_luma"] == round((a + v) / 2.0, 6)
+            assert r["std_luma"] == round(abs(a - v) / 2.0, 6)
         assert r["status"] == "ok"
 
     rows = {r["media_id"]: r for r in mm.q_media_audio_features(spark, sf).collect()}
