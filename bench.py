@@ -82,9 +82,12 @@ def run_headline(queries: dict) -> dict[str, float]:
     for name in HEADLINE:
         fn = queries[name]
         best = None
-        # min of 2 runs: this host shows intermittent fault-storm noise
-        # (one run can be 10× slower); min measures query capability
-        for _ in range(2):
+        # one untimed warm pass + min of 2 timed runs: this host shows
+        # intermittent fault-storm noise (one run can be 10× slower)
+        # and heavy-codegen queries (128-column minhash agg) pay a
+        # one-off C2-JIT cost that read as a 3× "slowdown" in one
+        # recorded round; warm-first measures query capability
+        for i in range(3):
             t0 = time.monotonic()
             df = fn(spark, SF_DIR)
             # noop sink: computes EVERY output column. A count() here
@@ -93,7 +96,8 @@ def run_headline(queries: dict) -> dict[str, float]:
             # text_quality reduces to an empty Project over the scan)
             df.write.format("noop").mode("overwrite").save()
             dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
+            if i > 0:
+                best = dt if best is None else min(best, dt)
         n = fn(spark, SF_DIR).count()  # row count for display only
         out[name] = round(best, 3)
         print(f"# {name}: {out[name]}s ({n} rows)", file=sys.stderr)

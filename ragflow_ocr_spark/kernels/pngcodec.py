@@ -2,10 +2,11 @@
 
 cv2 is unavailable in this environment, so the reference's
 ``cv2.imdecode``/``cv2.imencode`` (``/root/reference/ocr/operators.py:41-46``)
-is replaced by this codec. Scope: 8-bit grayscale (color type 0) and
-8-bit RGB (color type 2), sequential or Adam7-interlaced. Decode
-handles all five PNG scanline filters so that any conforming encoder's
-output of those color types also decodes.
+is replaced by this codec. Decode scope: 8-bit color types 0 (gray),
+2 (RGB), 3 (palette, PLTE), 4 (gray+alpha) and 6 (RGBA) — alpha is
+dropped like ``cv2.IMREAD_COLOR`` does — sequential or
+Adam7-interlaced, all five scanline filters; the encoder emits types
+0/2. Any conforming encoder's 8-bit output decodes.
 """
 
 from __future__ import annotations
@@ -133,6 +134,7 @@ def decode_png(data: bytes) -> np.ndarray:
     width = height = None
     color_type = bit_depth = None
     idat = bytearray()
+    plte: bytes | None = None
     n = len(data)
     while pos + 8 <= n:
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -147,15 +149,23 @@ def decode_png(data: bytes) -> np.ndarray:
             )
             if interlace not in (0, 1):
                 raise ValueError("bad PNG interlace method")
+        elif tag == b"PLTE":
+            if len(payload) % 3 or not (3 <= len(payload) <= 768):
+                raise ValueError("bad PNG PLTE chunk")
+            plte = payload
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
             break
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT")
-    if bit_depth != 8 or color_type not in (0, 2):
+    if bit_depth != 8 or color_type not in (0, 2, 3, 4, 6):
         raise ValueError(f"unsupported PNG (depth={bit_depth}, color={color_type})")
-    channels = 1 if color_type == 0 else 3
+    # raw channel count per color type; alpha is dropped after
+    # unfiltering (cv2.IMREAD_COLOR semantics), palette expanded via PLTE
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    if color_type == 3 and plte is None:
+        raise ValueError("paletted PNG missing PLTE")
     # decompression-bomb guard (untrusted crawl payloads): validate the
     # declared pixel count BEFORE inflating, and bound the inflate to
     # exactly the expected bytes — a ~1 MB PNG declaring 30000×30000
@@ -198,17 +208,31 @@ def decode_png(data: bytes) -> np.ndarray:
             else:
                 sub = _unfilter(raw, ph, sub_stride, channels)
             img[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
-        return img.reshape(height, width) if channels == 1 else img
-    raw = np.frombuffer(inflated, dtype=np.uint8)
-    raw = raw.reshape(height, stride + 1)
-    # Fast path: no filtering anywhere (our own encoder's output).
-    if not raw[:, 0].any():
-        out = raw[:, 1:].copy()
     else:
-        out = _unfilter(raw, height, stride, channels)
+        raw = np.frombuffer(inflated, dtype=np.uint8)
+        raw = raw.reshape(height, stride + 1)
+        # Fast path: no filtering anywhere (our own encoder's output).
+        if not raw[:, 0].any():
+            out = raw[:, 1:].copy()
+        else:
+            out = _unfilter(raw, height, stride, channels)
+        img = out.reshape(height, width, channels)
+    if color_type == 3:
+        idx = img.reshape(height, width)
+        if int(idx.max()) * 3 + 2 >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        rgb = pal[idx]
+        if (rgb[..., 0] == rgb[..., 1]).all() and (rgb[..., 1] == rgb[..., 2]).all():
+            return np.ascontiguousarray(rgb[..., 0])
+        return np.ascontiguousarray(rgb)
+    if color_type == 4:  # gray+alpha → gray
+        return np.ascontiguousarray(img[..., 0])
+    if color_type == 6:  # RGBA → RGB
+        return np.ascontiguousarray(img[..., :3])
     if channels == 1:
-        return out.reshape(height, width)
-    return out.reshape(height, width, 3)
+        return img.reshape(height, width)
+    return img
 
 
 def sniff_payload(data: bytes | None) -> str:

@@ -28,6 +28,47 @@ def test_png_roundtrip_rgb():
     assert np.array_equal(pngcodec.decode_png(pngcodec.encode_png(img)), img)
 
 
+def _png_with(color_type, px, extra_chunks=()):
+    import struct
+    import zlib
+
+    h = px.shape[0]
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    w = px.reshape(h, -1).shape[1] // ch
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = pngcodec.PNG_MAGIC + pngcodec._chunk(b"IHDR", ihdr)
+    for tag, payload in extra_chunks:
+        out += pngcodec._chunk(tag, payload)
+    rows = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return out + pngcodec._chunk(b"IDAT", zlib.compress(rows)) + pngcodec._chunk(b"IEND", b"")
+
+
+def test_png_rgba_and_gray_alpha_drop_alpha():
+    rng = np.random.default_rng(31)
+    px = rng.integers(0, 256, (9, 14, 4)).astype(np.uint8)
+    dec = pngcodec.decode_png(_png_with(6, px))
+    assert dec.shape == (9, 14, 3) and np.array_equal(dec, px[..., :3])
+    px2 = rng.integers(0, 256, (9, 14, 2)).astype(np.uint8)
+    dec = pngcodec.decode_png(_png_with(4, px2))
+    assert dec.shape == (9, 14) and np.array_equal(dec, px2[..., 0])
+
+
+def test_png_palette_decode_and_guards():
+    rng = np.random.default_rng(32)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (9, 14)).astype(np.uint8)
+    dec = pngcodec.decode_png(_png_with(3, idx, [(b"PLTE", pal.tobytes())]))
+    assert dec.shape == (9, 14, 3) and np.array_equal(dec, pal[idx])
+    # gray palette collapses to a gray plane (router feeds OCR gray)
+    gpal = np.repeat(np.arange(16, dtype=np.uint8) * 16, 3).reshape(16, 3)
+    dec = pngcodec.decode_png(_png_with(3, idx, [(b"PLTE", gpal.tobytes())]))
+    assert dec.shape == (9, 14) and np.array_equal(dec, gpal[idx][..., 0])
+    with pytest.raises(ValueError):  # missing PLTE
+        pngcodec.decode_png(_png_with(3, idx))
+    with pytest.raises(ValueError):  # index beyond palette
+        pngcodec.decode_png(_png_with(3, idx, [(b"PLTE", pal[:4].tobytes())]))
+
+
 def test_png_rejects_garbage():
     with pytest.raises(ValueError):
         pngcodec.decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk")
