@@ -86,6 +86,23 @@ def stream_extract_availablenow(
     return q
 
 
+def dedup_pages_stream(pages: DataFrame, watermark: str = "24 hours") -> DataFrame:
+    """First-seen-wins streaming URL dedup ahead of the (expensive)
+    extract stage: re-crawled / re-delivered pages arriving within the
+    watermark horizon are dropped before any payload bytes are decoded.
+
+    ``dropDuplicatesWithinWatermark`` is the bounded-state idiom: the
+    per-url state row is evicted once event time passes url's first
+    sighting + watermark, so state is sized by the churn window, not
+    by corpus history (plain ``dropDuplicates`` on a stream would grow
+    state forever at crawl scale). Cross-horizon dedup belongs to the
+    batch layer (``dedup_url_canonical`` / ``dedup_exact``).
+    """
+    return pages.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+
+
 def stream_metrics_query(
     extracted: DataFrame,
     window: str = "1 hour",

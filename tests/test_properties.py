@@ -38,7 +38,24 @@ _MAGICS = [
     b"II*\x00",
     b"MM\x00*",
     b"%PDF-1.4\n",
+    b"GIF89a",
+    b"GIF87a",
 ]
+
+
+@given(st.binary(max_size=768))
+@settings(max_examples=120, deadline=None)
+def test_pdf_parser_structured_fuzz_never_raises_through_router(tail):
+    """Seed the fuzz with real PDF syntax fragments so the object
+    parser, dict tokenizer and content interpreter are actually
+    reached (pure random bytes die at the %PDF check)."""
+    payload = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Page /Contents 2 0 R >>\nendobj\n"
+        b"2 0 obj\n" + tail
+    )
+    r = extract_payload(payload)
+    assert r.status
+    assert (r.text is None) == r.status.startswith("error")
 
 
 @given(st.sampled_from(_MAGICS), st.binary(max_size=512))

@@ -163,3 +163,40 @@ def test_stateful_running_totals_survive_restart(spark, tmp_path):
     )
     want = {r["user_id"]: (r["n"], r["t"]) for r in truth}
     assert collected == want
+
+
+def test_streaming_url_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: re-delivered urls inside the
+    horizon are dropped (first-seen-wins) BEFORE the extract stage;
+    each url extracts exactly once."""
+    import pandas as pd
+
+    from ragflow_ocr_spark.streaming.stream_extract import (
+        dedup_pages_stream,
+        extract_stream,
+        read_pages_stream,
+    )
+
+    inp = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = synth.pages_df(spark, 30, partitions=2)
+    base.write.mode("append").parquet(inp)
+    # re-deliver the same 30 urls (same warc_ts → inside any horizon)
+    base.write.mode("append").parquet(inp)
+
+    pages = dedup_pages_stream(read_pages_stream(spark, inp), watermark="24 hours")
+    out = extract_stream(pages)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", outp)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(outp)
+    assert got.count() == 30
+    assert got.select("url").distinct().count() == 30
