@@ -207,7 +207,7 @@ def extract_pdf_payload(data: bytes) -> np.ndarray | None:
         return None
 
 
-IMAGE_KINDS = ("png", "jpeg", "gif", "bmp", "tiff", "pdf")
+IMAGE_KINDS = ("png", "jpeg", "gif", "webp", "bmp", "tiff", "pdf")
 
 
 def decode_payload_image(data: bytes | None) -> tuple[str, np.ndarray | None]:
@@ -221,6 +221,10 @@ def decode_payload_image(data: bytes | None) -> tuple[str, np.ndarray | None]:
         return kind, extract_pdf_payload(data)
     if kind == "png":
         dec = pngcodec.decode_png
+    elif kind == "webp":
+        from ragflow_ocr_spark.kernels import webp
+
+        dec = webp.decode_webp
     elif kind in ("jpeg", "gif", "bmp", "tiff"):
         from ragflow_ocr_spark.kernels import imgcodecs
 
@@ -235,6 +239,10 @@ def decode_payload_image(data: bytes | None) -> tuple[str, np.ndarray | None]:
     try:
         return kind, dec(data)
     except ValueError:
+        return kind, None
+    except NotImplementedError:
+        # lossy-WebP seam: decodable container, unbundled codec —
+        # same per-row error surface as any decode failure here
         return kind, None
 
 

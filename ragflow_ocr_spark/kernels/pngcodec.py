@@ -238,8 +238,8 @@ def decode_png(data: bytes) -> np.ndarray:
 def sniff_payload(data: bytes | None) -> str:
     """Magic-byte payload router (SURVEY.md §2.2 F10).
 
-    Returns one of: 'null', 'png', 'jpeg', 'gif', 'bmp', 'tiff',
-    'pdf', 'html'. The reference routes by file extension at the CLI
+    Returns one of: 'null', 'png', 'jpeg', 'gif', 'webp', 'bmp',
+    'tiff', 'pdf', 'html'. The reference routes by file extension at the CLI
     (``/root/reference/examples/batch_processing.py:28``, globbing
     ``*.jpg/.png/.bmp/.tiff``); content sniffing is the scale-safe
     equivalent.
@@ -252,6 +252,8 @@ def sniff_payload(data: bytes | None) -> str:
         return "jpeg"
     if data.startswith(b"GIF87a") or data.startswith(b"GIF89a"):
         return "gif"
+    if data.startswith(b"RIFF") and data[8:12] == b"WEBP":
+        return "webp"
     if data.startswith(b"II*\x00") or data.startswith(b"MM\x00*"):
         return "tiff"
     # 'BM' alone would misroute HTML that happens to start with "BM";

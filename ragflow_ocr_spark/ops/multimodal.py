@@ -2,10 +2,13 @@
 metadata, processed by iterator ``mapInPandas`` stages.
 
 Container/codec reality in this sandbox (no PIL/cv2/ffmpeg):
-- **image**: PNG, baseline JPEG, BMP, and uncompressed TIFF all decode
-  for real (kernels/pngcodec + kernels/imgcodecs); genuinely unbundled
-  codecs (webp, ...) surface as per-row ``error:unsupported_codec`` —
-  the production build swaps the decoder, nothing else changes.
+- **image**: PNG (incl. Adam7/palette/alpha), JPEG (baseline +
+  progressive), GIF, BMP, uncompressed TIFF, and lossless WebP (VP8L,
+  kernels/webp) all decode for real (kernels/pngcodec +
+  kernels/imgcodecs); the remaining genuinely unbundled codec — lossy
+  WebP's VP8 video frame — surfaces as per-row
+  ``error:unsupported_codec``; the production build swaps the decoder,
+  nothing else changes.
 - **audio**: raw PCM s16le payloads AND real RIFF/WAV PCM16 containers
   (kernels/wavcodec) — RMS / zero-crossing / peak features are real.
 - **video**: MOCKV1 (deterministic synth container) and real RIFF
@@ -96,6 +99,12 @@ def decode_image(payload: bytes, codec: str) -> np.ndarray:
     kind = pngcodec.sniff_payload(payload)
     if codec == "png" or kind == "png":
         return pngcodec.decode_png(payload)
+    if kind == "webp":
+        from ragflow_ocr_spark.kernels import webp as webpmod
+
+        # lossless VP8L decodes; lossy VP8 raises NotImplementedError →
+        # callers map it to error:unsupported_codec (the narrowed seam)
+        return webpmod.decode_webp(payload)
     if kind in ("jpeg", "gif", "bmp", "tiff"):
         from ragflow_ocr_spark.kernels import imgcodecs
 

@@ -69,7 +69,19 @@ def test_codec_routes_are_row_errors_not_task_failures(spark):
         [
             (1, "image", bytearray(good_jpeg), "jpeg", 24, 16, 0),
             (2, "image", bytearray(b"\xff\xd8\xff\xe0jpeg"), "jpeg", 0, 0, 0),
-            (3, "image", bytearray(b"RIFFxxxxWEBPVP8 "), "webp", 0, 0, 0),
+            # well-formed container whose codec chunk is lossy VP8 —
+            # the one remaining unbundled image codec (VP8L decodes)
+            (
+                3,
+                "image",
+                bytearray(
+                    b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00"
+                ),
+                "webp",
+                0,
+                0,
+                0,
+            ),
         ],
         mm.MEDIA_SCHEMA,
     )

@@ -40,6 +40,7 @@ _MAGICS = [
     b"%PDF-1.4\n",
     b"GIF89a",
     b"GIF87a",
+    b"RIFF\x10\x00\x00\x00WEBPVP8L",
 ]
 
 

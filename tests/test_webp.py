@@ -1,0 +1,105 @@
+"""kernels/webp.py — lossless WebP (VP8L): prefix codes, LZ77 through
+the distance map, transforms (subtract-green, predictor, color
+indexing with sub-byte bundling), container routing, and the
+lossy-VP8 seam staying a per-row error."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from ragflow_ocr_spark.kernels import font5x7, pngcodec, webp
+from ragflow_ocr_spark.kernels.ocr_pipeline import extract_payload
+
+
+def test_roundtrip_gray_literals():
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, (23, 37)).astype(np.uint8)
+    assert np.array_equal(webp.decode_webp(webp.encode_webp(img, rle=False)), img)
+
+
+def test_roundtrip_rgb_with_lz77_runs():
+    rng = np.random.default_rng(42)
+    base = rng.integers(0, 256, (5, 7, 3)).astype(np.uint8)
+    img = np.kron(base, np.ones((4, 5, 1), dtype=np.uint8))
+    assert np.array_equal(webp.decode_webp(webp.encode_webp(img, rle=True)), img)
+
+
+def test_roundtrip_subtract_green_and_predictors():
+    rng = np.random.default_rng(43)
+    img = rng.integers(0, 256, (17, 31, 3)).astype(np.uint8)
+    assert np.array_equal(
+        webp.decode_webp(webp.encode_webp(img, subtract_green=True)), img
+    )
+    for mode in (1, 2, 7):
+        assert np.array_equal(
+            webp.decode_webp(webp.encode_webp(img, predictor_mode=mode)), img
+        ), mode
+    assert np.array_equal(
+        webp.decode_webp(
+            webp.encode_webp(img, subtract_green=True, predictor_mode=2)
+        ),
+        img,
+    )
+
+
+@pytest.mark.parametrize("ncol", [2, 3, 4, 5, 16, 17, 200])
+def test_roundtrip_palette_all_bundling_regimes(ncol):
+    rng = np.random.default_rng(100 + ncol)
+    pal = rng.integers(0, 256, (ncol, 3)).astype(np.uint8)
+    img = pal[rng.integers(0, ncol, (13, 29))]
+    dec = webp.decode_webp(webp.encode_webp(img, palette=True))
+    assert np.array_equal(dec, img)
+
+
+def test_ocr_roundtrip_via_router():
+    img, drawn = font5x7.render_page(["WEBP VP8L PAGE 5"], 960, 96, 2)
+    payload = webp.encode_webp(img)
+    assert pngcodec.sniff_payload(payload) == "webp"
+    r = extract_payload(payload)
+    assert (r.status, r.text) == ("ok", "\n".join(drawn))
+
+
+def test_lossy_vp8_is_seam_error_not_crash():
+    fake_vp8 = b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+    with pytest.raises(NotImplementedError):
+        webp.decode_webp(fake_vp8)
+    r = extract_payload(fake_vp8)  # router converts to per-row error
+    assert r.status == "error:decode"
+
+
+def test_malformed_webp_is_error_row():
+    for bad in (
+        b"RIFF\x00\x00\x00\x00WEBP",  # no chunks
+        b"RIFF" + struct.pack("<I", 20) + b"WEBP" + b"VP8L" + struct.pack("<I", 8) + b"\x00" * 8,  # bad sig
+        webp.encode_webp(np.zeros((8, 8), np.uint8))[:-4],  # truncated
+    ):
+        r = extract_payload(bad)
+        assert r.status == "error:decode", r.status
+
+
+def test_dimension_bomb_rejected():
+    bw = webp._BitWriter()
+    bw.write(0x2F, 8)
+    bw.write((1 << 14) - 1, 14)  # 16384
+    bw.write((1 << 14) - 1, 14)  # x 16384 = 268 Mpix
+    bw.write(0, 1)
+    bw.write(0, 3)
+    with pytest.raises(ValueError, match="too large"):
+        webp.decode_vp8l(bw.done())
+
+
+def test_multimodal_seam_split():
+    """Multimodal decode_image: lossless webp decodes for real; lossy
+    VP8 keeps the unsupported-codec status."""
+    from ragflow_ocr_spark.ops.multimodal import decode_image
+
+    rng = np.random.default_rng(44)
+    img = rng.integers(0, 256, (12, 18)).astype(np.uint8)
+    out = decode_image(webp.encode_webp(img), "webp")
+    assert np.array_equal(out, img)
+    fake_vp8 = b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+    with pytest.raises(NotImplementedError):
+        decode_image(fake_vp8, "webp")
