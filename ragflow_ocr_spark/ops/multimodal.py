@@ -411,7 +411,8 @@ def q_media_image_stats(spark, sf_dir: str):
       whose value is 128 + 3k so the quality-90 luma DC quantizer
       (q00=3) divides the DC coefficient exactly → lossless decode
       through the real multi-scan path;
-    - id % 4 == 3: two-tone GIF (LZW is lossless)."""
+    - id % 8 == 3: two-tone GIF (LZW is lossless);
+    - id % 8 == 7: two-tone lossless WebP (VP8L) — same closed form."""
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ragflow_ocr_spark.kernels import imgcodecs
@@ -439,8 +440,13 @@ def q_media_image_stats(spark, sf_dir: str):
                     img = np.empty((48, 64), dtype=np.uint8)
                     img[:, :32] = a
                     img[:, 32:] = v
-                    payload = imgcodecs.encode_gif(img, interlace=True)
-                    rows.append((did, "image", payload, "gif", 64, 48, 0))
+                    if did % 8 == 3:
+                        payload, codec = imgcodecs.encode_gif(img, interlace=True), "gif"
+                    else:
+                        from ragflow_ocr_spark.kernels import webp as webpmod
+
+                        payload, codec = webpmod.encode_webp(img), "webp"
+                    rows.append((did, "image", payload, codec, 64, 48, 0))
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "kind", "payload", "meta_codec", "meta_w", "meta_h", "meta_sr"],
