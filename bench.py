@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_fast",
+    "dedup_clusters",
     "ann_cosine_topk",
     "embed_near_dup",
     "latest_event_per_user",

@@ -388,6 +388,121 @@ FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 6
 """
 
 
+# ----------------------------------------------------- dedup clustering
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the
+    MinHash+LSH J≥0.5 pair graph, every document labeled with its
+    component's minimum doc_id (singletons label themselves) — the
+    keep-one-per-cluster step real training pipelines run after pair
+    generation.
+
+    Iterative min-label propagation over DataFrames: each round every
+    node takes the min of its own label and its neighbors' labels;
+    convergence in O(component diameter) rounds (near-dup components
+    are dense and shallow — 2-4 rounds in practice; the alternating
+    large-star/small-star variant bounds pathological chains at
+    O(log n) and swaps in here without changing the contract). Per
+    round: one shuffle join on id + one min-agg, both map-side
+    combined; `labels` and the (expensive) pair edges are persisted so
+    iteration i doesn't recompute lineage i times. The per-round
+    driver `count()` reads ONE aggregated number (the convergence
+    check), not data.
+    """
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    docs = _docs(spark, sf_dir).select("doc_id")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    ).persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
+    try:
+        for _ in range(50):
+            neigh = (
+                edges.join(
+                    labels.select(
+                        F.col("doc_id").alias("id_b"),
+                        F.col("label").alias("nlabel"),
+                    ),
+                    "id_b",
+                )
+                .groupBy(F.col("id_a").alias("doc_id"))
+                .agg(F.min("nlabel").alias("nlabel"))
+            )
+            new_labels = (
+                labels.join(neigh, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                    ).alias("label"),
+                    (F.col("nlabel") < F.col("label")).alias("_chg"),
+                )
+            ).persist()
+            changed = new_labels.where(F.col("_chg")).count()
+            labels.unpersist()
+            labels = new_labels.select("doc_id", "label").persist()
+            new_labels.unpersist()
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError("dedup_clusters did not converge in 50 rounds")
+        # materialize the final labels cache so the caller's reads hit
+        # the cache, never a replay of the whole iteration lineage —
+        # then the edge cache can be dropped. The final labels stay
+        # persisted (2 long columns) for the caller; NO driver-side
+        # collect of data (the only collects above are the one-row
+        # convergence counters).
+        labels.count()
+        return labels.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("label").cast("bigint").alias("cluster_id"),
+        )
+    finally:
+        edges.unpersist()
+
+
+# recursive-CTE oracle: cluster id = min doc_id reachable in the
+# (symmetric) J≥0.5 pair graph; edge set = the exact-Jaccard pair SQL
+# (valid for the same reason ORACLE_NGRAM checks the minhash query:
+# candidates are exact-verified and band recall at J≥0.5 ≈ 1)
+ORACLE_CLUSTERS = (
+    """
+WITH RECURSIVE sh AS (
+  SELECT doc_id, UNNEST(list_distinct([
+           w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+           FOR i IN RANGE(1, len(w) - 1)])) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS j
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b)
+  WHERE j >= 0.5
+), edges AS (
+  SELECT id_a, id_b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.id_b FROM reach r JOIN edges e ON e.id_a = r.node
+)
+SELECT CAST(src AS BIGINT) AS doc_id, CAST(MIN(node) AS BIGINT) AS cluster_id
+FROM reach GROUP BY src
+"""
+)
+
+
 def _q_dedup_simhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_dedup_simhash(spark, sf_dir, hash_family="md5")
 
@@ -400,4 +515,5 @@ QUERIES = {
     # the production xxhash64 default is the rows-only _fast entry
     "dedup_simhash": (_q_dedup_simhash_oracle, _oracle_simhash()),
     "dedup_simhash_fast": (q_dedup_simhash, None),
+    "dedup_clusters": (q_dedup_clusters, ORACLE_CLUSTERS),
 }

@@ -62,3 +62,20 @@ def test_simhash_fast_plan_uses_xxhash64_not_md5(spark):
 def test_simhash_unknown_family_raises(spark):
     with pytest.raises(ValueError, match="hash_family"):
         dedup.q_dedup_simhash(spark, SF, hash_family="sha1")
+
+
+def test_dedup_clusters_groups_duplicates_and_labels_singletons(spark, dup_dir):
+    sf_dir, pairs = dup_dir
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in dedup.q_dedup_clusters(spark, sf_dir).collect()
+    }
+    # every doc labeled exactly once
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(labels) == n_docs
+    # each duplicated doc shares its clone's cluster, labeled by min id
+    for orig, clone in pairs:
+        assert labels[orig] == labels[clone] == min(orig, clone)
+    # labels are component minima: a cluster id always labels itself
+    for cid in set(labels.values()):
+        assert labels[cid] == cid

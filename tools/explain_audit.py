@@ -52,6 +52,9 @@ CHECKS = {
     "dedup_simhash": [
         (r"HashAggregate", "map-side partial aggregation of the 60 vote columns"),
     ],
+    "dedup_clusters": [
+        (r"InMemoryTableScan", "iterative fixpoint served from the materialized cache, not a lineage replay"),
+    ],
     "dedup_simhash_fast": [
         (r"HashAggregate", "map-side partial aggregation of the 60 vote columns"),
         (r"xxhash64", "production token-hash family (one JVM call, no md5/conv chain)"),
