@@ -51,6 +51,7 @@ HEADLINE = [
     "top_bigrams",
     "ann_ivf",
     "text_quality",
+    "lm_quality",
     "token_count_bpe",
     "fingerprint",
     "fingerprint_winnow",

@@ -309,8 +309,82 @@ GROUP BY doc_id, lang
 """
 
 
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score: average log-probability of each
+    document under a character-bigram model TRAINED ON THE CORPUS
+    ITSELF — the relational analogue of the KenLM-perplexity filters
+    production pipelines run (low score = unlike the corpus:
+    gibberish, boilerplate soup, wrong-language residue).
+
+    Two passes, both fully relational:
+    1. model: corpus bigram counts / context counts (MLE — every
+       document bigram was observed, so no zero probabilities);
+    2. score: per-doc AVG(ln p(c2|c1)) over its bigrams.
+    The model tables are alphabet², tiny at ANY corpus size → the
+    score join broadcasts; the explode shuffles only distinct
+    (doc, bigram) rows after map-side combine."""
+    d = _docs(spark, sf_dir)
+    bi = (
+        d.where(F.length("text") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("text") - 1)).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr("substring(text, i, 2)").alias("bg"))
+    )
+    doc_bi = bi.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    model_bi = doc_bi.groupBy("bg").agg(F.sum("c").alias("bc"))
+    model_ctx = (
+        model_bi.groupBy(F.substring("bg", 1, 1).alias("c1"))
+        .agg(F.sum("bc").alias("cc"))
+    )
+    model = F.broadcast(
+        model_bi.withColumn("c1", F.substring("bg", 1, 1)).join(model_ctx, "c1")
+    )
+    scored = (
+        doc_bi.join(model.select("bg", "bc", "cc"), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.col("c") * F.log(F.col("bc") / F.col("cc").cast("double"))
+                )
+                / F.sum("c").cast("double"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+    return scored
+
+
+ORACLE_LM_QUALITY = """
+WITH bi AS (
+  SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS bg
+  FROM documents, UNNEST(RANGE(1, LENGTH(text))) AS t(i)
+  WHERE LENGTH(text) >= 2
+), doc_bi AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY 1, 2
+), model_bi AS (
+  SELECT bg, SUM(c) AS bc FROM doc_bi GROUP BY bg
+), model_ctx AS (
+  SELECT substr(bg, 1, 1) AS c1, SUM(bc) AS cc FROM model_bi GROUP BY 1
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(c * LN(bc / CAST(cc AS DOUBLE))) / CAST(SUM(c) AS DOUBLE), 6)
+         AS avg_logprob
+FROM doc_bi
+JOIN model_bi USING (bg)
+JOIN model_ctx ON model_ctx.c1 = substr(bg, 1, 1)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_quality": (q_text_quality, ORACLE_QUALITY),
+    "lm_quality": (q_lm_quality, ORACLE_LM_QUALITY),
     "char_entropy": (q_char_entropy, ORACLE_ENTROPY),
     "lang_id": (q_lang_id, ORACLE_LANG),
     "token_count_bpe": (q_token_count_bpe, ORACLE_BPE),

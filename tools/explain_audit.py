@@ -52,6 +52,10 @@ CHECKS = {
     "dedup_simhash": [
         (r"HashAggregate", "map-side partial aggregation of the 60 vote columns"),
     ],
+    "lm_quality": [
+        (r"BroadcastHashJoin", "alphabet²-sized model tables broadcast (doc side never shuffles for the score join)"),
+        (r"HashAggregate", "map-side combined bigram aggregations"),
+    ],
     "dedup_clusters": [
         (r"InMemoryTableScan", "iterative fixpoint served from the materialized cache, not a lineage replay"),
     ],
