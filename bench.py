@@ -52,6 +52,7 @@ HEADLINE = [
     "ann_ivf",
     "text_quality",
     "lm_quality",
+    "repetition_stats",
     "token_count_bpe",
     "fingerprint",
     "fingerprint_winnow",

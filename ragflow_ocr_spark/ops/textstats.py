@@ -309,6 +309,93 @@ GROUP BY doc_id, lang
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition filters: per document, the
+    fraction of word mass in repeated unigrams (1 − distinct/total)
+    and the fraction claimed by the single most frequent word bigram —
+    the two classic "template junk / keyword stuffing" signals.
+
+    Ties for the top bigram are broken by taking MAX(count) (the
+    fraction only needs the count, not the bigram), so the output is
+    deterministic. Aggregations combine map-side; the shuffle carries
+    distinct (doc, gram) rows only."""
+    d = _docs(spark, sf_dir)
+    words = F.split(F.trim(F.col("text")), " +")
+    base = d.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", words.alias("w")
+    )
+    uni = base.select("doc_id", F.explode("w").alias("g"))
+    uni_stats = uni.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.countDistinct("g").cast("bigint").alias("n_distinct"),
+    )
+    bi = (
+        base.where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.size("w") - 2)).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.element_at("w", F.col("i") + 1), F.element_at("w", F.col("i") + 2)
+            ).alias("g"),
+        )
+    )
+    bi_counts = bi.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    bi_stats = bi_counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.max("c").cast("bigint").alias("top_bigram_c"),
+    )
+    return (
+        uni_stats.join(bi_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(
+                1.0 - F.col("n_distinct") / F.col("n_words").cast("double"), 6
+            ).alias("dup_word_frac"),
+            F.round(
+                F.coalesce(
+                    F.col("top_bigram_c") / F.col("n_bigrams").cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+ORACLE_REPETITION = """
+WITH base AS (
+  SELECT doc_id, string_split(TRIM(regexp_replace(text, ' +', ' ', 'g')), ' ') AS w
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+), uni AS (
+  SELECT doc_id, UNNEST(w) AS g FROM base
+), uni_stats AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct
+  FROM uni GROUP BY doc_id
+), bi AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+  FROM base, UNNEST(RANGE(1, len(w))) AS t(i)
+  WHERE len(w) >= 2
+), bi_counts AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2
+), bi_stats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(MAX(c) AS BIGINT) AS top_bigram_c
+  FROM bi_counts GROUP BY doc_id
+)
+SELECT u.doc_id, u.n_words,
+       ROUND(1.0 - u.n_distinct / CAST(u.n_words AS DOUBLE), 6) AS dup_word_frac,
+       ROUND(COALESCE(b.top_bigram_c / CAST(b.n_bigrams AS DOUBLE), 0.0), 6)
+         AS top_bigram_frac
+FROM uni_stats u LEFT JOIN bi_stats b ON u.doc_id = b.doc_id
+"""
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-LM quality score: average log-probability of each
     document under a character-bigram model TRAINED ON THE CORPUS
@@ -385,6 +472,7 @@ GROUP BY doc_id
 QUERIES = {
     "text_quality": (q_text_quality, ORACLE_QUALITY),
     "lm_quality": (q_lm_quality, ORACLE_LM_QUALITY),
+    "repetition_stats": (q_repetition_stats, ORACLE_REPETITION),
     "char_entropy": (q_char_entropy, ORACLE_ENTROPY),
     "lang_id": (q_lang_id, ORACLE_LANG),
     "token_count_bpe": (q_token_count_bpe, ORACLE_BPE),

@@ -52,6 +52,10 @@ CHECKS = {
     "dedup_simhash": [
         (r"HashAggregate", "map-side partial aggregation of the 60 vote columns"),
     ],
+    "repetition_stats": [
+        (r"HashAggregate", "per-doc gram aggregations with map-side combine"),
+        (r"!CartesianProduct", "no cross join anywhere in the stats plan"),
+    ],
     "lm_quality": [
         (r"BroadcastHashJoin", "alphabet²-sized model tables broadcast (doc side never shuffles for the score join)"),
         (r"HashAggregate", "map-side combined bigram aggregations"),
