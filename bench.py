@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_simhash_fast",
     "dedup_clusters",
+    "decontaminate",
     "ann_cosine_topk",
     "embed_near_dup",
     "latest_event_per_user",

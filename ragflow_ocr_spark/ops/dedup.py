@@ -388,6 +388,65 @@ FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 6
 """
 
 
+# -------------------------------------------------- decontamination
+_DECON_N = 5  # word n-gram width (GPT-3 used 13-grams; scaled to this corpus)
+_DECON_BENCH_DOCS = 20  # doc_id < this = the held-out benchmark set
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents sharing any word
+    ``_DECON_N``-gram with the held-out set (doc_id < 20 stands in for an eval
+    benchmark) are flagged with their distinct-overlap count — the
+    standard test-set-leakage filter run before pretraining.
+
+    Scale shape: the benchmark side is tiny at ANY corpus size
+    (benchmarks are fixed), so its distinct n-gram set BROADCASTS and
+    the train side never shuffles for the probe — one map-side join +
+    one combined count per flagged doc. n-grams are compared by
+    xxhash64 internally… kept as plain strings here so the DuckDB
+    oracle is byte-exact (hashing is an engine-internal choice; at
+    100 TB hash the gram to an 8-byte key first)."""
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), n - _DECON_N)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + k + 1) for k in range(_DECON_N)]
+        ),
+    )
+    g = d.where(n >= _DECON_N).select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    bench = (
+        g.where(F.col("doc_id") < _DECON_BENCH_DOCS).select("gram").distinct()
+    )
+    train = g.where(F.col("doc_id") >= _DECON_BENCH_DOCS)
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH g AS (
+  SELECT doc_id, UNNEST(list_distinct([
+           list_aggregate(w[i:i+{_DECON_N - 1}], 'string_agg', ' ')
+           FOR i IN RANGE(1, len(w) - {_DECON_N - 2})])) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= {_DECON_N}
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id < {_DECON_BENCH_DOCS}
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+FROM g JOIN bench USING (gram)
+WHERE doc_id >= {_DECON_BENCH_DOCS}
+GROUP BY doc_id
+"""
+
+
 # ----------------------------------------------------- dedup clustering
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the
@@ -516,4 +575,5 @@ QUERIES = {
     "dedup_simhash": (_q_dedup_simhash_oracle, _oracle_simhash()),
     "dedup_simhash_fast": (q_dedup_simhash, None),
     "dedup_clusters": (q_dedup_clusters, ORACLE_CLUSTERS),
+    "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
 }

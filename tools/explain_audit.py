@@ -60,6 +60,9 @@ CHECKS = {
         (r"BroadcastHashJoin", "alphabet²-sized model tables broadcast (doc side never shuffles for the score join)"),
         (r"HashAggregate", "map-side combined bigram aggregations"),
     ],
+    "decontaminate": [
+        (r"BroadcastHashJoin", "benchmark n-gram set broadcast (train side never shuffles for the probe)"),
+    ],
     "dedup_clusters": [
         (r"InMemoryTableScan", "iterative fixpoint served from the materialized cache, not a lineage replay"),
     ],
