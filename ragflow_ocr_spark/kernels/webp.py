@@ -21,11 +21,36 @@ libwebp's vp8l_dec.c. All bit packing is LSB-first.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
 
 MAX_DECODE_PIXELS = 1 << 26  # same untrusted-payload ceiling as the others
+
+
+def _codec_errors(fn):
+    """Same decoder boundary guard as kernels/imgcodecs: crafted input
+    can surface struct/index/key errors from the tokenizer paths —
+    normalize to the contractual ValueError (per-row error upstream,
+    never a task failure). NotImplementedError (the lossy-VP8 seam)
+    passes through for callers that distinguish it."""
+
+    @functools.wraps(fn)
+    def inner(data: bytes) -> np.ndarray:
+        try:
+            return fn(data)
+        except (
+            struct.error,
+            IndexError,
+            KeyError,
+            ZeroDivisionError,
+            OverflowError,
+            RecursionError,
+        ) as e:
+            raise ValueError(f"malformed WebP: {e!r}") from e
+
+    return inner
 
 # code-length-code symbol order (spec section 6.2.2)
 _CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
@@ -432,6 +457,7 @@ def _read_subimage(br: _Bits, w: int, h: int) -> np.ndarray:
     return _decode_pixels(br, w, h, False)
 
 
+@_codec_errors
 def decode_vp8l(data: bytes) -> np.ndarray:
     """Raw VP8L payload (inside the RIFF chunk) → HxW gray / HxWx3 RGB
     (alpha dropped, cv2.IMREAD_COLOR-style)."""
@@ -504,6 +530,7 @@ def decode_vp8l(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(rgb)
 
 
+@_codec_errors
 def decode_webp(data: bytes) -> np.ndarray:
     """RIFF/WEBP container → image. VP8L (lossless) decodes for real;
     VP8 (lossy) raises the documented seam error."""

@@ -91,6 +91,31 @@ def test_dimension_bomb_rejected():
         webp.decode_vp8l(bw.done())
 
 
+def test_mutation_fuzz_exception_contract():
+    """Bit-flipped valid streams and random VP8L payloads may only
+    raise ValueError / NotImplementedError — anything else would kill
+    a Spark task instead of producing a per-row error."""
+    rng = np.random.default_rng(99)
+    img = rng.integers(0, 256, (12, 17)).astype(np.uint8)
+    valid = webp.encode_webp(img)
+    for _ in range(400):
+        data = bytearray(valid)
+        for _ in range(int(rng.integers(1, 6))):
+            data[int(rng.integers(0, len(data)))] = int(rng.integers(0, 256))
+        try:
+            webp.decode_webp(bytes(data))
+        except (ValueError, NotImplementedError):
+            pass
+    for _ in range(200):
+        payload = b"\x2f" + bytes(
+            rng.integers(0, 256, int(rng.integers(4, 60)), dtype=np.uint8)
+        )
+        try:
+            webp.decode_vp8l(payload)
+        except (ValueError, NotImplementedError):
+            pass
+
+
 def test_multimodal_seam_split():
     """Multimodal decode_image: lossless webp decodes for real; lossy
     VP8 keeps the unsupported-codec status."""
