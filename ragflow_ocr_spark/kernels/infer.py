@@ -165,8 +165,16 @@ def _session_from_bytes(kind: str, model_bytes: bytes) -> Net:
     if model_bytes.startswith(REPLAY_MAGIC):
         return ReplayNet(model_bytes[len(REPLAY_MAGIC) :])
     # anything else is treated as ONNX protobuf — the reference's only
-    # model format (ocr/ocr.py:70: "<name>.onnx")
-    return OrtNet(model_bytes)
+    # model format (ocr/ocr.py:70: "<name>.onnx"). onnxruntime is the
+    # fast path; without it, the numpy reference executor
+    # (kernels/onnx_np.py) runs core-op-subset graphs for real, so the
+    # seam is now op-granular instead of format-granular.
+    try:
+        return OrtNet(model_bytes)
+    except NotImplementedError:
+        from ragflow_ocr_spark.kernels.onnx_np import NumpyOnnxNet
+
+        return NumpyOnnxNet(model_bytes)
 
 
 def _resolve_bytes(model) -> bytes | None:

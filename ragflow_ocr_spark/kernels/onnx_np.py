@@ -1,0 +1,523 @@
+"""Minimal ONNX protobuf parser + numpy reference executor.
+
+Closes more of the model seam: when onnxruntime is not installed,
+real ``.onnx`` bytes no longer dead-end at a NotImplementedError —
+the protobuf wire format is parsed for real (ModelProto → GraphProto →
+nodes/initializers/attributes, no protobuf library needed) and graphs
+built from a core op subset execute on numpy:
+
+    Conv (2D, grouped, pads/strides), Relu, Sigmoid, Tanh, MaxPool,
+    AveragePool, GlobalAveragePool, Add, Sub, Mul, Div, MatMul, Gemm,
+    BatchNormalization (inference), Concat, Reshape, Transpose,
+    Flatten, Softmax, Identity, Constant, LeakyRelu, Clip, Pad(zero)
+
+A graph using anything else raises NotImplementedError naming the op —
+the documented seam, now op-granular instead of format-granular. This
+is a REFERENCE executor (correctness, not speed): production inference
+uses onnxruntime (``kernels/infer.OrtNet``); this path exists so the
+pipeline can run real small models offline and so tests can pin the
+ONNX routing end to end with handcrafted fixture models.
+
+Wire format: protobuf encoding (varints + length-delimited fields) per
+the public ONNX schema field numbers (onnx.proto).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# TensorProto.DataType
+_DT_FLOAT = 1
+_DT_INT64 = 7
+_DT_INT32 = 6
+
+
+# ------------------------------------------------------------ wire reader
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    out = 0
+    shift = 0
+    while True:
+        if i >= len(buf):
+            raise ValueError("truncated protobuf varint")
+        b = buf[i]
+        i += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, i
+        shift += 7
+        if shift > 70:
+            raise ValueError("overlong protobuf varint")
+
+
+def _fields(buf: bytes):
+    """Yield (field_number, wire_type, value). value: int for varint/
+    fixed, bytes for length-delimited."""
+    i = 0
+    n = len(buf)
+    while i < n:
+        key, i = _read_varint(buf, i)
+        field, wt = key >> 3, key & 7
+        if wt == 0:  # varint
+            v, i = _read_varint(buf, i)
+            yield field, wt, v
+        elif wt == 2:  # length-delimited
+            ln, i = _read_varint(buf, i)
+            if i + ln > n:
+                raise ValueError("truncated protobuf field")
+            yield field, wt, buf[i : i + ln]
+            i += ln
+        elif wt == 5:  # fixed32
+            if i + 4 > n:
+                raise ValueError("truncated protobuf fixed32")
+            yield field, wt, int.from_bytes(buf[i : i + 4], "little")
+            i += 4
+        elif wt == 1:  # fixed64
+            if i + 8 > n:
+                raise ValueError("truncated protobuf fixed64")
+            yield field, wt, int.from_bytes(buf[i : i + 8], "little")
+            i += 8
+        else:
+            raise ValueError(f"unsupported protobuf wire type {wt}")
+
+
+def _parse_tensor(buf: bytes) -> tuple[str, np.ndarray]:
+    """TensorProto → (name, ndarray). Fields: dims=1, data_type=2,
+    float_data=4, int32_data=5, int64_data=7, name=8, raw_data=9."""
+    dims: list[int] = []
+    dtype = _DT_FLOAT
+    name = ""
+    raw = None
+    float_data: list[float] = []
+    int_data: list[int] = []
+    for field, wt, v in _fields(buf):
+        if field == 1:
+            dims.append(v if wt == 0 else int.from_bytes(v, "little"))
+        elif field == 2:
+            dtype = v
+        elif field == 4:
+            if wt == 2:  # packed floats
+                float_data.extend(
+                    struct.unpack(f"<{len(v) // 4}f", v)
+                )
+            else:
+                float_data.append(struct.unpack("<f", struct.pack("<I", v))[0])
+        elif field in (5, 7):
+            if wt == 2:  # packed varints
+                i = 0
+                while i < len(v):
+                    val, i = _read_varint(v, i)
+                    int_data.append(val)
+            else:
+                int_data.append(v)
+        elif field == 8:
+            name = v.decode("utf-8")
+        elif field == 9:
+            raw = v
+    if dtype == _DT_FLOAT:
+        if raw is not None:
+            arr = np.frombuffer(raw, "<f4")
+        else:
+            arr = np.array(float_data, "<f4")
+    elif dtype in (_DT_INT64, _DT_INT32):
+        width = "<i8" if dtype == _DT_INT64 else "<i4"
+        if raw is not None:
+            arr = np.frombuffer(raw, width)
+        else:
+            # protobuf varints are two's-complement-encoded as uint64
+            arr = np.array(int_data, np.uint64).astype(np.int64)
+    else:
+        raise NotImplementedError(f"ONNX tensor dtype {dtype} unsupported")
+    return name, arr.reshape(dims) if dims else arr
+
+
+def _parse_attr(buf: bytes) -> tuple[str, object]:
+    """AttributeProto: name=1, f=2, i=3, s=4, t=5, floats=7, ints=8."""
+    name = ""
+    val: object = None
+    ints: list[int] = []
+    floats: list[float] = []
+    for field, wt, v in _fields(buf):
+        if field == 1:
+            name = v.decode("utf-8")
+        elif field == 2:
+            val = struct.unpack("<f", struct.pack("<I", v))[0]
+        elif field == 3:
+            # zigzag-free int64: interpret as two's complement
+            val = v - (1 << 64) if v >= 1 << 63 else v
+        elif field == 4:
+            val = v
+        elif field == 5:
+            val = _parse_tensor(v)[1]
+        elif field == 7:
+            if wt == 2:
+                floats.extend(struct.unpack(f"<{len(v) // 4}f", v))
+            else:
+                floats.append(struct.unpack("<f", struct.pack("<I", v))[0])
+        elif field == 8:
+            if wt == 2:
+                i = 0
+                while i < len(v):
+                    x, i = _read_varint(v, i)
+                    ints.append(x - (1 << 64) if x >= 1 << 63 else x)
+            else:
+                ints.append(v - (1 << 64) if v >= 1 << 63 else v)
+    if ints:
+        val = ints
+    elif floats:
+        val = floats
+    return name, val
+
+
+def _value_info_name(buf: bytes) -> str:
+    for field, _wt, v in _fields(buf):
+        if field == 1:
+            return v.decode("utf-8")
+    return ""
+
+
+class _Node:
+    __slots__ = ("op", "inputs", "outputs", "attrs")
+
+    def __init__(self, buf: bytes):
+        self.inputs: list[str] = []
+        self.outputs: list[str] = []
+        self.op = ""
+        self.attrs: dict[str, object] = {}
+        for field, _wt, v in _fields(buf):
+            if field == 1:
+                self.inputs.append(v.decode("utf-8"))
+            elif field == 2:
+                self.outputs.append(v.decode("utf-8"))
+            elif field == 4:
+                self.op = v.decode("utf-8")
+            elif field == 7:
+                k, a = _parse_attr(v)
+                self.attrs[k] = a
+
+
+class Graph:
+    def __init__(self, buf: bytes):
+        self.nodes: list[_Node] = []
+        self.initializers: dict[str, np.ndarray] = {}
+        self.inputs: list[str] = []
+        self.outputs: list[str] = []
+        for field, _wt, v in _fields(buf):
+            if field == 1:
+                self.nodes.append(_Node(v))
+            elif field == 5:
+                name, arr = _parse_tensor(v)
+                self.initializers[name] = arr
+            elif field == 11:
+                self.inputs.append(_value_info_name(v))
+            elif field == 12:
+                self.outputs.append(_value_info_name(v))
+        # graph "inputs" include initializers in some exports
+        self.inputs = [i for i in self.inputs if i not in self.initializers]
+
+
+def parse_model(data: bytes) -> Graph:
+    """ModelProto bytes → Graph (field 7 = graph)."""
+    for field, _wt, v in _fields(data):
+        if field == 7:
+            return Graph(v)
+    raise ValueError("ONNX model has no graph")
+
+
+# --------------------------------------------------------------- executor
+def _conv2d(x, w, b, pads, strides, group):
+    n, cin, h, wid = x.shape
+    cout, cin_g, kh, kw = w.shape
+    pt, pl, pb, pr = pads
+    xp = np.pad(x, ((0, 0), (0, 0), (pt, pb), (pl, pr)))
+    sh, sw = strides
+    oh = (xp.shape[2] - kh) // sh + 1
+    ow = (xp.shape[3] - kw) // sw + 1
+    win = np.lib.stride_tricks.sliding_window_view(xp, (kh, kw), axis=(2, 3))
+    win = win[:, :, ::sh, ::sw]  # (n, cin, oh, ow, kh, kw)
+    out = np.empty((n, cout, oh, ow), dtype=np.float32)
+    cpg_out = cout // group
+    for g in range(group):
+        xg = win[:, g * cin_g : (g + 1) * cin_g]
+        wg = w[g * cpg_out : (g + 1) * cpg_out]
+        out[:, g * cpg_out : (g + 1) * cpg_out] = np.einsum(
+            "nchwij,ocij->nohw", xg, wg, optimize=True
+        )
+    if b is not None:
+        out += b.reshape(1, -1, 1, 1)
+    return out
+
+
+def _pool2d(x, kernel, pads, strides, mode):
+    kh, kw = kernel
+    pt, pl, pb, pr = pads
+    fill = -np.inf if mode == "max" else 0.0
+    xp = np.pad(x, ((0, 0), (0, 0), (pt, pb), (pl, pr)), constant_values=fill)
+    sh, sw = strides
+    win = np.lib.stride_tricks.sliding_window_view(xp, (kh, kw), axis=(2, 3))
+    win = win[:, :, ::sh, ::sw]
+    return win.max(axis=(-2, -1)) if mode == "max" else win.mean(axis=(-2, -1))
+
+
+class NumpyOnnxNet:
+    """Net-protocol executor over a parsed ONNX graph. Raises
+    NotImplementedError (the seam) on any unsupported op."""
+
+    def __init__(self, model_bytes: bytes):
+        self.graph = parse_model(model_bytes)
+        unsupported = sorted(
+            {n.op for n in self.graph.nodes} - set(_OPS)
+        )
+        if unsupported:
+            raise NotImplementedError(
+                f"ONNX ops not in the numpy reference executor: "
+                f"{unsupported}; install onnxruntime for full coverage"
+            )
+        if len(self.graph.inputs) != 1:
+            raise NotImplementedError("executor expects exactly one graph input")
+
+    def run(self, x: np.ndarray) -> np.ndarray:
+        env: dict[str, np.ndarray] = dict(self.graph.initializers)
+        env[self.graph.inputs[0]] = np.ascontiguousarray(x, dtype=np.float32)
+        for node in self.graph.nodes:
+            _OPS[node.op](node, env)
+        return env[self.graph.outputs[0]]
+
+
+def _op_conv(n, env):
+    x = env[n.inputs[0]]
+    w = env[n.inputs[1]].astype(np.float32)
+    b = env[n.inputs[2]].astype(np.float32) if len(n.inputs) > 2 else None
+    kh, kw = w.shape[2], w.shape[3]
+    pads = n.attrs.get("pads", [0, 0, 0, 0])
+    strides = n.attrs.get("strides", [1, 1])
+    dil = n.attrs.get("dilations", [1, 1])
+    if list(dil) != [1, 1]:
+        raise NotImplementedError("Conv dilation != 1 unsupported")
+    group = int(n.attrs.get("group", 1))
+    ks = n.attrs.get("kernel_shape", [kh, kw])
+    if list(ks) != [kh, kw]:
+        raise ValueError("Conv kernel_shape mismatch")
+    env[n.outputs[0]] = _conv2d(x, w, b, pads, strides, group)
+
+
+def _op_pool(mode):
+    def op(n, env):
+        x = env[n.inputs[0]]
+        kernel = n.attrs["kernel_shape"]
+        pads = n.attrs.get("pads", [0, 0, 0, 0])
+        strides = n.attrs.get("strides", kernel)
+        env[n.outputs[0]] = _pool2d(x, kernel, pads, strides, mode).astype(
+            np.float32
+        )
+
+    return op
+
+
+def _op_bn(n, env):
+    x = env[n.inputs[0]]
+    scale, b, mean, var = (env[n.inputs[k]] for k in range(1, 5))
+    eps = float(n.attrs.get("epsilon", 1e-5))
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    env[n.outputs[0]] = (
+        (x - mean.reshape(shape))
+        / np.sqrt(var.reshape(shape) + eps)
+        * scale.reshape(shape)
+        + b.reshape(shape)
+    ).astype(np.float32)
+
+
+def _op_gemm(n, env):
+    a = env[n.inputs[0]]
+    b = env[n.inputs[1]]
+    alpha = float(n.attrs.get("alpha", 1.0))
+    beta = float(n.attrs.get("beta", 1.0))
+    if n.attrs.get("transA", 0):
+        a = a.T
+    if n.attrs.get("transB", 0):
+        b = b.T
+    out = alpha * (a @ b)
+    if len(n.inputs) > 2:
+        out = out + beta * env[n.inputs[2]]
+    env[n.outputs[0]] = out.astype(np.float32)
+
+
+def _op_softmax(n, env):
+    x = env[n.inputs[0]]
+    axis = int(n.attrs.get("axis", -1))
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    env[n.outputs[0]] = (e / e.sum(axis=axis, keepdims=True)).astype(np.float32)
+
+
+def _op_pad(n, env):
+    x = env[n.inputs[0]]
+    pads = n.attrs.get("pads")
+    if pads is None:  # opset-11 style: pads as second input
+        pads = env[n.inputs[1]].tolist()
+    k = x.ndim
+    pairs = [(int(pads[i]), int(pads[i + k])) for i in range(k)]
+    env[n.outputs[0]] = np.pad(x, pairs)
+
+
+def _op_clip(n, env):
+    x = env[n.inputs[0]]
+    lo = float(env[n.inputs[1]]) if len(n.inputs) > 1 else n.attrs.get("min", -np.inf)
+    hi = float(env[n.inputs[2]]) if len(n.inputs) > 2 else n.attrs.get("max", np.inf)
+    env[n.outputs[0]] = np.clip(x, lo, hi)
+
+
+_OPS = {
+    "Conv": _op_conv,
+    "MaxPool": _op_pool("max"),
+    "AveragePool": _op_pool("avg"),
+    "GlobalAveragePool": lambda n, env: env.__setitem__(
+        n.outputs[0], env[n.inputs[0]].mean(axis=(2, 3), keepdims=True)
+    ),
+    "Relu": lambda n, env: env.__setitem__(
+        n.outputs[0], np.maximum(env[n.inputs[0]], 0)
+    ),
+    "LeakyRelu": lambda n, env: env.__setitem__(
+        n.outputs[0],
+        np.where(
+            env[n.inputs[0]] > 0,
+            env[n.inputs[0]],
+            env[n.inputs[0]] * n.attrs.get("alpha", 0.01),
+        ).astype(np.float32),
+    ),
+    "Sigmoid": lambda n, env: env.__setitem__(
+        n.outputs[0],
+        (
+            1.0 / (1.0 + np.exp(-np.clip(env[n.inputs[0]], -88.0, 88.0)))
+        ).astype(np.float32),
+    ),
+    "Tanh": lambda n, env: env.__setitem__(
+        n.outputs[0], np.tanh(env[n.inputs[0]]).astype(np.float32)
+    ),
+    "Add": lambda n, env: env.__setitem__(
+        n.outputs[0], env[n.inputs[0]] + env[n.inputs[1]]
+    ),
+    "Sub": lambda n, env: env.__setitem__(
+        n.outputs[0], env[n.inputs[0]] - env[n.inputs[1]]
+    ),
+    "Mul": lambda n, env: env.__setitem__(
+        n.outputs[0], env[n.inputs[0]] * env[n.inputs[1]]
+    ),
+    "Div": lambda n, env: env.__setitem__(
+        n.outputs[0], env[n.inputs[0]] / env[n.inputs[1]]
+    ),
+    "MatMul": lambda n, env: env.__setitem__(
+        n.outputs[0], (env[n.inputs[0]] @ env[n.inputs[1]]).astype(np.float32)
+    ),
+    "Gemm": _op_gemm,
+    "BatchNormalization": _op_bn,
+    "Concat": lambda n, env: env.__setitem__(
+        n.outputs[0],
+        np.concatenate(
+            [env[i] for i in n.inputs], axis=int(n.attrs.get("axis", 0))
+        ),
+    ),
+    "Reshape": lambda n, env: env.__setitem__(
+        n.outputs[0],
+        env[n.inputs[0]].reshape(
+            [int(d) for d in env[n.inputs[1]]]
+        ),
+    ),
+    "Transpose": lambda n, env: env.__setitem__(
+        n.outputs[0],
+        np.transpose(env[n.inputs[0]], n.attrs.get("perm")),
+    ),
+    "Flatten": lambda n, env: env.__setitem__(
+        n.outputs[0],
+        env[n.inputs[0]].reshape(env[n.inputs[0]].shape[0], -1),
+    ),
+    "Softmax": _op_softmax,
+    "Identity": lambda n, env: env.__setitem__(n.outputs[0], env[n.inputs[0]]),
+    "Constant": lambda n, env: env.__setitem__(
+        n.outputs[0], np.asarray(n.attrs["value"])
+    ),
+    "Pad": _op_pad,
+    "Clip": _op_clip,
+}
+
+
+# ------------------------------------------------------- fixture writer
+def _varint_b(v: int) -> bytes:
+    if v < 0:  # protobuf int64: negatives as 64-bit two's complement
+        v += 1 << 64
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    return _varint_b((field << 3) | 2) + _varint_b(len(payload)) + payload
+
+
+def _vi(field: int, value: int) -> bytes:
+    return _varint_b(field << 3) + _varint_b(value)
+
+
+def tensor_bytes(name: str, arr: np.ndarray) -> bytes:
+    arr = np.asarray(arr)
+    out = b"".join(_vi(1, int(d)) for d in arr.shape)
+    if arr.dtype.kind == "f":
+        out += _vi(2, _DT_FLOAT)
+        out += _ld(9, np.ascontiguousarray(arr, "<f4").tobytes())
+    else:
+        out += _vi(2, _DT_INT64)
+        out += _ld(9, np.ascontiguousarray(arr, "<i8").tobytes())
+    out += _ld(8, name.encode())
+    return out
+
+
+def _attr_bytes(name: str, value) -> bytes:
+    out = _ld(1, name.encode())
+    if isinstance(value, (list, tuple)):
+        for v in value:
+            out += _vi(8, int(v))
+    elif isinstance(value, float):
+        out += _varint_b((2 << 3) | 5) + struct.pack("<f", value)
+    elif isinstance(value, int):
+        out += _vi(3, value)
+    elif isinstance(value, np.ndarray):
+        out += _ld(5, tensor_bytes("", value))
+    else:
+        raise TypeError(type(value))
+    return out
+
+
+def node_bytes(op: str, inputs, outputs, **attrs) -> bytes:
+    out = b"".join(_ld(1, i.encode()) for i in inputs)
+    out += b"".join(_ld(2, o.encode()) for o in outputs)
+    out += _ld(4, op.encode())
+    for k, v in attrs.items():
+        out += _ld(7, _attr_bytes(k, v))
+    return out
+
+
+def build_model(
+    nodes: list[bytes],
+    initializers: list[bytes],
+    input_name: str,
+    output_name: str,
+) -> bytes:
+    """Minimal valid ModelProto bytes for the parser/executor (and for
+    onnxruntime when available — fields follow onnx.proto)."""
+    vi_in = _ld(1, input_name.encode())
+    vi_out = _ld(1, output_name.encode())
+    graph = (
+        b"".join(_ld(1, n) for n in nodes)
+        + b"".join(_ld(5, t) for t in initializers)
+        + _ld(11, vi_in)
+        + _ld(12, vi_out)
+    )
+    # ir_version (1), opset_import (8: OperatorSetIdProto{version=2})
+    opset = _vi(2, 13)
+    return _vi(1, 8) + _ld(8, opset) + _ld(7, graph)

@@ -25,8 +25,11 @@ def test_session_singleton_by_content():
     assert c.kx == 21
 
 
-def test_unknown_format_hits_onnx_seam():
-    with pytest.raises(NotImplementedError):
+def test_unknown_format_routes_to_onnx_parser():
+    # non-STUBNET/NPZLOGITS bytes go down the ONNX route: garbage is a
+    # parse error (ValueError); a VALID model with unsupported ops is
+    # the op-granular NotImplementedError seam (tests/test_onnx_np.py)
+    with pytest.raises((ValueError, NotImplementedError)):
         get_det_net(b"\x08\x01protobufish")
 
 

@@ -138,10 +138,24 @@ def test_onnx_bytes_route_to_ortnet_via_session_factory(fake_ort):
     assert isinstance(net, infer.OrtNet)
 
 
-def test_onnx_bytes_without_runtime_raise_clear_seam_error(monkeypatch):
+def test_onnx_bytes_without_runtime_fall_back_to_numpy_executor(monkeypatch):
     monkeypatch.setitem(sys.modules, "onnxruntime", None)  # force ImportError
-    with pytest.raises(NotImplementedError, match="onnxruntime"):
+    # garbage protobuf: numpy-executor fallback surfaces a parse error
+    with pytest.raises(ValueError):
         infer._session_from_bytes("det", b"\x08\x07fake-onnx-protobuf")
+    # a VALID model within the executor's op subset builds and runs
+    from ragflow_ocr_spark.kernels import onnx_np as ox
+
+    model = ox.build_model(
+        [ox.node_bytes("Relu", ["x"], ["y"])], [], "x", "y"
+    )
+    net = infer._session_from_bytes("det", model)
+    x = np.array([[-1.0, 2.0]], dtype=np.float32)
+    assert np.array_equal(net.run(x), np.array([[0.0, 2.0]], dtype=np.float32))
+    # a valid model OUTSIDE the subset is the op-granular seam
+    bad = ox.build_model([ox.node_bytes("LSTM", ["x"], ["y"])], [], "x", "y")
+    with pytest.raises(NotImplementedError, match="LSTM"):
+        infer._session_from_bytes("det", bad)
 
 
 def test_run_with_retry_sleeps_between_attempts(monkeypatch):

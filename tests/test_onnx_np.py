@@ -1,0 +1,148 @@
+"""kernels/onnx_np.py — ONNX protobuf parse + numpy reference
+execution: op-for-op parity with hand-computed references, the
+op-granular seam, and a REAL ONNX det model driving the full OCR
+pipeline byte-identically (no onnxruntime installed)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ragflow_ocr_spark.config import OCRConfig
+from ragflow_ocr_spark.kernels import font5x7, onnx_np as ox
+from ragflow_ocr_spark.kernels.ocr_pipeline import ocr_image
+
+
+def _convnet(rng):
+    w1 = rng.normal(0, 0.5, (4, 3, 3, 3)).astype(np.float32)
+    b1 = rng.normal(0, 0.1, (4,)).astype(np.float32)
+    w2 = rng.normal(0, 0.5, (1, 4, 1, 1)).astype(np.float32)
+    nodes = [
+        ox.node_bytes("Conv", ["x", "w1", "b1"], ["c1"],
+                      kernel_shape=[3, 3], pads=[1, 1, 1, 1], strides=[1, 1]),
+        ox.node_bytes("Relu", ["c1"], ["r1"]),
+        ox.node_bytes("Conv", ["r1", "w2"], ["c2"],
+                      kernel_shape=[1, 1], pads=[0, 0, 0, 0], strides=[1, 1]),
+        ox.node_bytes("Sigmoid", ["c2"], ["y"]),
+    ]
+    inits = [ox.tensor_bytes("w1", w1), ox.tensor_bytes("b1", b1),
+             ox.tensor_bytes("w2", w2)]
+    return ox.build_model(nodes, inits, "x", "y"), (w1, b1, w2)
+
+
+def test_convnet_matches_manual_reference():
+    rng = np.random.default_rng(7)
+    model, (w1, b1, w2) = _convnet(rng)
+    net = ox.NumpyOnnxNet(model)
+    x = rng.normal(0, 1, (1, 3, 10, 12)).astype(np.float32)
+    y = net.run(x)
+    xp = np.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    c1 = np.zeros((1, 4, 10, 12), np.float32)
+    for o in range(4):
+        for i in range(3):
+            for dy in range(3):
+                for dx in range(3):
+                    c1[0, o] += xp[0, i, dy : dy + 10, dx : dx + 12] * w1[o, i, dy, dx]
+        c1[0, o] += b1[o]
+    r1 = np.maximum(c1, 0)
+    c2 = (r1 * w2[:, :, 0, 0].reshape(1, 4, 1, 1)).sum(axis=1, keepdims=True)
+    ref = 1 / (1 + np.exp(-c2))
+    assert y.shape == (1, 1, 10, 12)
+    assert np.abs(y - ref).max() < 1e-5
+
+
+def test_op_zoo_against_numpy():
+    rng = np.random.default_rng(8)
+    x = rng.normal(0, 1, (2, 6)).astype(np.float32)
+    w = rng.normal(0, 1, (6, 5)).astype(np.float32)
+    b = rng.normal(0, 1, (5,)).astype(np.float32)
+    nodes = [
+        ox.node_bytes("Gemm", ["x", "w", "b"], ["g"], alpha=1.0, beta=1.0),
+        ox.node_bytes("Softmax", ["g"], ["y"], axis=-1),
+    ]
+    model = ox.build_model(nodes, [ox.tensor_bytes("w", w), ox.tensor_bytes("b", b)], "x", "y")
+    y = ox.NumpyOnnxNet(model).run(x)
+    g = x @ w + b
+    e = np.exp(g - g.max(axis=-1, keepdims=True))
+    assert np.abs(y - e / e.sum(axis=-1, keepdims=True)).max() < 1e-6
+    assert np.abs(y.sum(axis=-1) - 1).max() < 1e-6
+
+
+def test_pool_bn_concat_reshape():
+    rng = np.random.default_rng(9)
+    x = rng.normal(0, 1, (1, 2, 8, 8)).astype(np.float32)
+    scale = rng.normal(1, 0.1, (2,)).astype(np.float32)
+    bias = rng.normal(0, 0.1, (2,)).astype(np.float32)
+    mean = rng.normal(0, 0.5, (2,)).astype(np.float32)
+    var = np.abs(rng.normal(1, 0.1, (2,))).astype(np.float32)
+    nodes = [
+        ox.node_bytes("BatchNormalization", ["x", "s", "b", "m", "v"], ["bn"], epsilon=1e-5),
+        ox.node_bytes("MaxPool", ["bn"], ["mp"], kernel_shape=[2, 2], strides=[2, 2]),
+        ox.node_bytes("AveragePool", ["bn"], ["ap"], kernel_shape=[2, 2], strides=[2, 2]),
+        ox.node_bytes("Concat", ["mp", "ap"], ["cat"], axis=1),
+        ox.node_bytes("Reshape", ["cat", "shape"], ["y"]),
+    ]
+    inits = [ox.tensor_bytes("s", scale), ox.tensor_bytes("b", bias),
+             ox.tensor_bytes("m", mean), ox.tensor_bytes("v", var),
+             ox.tensor_bytes("shape", np.array([1, 64], np.int64))]
+    y = ox.NumpyOnnxNet(ox.build_model(nodes, inits, "x", "y")).run(x)
+    bn = (x - mean.reshape(1, 2, 1, 1)) / np.sqrt(var.reshape(1, 2, 1, 1) + 1e-5)
+    bn = bn * scale.reshape(1, 2, 1, 1) + bias.reshape(1, 2, 1, 1)
+    mp = bn.reshape(1, 2, 4, 2, 4, 2).max(axis=(3, 5))
+    ap = bn.reshape(1, 2, 4, 2, 4, 2).mean(axis=(3, 5))
+    ref = np.concatenate([mp, ap], axis=1).reshape(1, 64)
+    assert np.abs(y - ref).max() < 1e-5
+
+
+def test_unsupported_op_is_named_seam():
+    bad = ox.build_model([ox.node_bytes("LSTM", ["x"], ["y"])], [], "x", "y")
+    with pytest.raises(NotImplementedError, match="LSTM"):
+        ox.NumpyOnnxNet(bad)
+
+
+def _ink_det_model() -> bytes:
+    """ONNX graph replicating the stub detector: denormalize channel 0
+    (Conv 1x1 folds the ImageNet std/mean), threshold at gray 0.5 via a
+    steep Sigmoid, 3x41 MaxPool dilation (the stub's separable line
+    merge), scale to prob 0.95."""
+    K = 400.0
+    w = np.zeros((1, 3, 1, 1), np.float32)
+    w[0, 0, 0, 0] = -K * 0.229
+    b = np.array([K * (0.5 - 0.485)], np.float32)
+    nodes = [
+        ox.node_bytes("Conv", ["x", "w", "b"], ["logit"],
+                      kernel_shape=[1, 1], pads=[0, 0, 0, 0], strides=[1, 1]),
+        ox.node_bytes("Sigmoid", ["logit"], ["mask"]),
+        ox.node_bytes("MaxPool", ["mask"], ["dil"],
+                      kernel_shape=[3, 41], pads=[1, 20, 1, 20], strides=[1, 1]),
+        ox.node_bytes("Mul", ["dil", "scale"], ["y"]),
+    ]
+    inits = [ox.tensor_bytes("w", w), ox.tensor_bytes("b", b),
+             ox.tensor_bytes("scale", np.array(0.95, np.float32))]
+    return ox.build_model(nodes, inits, "x", "y")
+
+
+def test_real_onnx_det_model_through_full_pipeline():
+    """A genuine ONNX protobuf model (Conv→Sigmoid→MaxPool→Mul) routed
+    via OCRConfig.det_model executes in the det slot through
+    _session_from_bytes and the page reads back byte-identically."""
+    from ragflow_ocr_spark.kernels import infer
+    from ragflow_ocr_spark.kernels.onnx_np import NumpyOnnxNet
+
+    model = _ink_det_model()
+    img, drawn = font5x7.render_page(
+        ["ONNX DET NET PAGE", "SECOND LINE 77"], 960, 160, 2
+    )
+    r = ocr_image(img, OCRConfig(det_model=model))
+    assert r.status == "ok"
+    assert r.text == "\n".join(drawn)
+    assert isinstance(infer.get_det_net(model), NumpyOnnxNet)
+
+
+def test_malformed_onnx_bytes_raise_value_error():
+    with pytest.raises(ValueError):
+        ox.parse_model(b"\x08")  # truncated varint field
+    with pytest.raises(ValueError):
+        ox.parse_model(b"\x3b\xff\xff")  # bogus length-delimited
+    with pytest.raises(ValueError):
+        ox.parse_model(b"\x08\x01")  # valid ir_version, no graph
