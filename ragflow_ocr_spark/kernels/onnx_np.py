@@ -9,7 +9,9 @@ built from a core op subset execute on numpy:
     Conv (2D, grouped, pads/strides), Relu, Sigmoid, Tanh, MaxPool,
     AveragePool, GlobalAveragePool, Add, Sub, Mul, Div, MatMul, Gemm,
     BatchNormalization (inference), Concat, Reshape, Transpose,
-    Flatten, Softmax, Identity, Constant, LeakyRelu, Clip, Pad(zero)
+    Flatten, Softmax, Identity, Constant, LeakyRelu, Clip, Pad(zero),
+    LSTM (forward/reverse/bidirectional — the CRNN recurrent layer),
+    Squeeze, Unsqueeze, Slice
 
 A graph using anything else raises NotImplementedError naming the op —
 the documented seam, now op-granular instead of format-granular. This
@@ -155,6 +157,10 @@ def _parse_attr(buf: bytes) -> tuple[str, object]:
                 floats.extend(struct.unpack(f"<{len(v) // 4}f", v))
             else:
                 floats.append(struct.unpack("<f", struct.pack("<I", v))[0])
+        elif field == 9:  # repeated strings
+            if val is None:
+                val = []
+            val.append(v)
         elif field == 8:
             if wt == 2:
                 i = 0
@@ -360,6 +366,115 @@ def _op_pad(n, env):
     env[n.outputs[0]] = np.pad(x, pairs)
 
 
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-np.clip(x, -88.0, 88.0)))
+
+
+def _op_lstm(n, env):
+    """ONNX LSTM, default activations (σ, tanh, tanh), gate order
+    iofc, forward / reverse / bidirectional — the CRNN recurrent
+    layer. Peepholes and per-gate activation overrides unsupported."""
+    x = env[n.inputs[0]]  # (seq, batch, input)
+    w = env[n.inputs[1]].astype(np.float32)  # (dirs, 4H, input)
+    r = env[n.inputs[2]].astype(np.float32)  # (dirs, 4H, H)
+    hidden = int(n.attrs.get("hidden_size", r.shape[2]))
+    direction = (
+        n.attrs.get("direction", b"forward").decode()
+        if isinstance(n.attrs.get("direction"), bytes)
+        else n.attrs.get("direction", "forward")
+    )
+    dirs = 2 if direction == "bidirectional" else 1
+    seq, batch, _ = x.shape
+    b = (
+        env[n.inputs[3]].astype(np.float32)
+        if len(n.inputs) > 3 and n.inputs[3]
+        else np.zeros((dirs, 8 * hidden), np.float32)
+    )
+    if "activations" in n.attrs:
+        acts = [
+            a.decode() if isinstance(a, bytes) else a
+            for a in n.attrs["activations"]
+        ]
+        if acts[: 3 * dirs] != ["Sigmoid", "Tanh", "Tanh"] * dirs:
+            raise NotImplementedError("LSTM activation overrides unsupported")
+    y = np.zeros((seq, dirs, batch, hidden), np.float32)
+    y_h = np.zeros((dirs, batch, hidden), np.float32)
+    y_c = np.zeros((dirs, batch, hidden), np.float32)
+    for d in range(dirs):
+        wb = b[d, : 4 * hidden] + b[d, 4 * hidden :]
+        wi, wo, wf, wc = (w[d][k * hidden : (k + 1) * hidden] for k in range(4))
+        ri, ro, rf, rc = (r[d][k * hidden : (k + 1) * hidden] for k in range(4))
+        bi, bo, bf, bc = (wb[k * hidden : (k + 1) * hidden] for k in range(4))
+        h_t = np.zeros((batch, hidden), np.float32)
+        c_t = np.zeros((batch, hidden), np.float32)
+        reverse = direction == "reverse" or d == 1
+        steps = range(seq - 1, -1, -1) if reverse else range(seq)
+        for t in steps:
+            xt = x[t]
+            i_g = _sigmoid(xt @ wi.T + h_t @ ri.T + bi)
+            f_g = _sigmoid(xt @ wf.T + h_t @ rf.T + bf)
+            c_hat = np.tanh(xt @ wc.T + h_t @ rc.T + bc)
+            c_t = f_g * c_t + i_g * c_hat
+            o_g = _sigmoid(xt @ wo.T + h_t @ ro.T + bo)
+            h_t = o_g * np.tanh(c_t)
+            y[t, d] = h_t
+        y_h[d] = h_t
+        y_c[d] = c_t
+    env[n.outputs[0]] = y
+    if len(n.outputs) > 1 and n.outputs[1]:
+        env[n.outputs[1]] = y_h
+    if len(n.outputs) > 2 and n.outputs[2]:
+        env[n.outputs[2]] = y_c
+
+
+def _op_squeeze(n, env):
+    x = env[n.inputs[0]]
+    axes = n.attrs.get("axes")
+    if axes is None and len(n.inputs) > 1:
+        axes = [int(a) for a in env[n.inputs[1]]]
+    if axes is None:
+        env[n.outputs[0]] = np.squeeze(x)
+    else:
+        env[n.outputs[0]] = np.squeeze(x, axis=tuple(int(a) for a in axes))
+
+
+def _op_unsqueeze(n, env):
+    x = env[n.inputs[0]]
+    axes = n.attrs.get("axes")
+    if axes is None:
+        axes = [int(a) for a in env[n.inputs[1]]]
+    out = x
+    for a in sorted(int(a) for a in axes):
+        out = np.expand_dims(out, a)
+    env[n.outputs[0]] = out
+
+
+def _op_slice(n, env):
+    x = env[n.inputs[0]]
+    if "starts" in n.attrs:  # opset-1 style
+        starts = n.attrs["starts"]
+        ends = n.attrs["ends"]
+        axes = n.attrs.get("axes", list(range(len(starts))))
+        steps = [1] * len(starts)
+    else:  # opset-10+: inputs
+        starts = [int(v) for v in env[n.inputs[1]]]
+        ends = [int(v) for v in env[n.inputs[2]]]
+        axes = (
+            [int(v) for v in env[n.inputs[3]]]
+            if len(n.inputs) > 3
+            else list(range(len(starts)))
+        )
+        steps = (
+            [int(v) for v in env[n.inputs[4]]]
+            if len(n.inputs) > 4
+            else [1] * len(starts)
+        )
+    sl = [slice(None)] * x.ndim
+    for a, s, e, st in zip(axes, starts, ends, steps):
+        sl[a] = slice(s, e, st)
+    env[n.outputs[0]] = x[tuple(sl)]
+
+
 def _op_clip(n, env):
     x = env[n.inputs[0]]
     lo = float(env[n.inputs[1]]) if len(n.inputs) > 1 else n.attrs.get("min", -np.inf)
@@ -438,6 +553,10 @@ _OPS = {
     ),
     "Pad": _op_pad,
     "Clip": _op_clip,
+    "LSTM": _op_lstm,
+    "Squeeze": _op_squeeze,
+    "Unsqueeze": _op_unsqueeze,
+    "Slice": _op_slice,
 }
 
 
@@ -480,12 +599,22 @@ def tensor_bytes(name: str, arr: np.ndarray) -> bytes:
 def _attr_bytes(name: str, value) -> bytes:
     out = _ld(1, name.encode())
     if isinstance(value, (list, tuple)):
-        for v in value:
-            out += _vi(8, int(v))
+        if value and isinstance(value[0], (str, bytes)):
+            for v in value:
+                out += _ld(9, v.encode() if isinstance(v, str) else v)
+        else:
+            for v in value:
+                out += _vi(8, int(v))
     elif isinstance(value, float):
         out += _varint_b((2 << 3) | 5) + struct.pack("<f", value)
+    elif isinstance(value, bool):
+        out += _vi(3, int(value))
     elif isinstance(value, int):
         out += _vi(3, value)
+    elif isinstance(value, str):
+        out += _ld(4, value.encode())
+    elif isinstance(value, bytes):
+        out += _ld(4, value)
     elif isinstance(value, np.ndarray):
         out += _ld(5, tensor_bytes("", value))
     else:

@@ -153,8 +153,8 @@ def test_onnx_bytes_without_runtime_fall_back_to_numpy_executor(monkeypatch):
     x = np.array([[-1.0, 2.0]], dtype=np.float32)
     assert np.array_equal(net.run(x), np.array([[0.0, 2.0]], dtype=np.float32))
     # a valid model OUTSIDE the subset is the op-granular seam
-    bad = ox.build_model([ox.node_bytes("LSTM", ["x"], ["y"])], [], "x", "y")
-    with pytest.raises(NotImplementedError, match="LSTM"):
+    bad = ox.build_model([ox.node_bytes("GRU", ["x"], ["y"])], [], "x", "y")
+    with pytest.raises(NotImplementedError, match="GRU"):
         infer._session_from_bytes("det", bad)
 
 

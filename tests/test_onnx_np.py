@@ -95,9 +95,87 @@ def test_pool_bn_concat_reshape():
 
 
 def test_unsupported_op_is_named_seam():
-    bad = ox.build_model([ox.node_bytes("LSTM", ["x"], ["y"])], [], "x", "y")
-    with pytest.raises(NotImplementedError, match="LSTM"):
+    bad = ox.build_model([ox.node_bytes("GRU", ["x"], ["y"])], [], "x", "y")
+    with pytest.raises(NotImplementedError, match="GRU"):
         ox.NumpyOnnxNet(bad)
+
+
+def test_lstm_matches_manual_reference():
+    rng = np.random.default_rng(10)
+    seq, batch, inp, hid = 5, 2, 3, 4
+    x = rng.normal(0, 1, (seq, batch, inp)).astype(np.float32)
+    w = rng.normal(0, 0.5, (1, 4 * hid, inp)).astype(np.float32)
+    r = rng.normal(0, 0.5, (1, 4 * hid, hid)).astype(np.float32)
+    b = rng.normal(0, 0.1, (1, 8 * hid)).astype(np.float32)
+    model = ox.build_model(
+        [ox.node_bytes("LSTM", ["x", "w", "r", "b"], ["y", "yh", "yc"],
+                       hidden_size=hid)],
+        [ox.tensor_bytes("w", w), ox.tensor_bytes("r", r), ox.tensor_bytes("b", b)],
+        "x", "y",
+    )
+    y = ox.NumpyOnnxNet(model).run(x)
+    assert y.shape == (seq, 1, batch, hid)
+
+    def sig(v):
+        return 1 / (1 + np.exp(-v))
+
+    wb = b[0, : 4 * hid] + b[0, 4 * hid :]
+    wi, wo, wf, wc = (w[0][k * hid : (k + 1) * hid] for k in range(4))
+    ri, ro, rf, rc = (r[0][k * hid : (k + 1) * hid] for k in range(4))
+    bi, bo, bf, bc = (wb[k * hid : (k + 1) * hid] for k in range(4))
+    h = np.zeros((batch, hid), np.float32)
+    c = np.zeros((batch, hid), np.float32)
+    for t in range(seq):
+        i_g = sig(x[t] @ wi.T + h @ ri.T + bi)
+        f_g = sig(x[t] @ wf.T + h @ rf.T + bf)
+        c = f_g * c + i_g * np.tanh(x[t] @ wc.T + h @ rc.T + bc)
+        o_g = sig(x[t] @ wo.T + h @ ro.T + bo)
+        h = o_g * np.tanh(c)
+        assert np.abs(y[t, 0] - h).max() < 1e-5
+
+
+def test_bidirectional_lstm_crnn_head():
+    """The CRNN head shape: features → BiLSTM → per-step projection —
+    forward direction equals the unidirectional run, reverse direction
+    equals running the flipped sequence."""
+    rng = np.random.default_rng(11)
+    seq, batch, inp, hid = 6, 1, 4, 3
+    x = rng.normal(0, 1, (seq, batch, inp)).astype(np.float32)
+    w = rng.normal(0, 0.5, (2, 4 * hid, inp)).astype(np.float32)
+    r = rng.normal(0, 0.5, (2, 4 * hid, hid)).astype(np.float32)
+
+    def run(direction, wd, rd):
+        model = ox.build_model(
+            [ox.node_bytes("LSTM", ["x", "w", "r"], ["y"],
+                           hidden_size=hid, direction=direction)],
+            [ox.tensor_bytes("w", wd), ox.tensor_bytes("r", rd)],
+            "x", "y",
+        )
+        return ox.NumpyOnnxNet(model).run(x if direction != "_rev_input" else x)
+
+    bi = run("bidirectional", w, r)
+    fwd = run("forward", w[:1], r[:1])
+    assert np.abs(bi[:, 0] - fwd[:, 0]).max() < 1e-6
+    # reverse lane == forward lane over the time-flipped input
+    model_f = ox.build_model(
+        [ox.node_bytes("LSTM", ["x", "w", "r"], ["y"], hidden_size=hid)],
+        [ox.tensor_bytes("w", w[1:]), ox.tensor_bytes("r", r[1:])],
+        "x", "y",
+    )
+    rev_ref = ox.NumpyOnnxNet(model_f).run(x[::-1].copy())[::-1]
+    assert np.abs(bi[:, 1] - rev_ref[:, 0]).max() < 1e-6
+
+
+def test_squeeze_unsqueeze_slice():
+    rng = np.random.default_rng(12)
+    x = rng.normal(0, 1, (3, 1, 5)).astype(np.float32)
+    nodes = [
+        ox.node_bytes("Squeeze", ["x"], ["s"], axes=[1]),        # (3, 5)
+        ox.node_bytes("Unsqueeze", ["s"], ["u"], axes=[0]),      # (1, 3, 5)
+        ox.node_bytes("Slice", ["u"], ["y"], starts=[1], ends=[4], axes=[2]),
+    ]
+    y = ox.NumpyOnnxNet(ox.build_model(nodes, [], "x", "y")).run(x)
+    assert np.array_equal(y, x[:, 0, 1:4][None])
 
 
 def _ink_det_model() -> bytes:
