@@ -6,12 +6,15 @@ the protobuf wire format is parsed for real (ModelProto → GraphProto →
 nodes/initializers/attributes, no protobuf library needed) and graphs
 built from a core op subset execute on numpy:
 
-    Conv (2D, grouped, pads/strides), Relu, Sigmoid, Tanh, MaxPool,
-    AveragePool, GlobalAveragePool, Add, Sub, Mul, Div, MatMul, Gemm,
-    BatchNormalization (inference), Concat, Reshape, Transpose,
-    Flatten, Softmax, Identity, Constant, LeakyRelu, Clip, Pad(zero),
+    Conv (2D, grouped/depthwise, pads/strides), ConvTranspose (the
+    DBNet upsampling head), Resize (nearest/linear), Relu, LeakyRelu,
+    HardSigmoid, HardSwish (MobileNetV3 backbones), Sigmoid, Tanh,
+    MaxPool, AveragePool, GlobalAveragePool, Add, Sub, Mul, Div,
+    MatMul, Gemm, BatchNormalization (inference), Concat, Reshape,
+    Transpose, Flatten, Softmax, Identity, Constant, Clip, Pad(zero),
     LSTM (forward/reverse/bidirectional — the CRNN recurrent layer),
-    Squeeze, Unsqueeze, Slice
+    Squeeze, Unsqueeze, Slice, Split, Shape, Gather, ReduceMean,
+    Exp, Log, Sqrt, Neg, Abs, Pow
 
 A graph using anything else raises NotImplementedError naming the op —
 the documented seam, now op-granular instead of format-granular. This
@@ -482,6 +485,125 @@ def _op_clip(n, env):
     env[n.outputs[0]] = np.clip(x, lo, hi)
 
 
+def _op_conv_transpose(n, env):
+    """2D ConvTranspose (DBNet's upsampling head): scatter-add per
+    kernel tap, grouped. W layout (cin, cout/g, kh, kw)."""
+    x = env[n.inputs[0]]
+    w = env[n.inputs[1]].astype(np.float32)
+    b = env[n.inputs[2]].astype(np.float32) if len(n.inputs) > 2 else None
+    nb, cin, h, wid = x.shape
+    _cin_w, cout_g, kh, kw = w.shape
+    group = int(n.attrs.get("group", 1))
+    cout = cout_g * group
+    sh, sw = n.attrs.get("strides", [1, 1])
+    pt, pl, pb, pr = n.attrs.get("pads", [0, 0, 0, 0])
+    opad = n.attrs.get("output_padding", [0, 0])
+    if list(n.attrs.get("dilations", [1, 1])) != [1, 1]:
+        raise NotImplementedError("ConvTranspose dilation != 1 unsupported")
+    oh = (h - 1) * sh + kh - pt - pb + opad[0]
+    ow = (wid - 1) * sw + kw - pl - pr + opad[1]
+    out = np.zeros((nb, cout, oh + pt + pb, ow + pl + pr), np.float32)
+    cin_g = cin // group
+    for g in range(group):
+        xg = x[:, g * cin_g : (g + 1) * cin_g]  # (n, cin_g, h, w)
+        wg = w[g * cin_g : (g + 1) * cin_g]     # (cin_g, cout_g, kh, kw)
+        for ky in range(kh):
+            for kx in range(kw):
+                contrib = np.einsum(
+                    "nchw,co->nohw", xg, wg[:, :, ky, kx], optimize=True
+                )
+                out[
+                    :,
+                    g * cout_g : (g + 1) * cout_g,
+                    ky : ky + (h - 1) * sh + 1 : sh,
+                    kx : kx + (wid - 1) * sw + 1 : sw,
+                ] += contrib
+    out = out[:, :, pt : pt + oh, pl : pl + ow]
+    if b is not None:
+        out += b.reshape(1, -1, 1, 1)
+    env[n.outputs[0]] = out
+
+
+def _op_resize(n, env):
+    """Resize (nearest / linear) with scales or sizes; half_pixel and
+    asymmetric coordinate modes — the DBNet FPN upsample."""
+    x = env[n.inputs[0]]
+    scales = None
+    sizes = None
+    if len(n.inputs) > 2 and n.inputs[2] and len(env[n.inputs[2]]) > 0:
+        scales = np.asarray(env[n.inputs[2]], np.float64)
+    if len(n.inputs) > 3 and n.inputs[3]:
+        sizes = [int(v) for v in env[n.inputs[3]]]
+    mode = n.attrs.get("mode", b"nearest")
+    mode = mode.decode() if isinstance(mode, bytes) else mode
+    ctm = n.attrs.get("coordinate_transformation_mode", b"half_pixel")
+    ctm = ctm.decode() if isinstance(ctm, bytes) else ctm
+    nb, c, h, w = x.shape
+    if sizes is not None:
+        oh, ow = sizes[2], sizes[3]
+    else:
+        oh = int(np.floor(h * scales[2]))
+        ow = int(np.floor(w * scales[3]))
+
+    def src_coords(o, s, out_len, in_len):
+        idx = np.arange(out_len, dtype=np.float64)
+        if ctm == "asymmetric":
+            return idx / s
+        if ctm == "align_corners":
+            return idx * (in_len - 1) / max(out_len - 1, 1)
+        return (idx + 0.5) / s - 0.5  # half_pixel
+
+    sy = oh / h if sizes is not None else scales[2]
+    sx = ow / w if sizes is not None else scales[3]
+    ys = src_coords(None, sy, oh, h)
+    xs = src_coords(None, sx, ow, w)
+    if mode == "nearest":
+        yi = np.clip(np.floor(ys + (0.5 if ctm != "asymmetric" else 0)), 0, h - 1).astype(int)
+        xi = np.clip(np.floor(xs + (0.5 if ctm != "asymmetric" else 0)), 0, w - 1).astype(int)
+        env[n.outputs[0]] = x[:, :, yi][:, :, :, xi]
+        return
+    if mode != "linear":
+        raise NotImplementedError(f"Resize mode {mode!r} unsupported")
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    fy = np.clip(ys - y0, 0, 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    fx = np.clip(xs - x0, 0, 1)
+    top = x[:, :, y0][:, :, :, x0] * (1 - fx) + x[:, :, y0][:, :, :, x1] * fx
+    bot = x[:, :, y1][:, :, :, x0] * (1 - fx) + x[:, :, y1][:, :, :, x1] * fx
+    env[n.outputs[0]] = (
+        top * (1 - fy[None, None, :, None]) + bot * fy[None, None, :, None]
+    ).astype(np.float32)
+
+
+def _op_split(n, env):
+    x = env[n.inputs[0]]
+    axis = int(n.attrs.get("axis", 0))
+    if "split" in n.attrs:
+        parts = [int(v) for v in n.attrs["split"]]
+    elif len(n.inputs) > 1 and n.inputs[1]:
+        parts = [int(v) for v in env[n.inputs[1]]]
+    else:
+        k = len(n.outputs)
+        parts = [x.shape[axis] // k] * k
+    offs = np.cumsum([0] + parts)
+    for i, out in enumerate(n.outputs):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(int(offs[i]), int(offs[i + 1]))
+        env[out] = x[tuple(sl)]
+
+
+def _op_reduce_mean(n, env):
+    x = env[n.inputs[0]]
+    axes = n.attrs.get("axes")
+    if axes is None and len(n.inputs) > 1 and n.inputs[1]:
+        axes = [int(v) for v in env[n.inputs[1]]]
+    keep = bool(n.attrs.get("keepdims", 1))
+    axes_t = tuple(int(a) for a in axes) if axes is not None else None
+    env[n.outputs[0]] = x.mean(axis=axes_t, keepdims=keep).astype(np.float32)
+
+
 _OPS = {
     "Conv": _op_conv,
     "MaxPool": _op_pool("max"),
@@ -557,6 +679,51 @@ _OPS = {
     "Squeeze": _op_squeeze,
     "Unsqueeze": _op_unsqueeze,
     "Slice": _op_slice,
+    "ConvTranspose": _op_conv_transpose,
+    "Resize": _op_resize,
+    "Split": _op_split,
+    "ReduceMean": _op_reduce_mean,
+    "Shape": lambda n, env: env.__setitem__(
+        n.outputs[0], np.array(env[n.inputs[0]].shape, np.int64)
+    ),
+    "Gather": lambda n, env: env.__setitem__(
+        n.outputs[0],
+        np.take(
+            env[n.inputs[0]],
+            np.asarray(env[n.inputs[1]], np.int64),
+            axis=int(n.attrs.get("axis", 0)),
+        ),
+    ),
+    "HardSigmoid": lambda n, env: env.__setitem__(
+        n.outputs[0],
+        np.clip(
+            n.attrs.get("alpha", 0.2) * env[n.inputs[0]] + n.attrs.get("beta", 0.5),
+            0.0,
+            1.0,
+        ).astype(np.float32),
+    ),
+    "HardSwish": lambda n, env: env.__setitem__(
+        n.outputs[0],
+        (
+            env[n.inputs[0]]
+            * np.clip(env[n.inputs[0]] / 6.0 + 0.5, 0.0, 1.0)
+        ).astype(np.float32),
+    ),
+    "Exp": lambda n, env: env.__setitem__(
+        n.outputs[0], np.exp(np.clip(env[n.inputs[0]], -88.0, 88.0)).astype(np.float32)
+    ),
+    "Log": lambda n, env: env.__setitem__(
+        n.outputs[0], np.log(env[n.inputs[0]]).astype(np.float32)
+    ),
+    "Sqrt": lambda n, env: env.__setitem__(
+        n.outputs[0], np.sqrt(env[n.inputs[0]]).astype(np.float32)
+    ),
+    "Neg": lambda n, env: env.__setitem__(n.outputs[0], -env[n.inputs[0]]),
+    "Abs": lambda n, env: env.__setitem__(n.outputs[0], np.abs(env[n.inputs[0]])),
+    "Pow": lambda n, env: env.__setitem__(
+        n.outputs[0],
+        np.power(env[n.inputs[0]], env[n.inputs[1]]).astype(np.float32),
+    ),
 }
 
 

@@ -166,6 +166,96 @@ def test_bidirectional_lstm_crnn_head():
     assert np.abs(bi[:, 1] - rev_ref[:, 0]).max() < 1e-6
 
 
+def test_conv_transpose_matches_naive_scatter():
+    rng = np.random.default_rng(21)
+    x = rng.normal(0, 1, (1, 2, 4, 5)).astype(np.float32)
+    w = rng.normal(0, 0.5, (2, 3, 3, 3)).astype(np.float32)
+    b = rng.normal(0, 0.1, (3,)).astype(np.float32)
+    model = ox.build_model(
+        [ox.node_bytes("ConvTranspose", ["x", "w", "b"], ["y"],
+                       kernel_shape=[3, 3], strides=[2, 2],
+                       pads=[1, 1, 1, 1], output_padding=[1, 1])],
+        [ox.tensor_bytes("w", w), ox.tensor_bytes("b", b)], "x", "y",
+    )
+    y = ox.NumpyOnnxNet(model).run(x)
+    oh, ow = (4 - 1) * 2 + 3 - 2 + 1, (5 - 1) * 2 + 3 - 2 + 1
+    ref = np.zeros((1, 3, oh + 2, ow + 2), np.float32)
+    for iy in range(4):
+        for ix in range(5):
+            for ky in range(3):
+                for kx in range(3):
+                    for co in range(3):
+                        ref[0, co, iy * 2 + ky, ix * 2 + kx] += (
+                            x[0, :, iy, ix] * w[:, co, ky, kx]
+                        ).sum()
+    ref = ref[:, :, 1 : 1 + oh, 1 : 1 + ow] + b.reshape(1, -1, 1, 1)
+    assert y.shape == ref.shape and np.abs(y - ref).max() < 1e-4
+
+
+def test_resize_nearest_asymmetric_is_pixel_repeat():
+    rng = np.random.default_rng(22)
+    x = rng.normal(0, 1, (1, 1, 3, 4)).astype(np.float32)
+    m = ox.build_model(
+        [ox.node_bytes("Resize", ["x", "roi", "scales"], ["y"],
+                       mode="nearest",
+                       coordinate_transformation_mode="asymmetric")],
+        [ox.tensor_bytes("roi", np.array([], np.float32)),
+         ox.tensor_bytes("scales", np.array([1, 1, 2, 2], np.float32))],
+        "x", "y",
+    )
+    y = ox.NumpyOnnxNet(m).run(x)
+    assert np.array_equal(y, np.repeat(np.repeat(x, 2, axis=2), 2, axis=3))
+
+
+def test_mobilenetv3_se_block_and_dbnet_head_shapes():
+    """Depthwise conv → HardSwish → squeeze-excite (GlobalAvgPool →
+    1x1 convs → HardSigmoid → Mul) → stride-2 ConvTranspose → Sigmoid:
+    the building blocks of a real exported DBNet-MobileNetV3."""
+    rng = np.random.default_rng(23)
+    C = 4
+    x = rng.normal(0, 1, (1, C, 8, 8)).astype(np.float32)
+    dw = rng.normal(0, 0.5, (C, 1, 3, 3)).astype(np.float32)
+    se1 = rng.normal(0, 0.5, (C, C, 1, 1)).astype(np.float32)
+    se2 = rng.normal(0, 0.5, (C, C, 1, 1)).astype(np.float32)
+    up = rng.normal(0, 0.5, (C, 1, 2, 2)).astype(np.float32)
+    nodes = [
+        ox.node_bytes("Conv", ["x", "dw"], ["d"], kernel_shape=[3, 3],
+                      pads=[1, 1, 1, 1], strides=[1, 1], group=C),
+        ox.node_bytes("HardSwish", ["d"], ["h"]),
+        ox.node_bytes("GlobalAveragePool", ["h"], ["g"]),
+        ox.node_bytes("Conv", ["g", "se1"], ["s1"], kernel_shape=[1, 1],
+                      pads=[0, 0, 0, 0], strides=[1, 1]),
+        ox.node_bytes("Relu", ["s1"], ["s2"]),
+        ox.node_bytes("Conv", ["s2", "se2"], ["s3"], kernel_shape=[1, 1],
+                      pads=[0, 0, 0, 0], strides=[1, 1]),
+        ox.node_bytes("HardSigmoid", ["s3"], ["gate"], alpha=0.2, beta=0.5),
+        ox.node_bytes("Mul", ["h", "gate"], ["se"]),
+        ox.node_bytes("ConvTranspose", ["se", "up"], ["u"],
+                      kernel_shape=[2, 2], strides=[2, 2], pads=[0, 0, 0, 0]),
+        ox.node_bytes("Sigmoid", ["u"], ["y"]),
+    ]
+    inits = [ox.tensor_bytes(k, v)
+             for k, v in [("dw", dw), ("se1", se1), ("se2", se2), ("up", up)]]
+    y = ox.NumpyOnnxNet(ox.build_model(nodes, inits, "x", "y")).run(x)
+    assert y.shape == (1, 1, 16, 16)
+    assert (0 <= y).all() and (y <= 1).all()
+
+
+def test_shape_gather_split_reduce_mean():
+    rng = np.random.default_rng(24)
+    x = rng.normal(0, 1, (1, 4, 8, 8)).astype(np.float32)
+    nodes = [
+        ox.node_bytes("Shape", ["x"], ["sh"]),
+        ox.node_bytes("Gather", ["sh", "i"], ["g"], axis=0),
+        ox.node_bytes("Split", ["x"], ["a", "bpart"], axis=1, split=[1, 3]),
+        ox.node_bytes("ReduceMean", ["bpart"], ["y"], axes=[2, 3], keepdims=1),
+    ]
+    m = ox.build_model(nodes, [ox.tensor_bytes("i", np.array([1], np.int64))], "x", "y")
+    y = ox.NumpyOnnxNet(m).run(x)
+    assert y.shape == (1, 3, 1, 1)
+    assert np.abs(y[0, :, 0, 0] - x[0, 1:4].mean(axis=(1, 2))).max() < 1e-6
+
+
 def test_squeeze_unsqueeze_slice():
     rng = np.random.default_rng(12)
     x = rng.normal(0, 1, (3, 1, 5)).astype(np.float32)
