@@ -11,9 +11,12 @@ Container/codec reality in this sandbox (no PIL/cv2/ffmpeg):
   nothing else changes.
 - **audio**: raw PCM s16le payloads AND real RIFF/WAV PCM16 containers
   (kernels/wavcodec) — RMS / zero-crossing / peak features are real.
-- **video**: MOCKV1 (deterministic synth container) and real RIFF
-  AVI/MJPEG — frame sampling, JPEG/PNG frame decode, and per-frame
-  features are real; only mp4/webm demuxing remains a stand-in.
+- **video**: MOCKV1 (deterministic synth container), real RIFF
+  AVI/MJPEG, and real ISO-BMFF mp4 (general stsd/stsz/stsc/stco
+  sample-table demux; MJPEG samples decode, other codecs surface the
+  per-row seam) — frame sampling, JPEG/PNG frame decode, and
+  per-frame features are real; only webm/Matroska demux remains a
+  stand-in.
 
 Every stage is init-once-per-worker, Arrow-batched, and returns typed
 columns — the schema/partitioning/batch-shape plumbing the 100 TB
@@ -161,14 +164,163 @@ def _iter_avi_frames(payload: bytes) -> Iterator[bytes]:
     yield from walk(pos, len(payload))
 
 
+def _box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def encode_mp4_mjpeg(frames_jpeg: list[bytes], w: int, h: int) -> bytes:
+    """Minimal ISO-BMFF (mp4) with one MJPEG video track: ftyp + mdat
+    + moov carrying the REAL sample tables (stsd 'jpeg', stts, stsc,
+    stsz, stco with absolute file offsets). Layout is mdat-before-moov
+    so chunk offsets are known when the tables are built."""
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2mp41")
+    mdat_payload = b"".join(frames_jpeg)
+    mdat = _box(b"mdat", mdat_payload)
+    base = len(ftyp) + 8  # first sample's absolute offset
+    offsets = []
+    off = base
+    for fr in frames_jpeg:
+        offsets.append(off)
+        off += len(fr)
+    n = len(frames_jpeg)
+    # stsd: one 'jpeg' VisualSampleEntry (86-byte body per spec)
+    entry = (
+        b"\x00" * 6 + struct.pack(">H", 1)      # reserved, data_ref_index
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)                   # frame count
+        + b"\x00" * 32                           # compressor name
+        + struct.pack(">H", 24)                  # depth
+        + struct.pack(">h", -1)                  # color table id
+    )
+    stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + _box(b"jpeg", entry))
+    stts = _box(b"stts", b"\x00" * 4 + struct.pack(">III", 1, n, 1))
+    stsc = _box(b"stsc", b"\x00" * 4 + struct.pack(">IIII", 1, 1, 1, 1))
+    stsz = _box(
+        b"stsz",
+        b"\x00" * 4
+        + struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(fr)) for fr in frames_jpeg),
+    )
+    stco = _box(
+        b"stco",
+        b"\x00" * 4
+        + struct.pack(">I", n)
+        + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    hdlr = _box(
+        b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"VideoHandler\x00"
+    )
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", hdlr + minf)
+    trak = _box(b"trak", mdia)
+    mvhd = _box(b"mvhd", b"\x00" * 4 + struct.pack(">IIII", 0, 0, 1, n) + b"\x00" * 80)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _mp4_boxes(data: bytes, lo: int, hi: int):
+    p = lo
+    while p + 8 <= hi:
+        (size,) = struct.unpack_from(">I", data, p)
+        tag = data[p + 4 : p + 8]
+        body = p + 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack_from(">Q", data, p + 8)
+            body = p + 16
+        if size < 8 or p + size > hi:
+            raise ValueError("bad mp4 box size")
+        yield tag, body, p + size
+        p += size
+
+
+def _iter_mp4_frames(payload: bytes) -> Iterator[bytes]:
+    """Walk moov→trak→mdia→minf→stbl sample tables and yield each
+    sample's bytes (stsc chunk runs + stco offsets + stsz sizes — the
+    general sample-to-chunk math, not just this muxer's layout). Only
+    tracks whose stsd codec is JPEG-family are yielded; other codecs
+    (avc1, vp09, …) raise the unbundled-codec seam."""
+    CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+    tables: list[dict] = []
+
+    def walk(lo: int, hi: int, ctx: dict | None):
+        for tag, body, end in _mp4_boxes(payload, lo, hi):
+            if tag in CONTAINERS:
+                sub = {"codec": None} if tag == b"stbl" else ctx
+                walk(body, end, sub)
+                if tag == b"stbl":
+                    tables.append(sub)
+            elif ctx is not None and tag == b"stsd":
+                count = struct.unpack_from(">I", payload, body + 4)[0]
+                if count >= 1:
+                    ctx["codec"] = payload[body + 12 : body + 16]
+            elif ctx is not None and tag == b"stsz":
+                fixed, n = struct.unpack_from(">II", payload, body + 4)
+                if fixed:
+                    ctx["sizes"] = [fixed] * n
+                else:
+                    ctx["sizes"] = list(
+                        struct.unpack_from(f">{n}I", payload, body + 12)
+                    )
+            elif ctx is not None and tag == b"stco":
+                n = struct.unpack_from(">I", payload, body + 4)[0]
+                ctx["chunks"] = list(struct.unpack_from(f">{n}I", payload, body + 8))
+            elif ctx is not None and tag == b"co64":
+                n = struct.unpack_from(">I", payload, body + 4)[0]
+                ctx["chunks"] = list(struct.unpack_from(f">{n}Q", payload, body + 8))
+            elif ctx is not None and tag == b"stsc":
+                n = struct.unpack_from(">I", payload, body + 4)[0]
+                vals = struct.unpack_from(f">{3 * n}I", payload, body + 8)
+                ctx["runs"] = [
+                    (vals[i * 3], vals[i * 3 + 1]) for i in range(n)
+                ]  # (first_chunk, samples_per_chunk)
+
+    walk(0, len(payload), None)
+    found = False
+    for t in tables:
+        if not all(k in t for k in ("sizes", "chunks", "runs")):
+            continue
+        if t["codec"] not in (b"jpeg", b"mjpa", b"mjpb", b"MJPG"):
+            raise NotImplementedError(
+                f"mp4 codec {t['codec']!r} not bundled offline (MJPEG decodes)"
+            )
+        found = True
+        sizes = t["sizes"]
+        si = 0
+        for ci, chunk_off in enumerate(t["chunks"], start=1):
+            per = 0
+            for first, spc in t["runs"]:
+                if first <= ci:
+                    per = spc
+            off = chunk_off
+            for _ in range(per):
+                if si >= len(sizes):
+                    break
+                ln = sizes[si]
+                if off + ln > len(payload):
+                    raise ValueError("mp4 sample beyond file")
+                yield payload[off : off + ln]
+                off += ln
+                si += 1
+    if not found:
+        raise ValueError("mp4 has no decodable video sample table")
+
+
 def iter_video_frames(payload: bytes) -> Iterator[bytes]:
-    """MOCKV1 (deterministic synth) or RIFF AVI/MJPEG (real container
-    subset — the mp4 demux stand-in got real for the MJPEG case)."""
+    """MOCKV1 (deterministic synth), RIFF AVI/MJPEG, or ISO-BMFF mp4
+    (real sample-table demux; MJPEG samples decode, other codecs are
+    the per-row unsupported-codec seam)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         yield from _iter_avi_frames(payload)
         return
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        yield from _iter_mp4_frames(payload)
+        return
     if not payload.startswith(VIDEO_MAGIC):
-        raise ValueError("not a MOCKV1/AVI container")
+        raise ValueError("not a MOCKV1/AVI/mp4 container")
     (n,) = struct.unpack_from("<I", payload, len(VIDEO_MAGIC))
     pos = len(VIDEO_MAGIC) + 4
     for _ in range(n):
@@ -502,19 +654,40 @@ FROM documents WHERE doc_id < {_AUD_LIMIT}
 
 
 def _synth_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Container mix with identical closed-form frame lumas: MOCKV1
+    (PNG frames) for even ids, ISO-BMFF mp4 with MJPEG samples for odd
+    ids — constant-value JPEG frames are LOSSLESS at quality 95 (the
+    luma DC quantizer is 2, and 8·(v−128) is always even), so the
+    DuckDB oracle stays exact while the real sample-table demux +
+    JPEG decode run."""
+    from ragflow_ocr_spark.kernels import imgcodecs
+
     for b in batches:
         rows = []
         for did in b["doc_id"]:
             did = int(did)
             n_frames = 4 + did % 5
-            out = bytearray(VIDEO_MAGIC)
-            out += struct.pack("<I", n_frames)
-            for idx in range(n_frames):
-                img = np.full((24, 32), (did * 31 + idx * 7) % 256, dtype=np.uint8)
-                fr = pngcodec.encode_png(img)
-                out += struct.pack("<I", len(fr))
-                out += fr
-            rows.append((did, "video", bytes(out), "mockv1", 32, 24, 0))
+            if did % 2 == 0:
+                out = bytearray(VIDEO_MAGIC)
+                out += struct.pack("<I", n_frames)
+                for idx in range(n_frames):
+                    img = np.full(
+                        (24, 32), (did * 31 + idx * 7) % 256, dtype=np.uint8
+                    )
+                    fr = pngcodec.encode_png(img)
+                    out += struct.pack("<I", len(fr))
+                    out += fr
+                rows.append((did, "video", bytes(out), "mockv1", 32, 24, 0))
+            else:
+                frames = [
+                    imgcodecs.encode_jpeg(
+                        np.full((24, 32), (did * 31 + idx * 7) % 256, np.uint8),
+                        quality=95,
+                    )
+                    for idx in range(n_frames)
+                ]
+                payload = encode_mp4_mjpeg(frames, 32, 24)
+                rows.append((did, "video", payload, "mjpeg_mp4", 32, 24, 0))
         yield pd.DataFrame(
             rows,
             columns=["media_id", "kind", "payload", "meta_codec", "meta_w", "meta_h", "meta_sr"],

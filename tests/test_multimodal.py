@@ -246,3 +246,63 @@ def test_avi_walker_skips_header_lists():
     body = hdrl + junk + movi_list
     avi = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
     assert list(mm.iter_video_frames(avi)) == [fr]
+
+
+def test_mp4_mjpeg_mux_demux_roundtrip():
+    """ISO-BMFF sample tables (stsd/stsz/stsc/stco) round trip the
+    exact frame bytes; non-MJPEG codecs are the unbundled-codec seam;
+    garbage containers are per-row ValueErrors."""
+    import numpy as np
+
+    from ragflow_ocr_spark.kernels import imgcodecs as ic
+
+    frames = [
+        ic.encode_jpeg(np.full((24, 32), 40 * k + 10, np.uint8), quality=95)
+        for k in range(5)
+    ]
+    payload = mm.encode_mp4_mjpeg(frames, 32, 24)
+    out = list(mm.iter_video_frames(payload))
+    assert out == frames
+    with pytest.raises(NotImplementedError, match="codec"):
+        list(mm.iter_video_frames(payload.replace(b"jpeg", b"avc1", 1)))
+    with pytest.raises(ValueError):
+        list(mm.iter_video_frames(b"\x00\x00\x00\x08ftypxxxxxx"))
+
+
+def test_mp4_multi_chunk_sample_table():
+    """General stsc math: two chunks with different samples-per-chunk
+    (3 then 2) must map samples to the right offsets."""
+    import struct
+
+    import numpy as np
+
+    from ragflow_ocr_spark.kernels import imgcodecs as ic
+
+    frames = [
+        ic.encode_jpeg(np.full((8, 8), 30 * k + 5, np.uint8), quality=95)
+        for k in range(5)
+    ]
+    ftyp = mm._box(b"ftyp", b"isom\x00\x00\x02\x00")
+    mdat_payload = b"".join(frames)
+    base = len(ftyp) + 8
+    chunk2_off = base + sum(len(f) for f in frames[:3])
+    entry = b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 78
+    stsd = mm._box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + mm._box(b"jpeg", entry))
+    stsz = mm._box(
+        b"stsz",
+        b"\x00" * 4 + struct.pack(">II", 0, 5)
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    stsc = mm._box(
+        b"stsc",
+        b"\x00" * 4 + struct.pack(">I", 2)
+        + struct.pack(">III", 1, 3, 1) + struct.pack(">III", 2, 2, 1),
+    )
+    stco = mm._box(
+        b"stco", b"\x00" * 4 + struct.pack(">I", 2)
+        + struct.pack(">II", base, chunk2_off)
+    )
+    stbl = mm._box(b"stbl", stsd + stsz + stsc + stco)
+    moov = mm._box(b"moov", mm._box(b"trak", mm._box(b"mdia", mm._box(b"minf", stbl))))
+    payload = ftyp + mm._box(b"mdat", mdat_payload) + moov
+    assert list(mm.iter_video_frames(payload)) == frames
