@@ -12,11 +12,12 @@ Container/codec reality in this sandbox (no PIL/cv2/ffmpeg):
 - **audio**: raw PCM s16le payloads AND real RIFF/WAV PCM16 containers
   (kernels/wavcodec) — RMS / zero-crossing / peak features are real.
 - **video**: MOCKV1 (deterministic synth container), real RIFF
-  AVI/MJPEG, and real ISO-BMFF mp4 (general stsd/stsz/stsc/stco
-  sample-table demux; MJPEG samples decode, other codecs surface the
-  per-row seam) — frame sampling, JPEG/PNG frame decode, and
-  per-frame features are real; only webm/Matroska demux remains a
-  stand-in.
+  AVI/MJPEG, real ISO-BMFF mp4 (general stsd/stsz/stsc/stco
+  sample-table demux), and real webm/Matroska (EBML walk,
+  SimpleBlock/BlockGroup frames) — frame sampling, JPEG/PNG frame
+  decode, and per-frame features are real for MJPEG-coded tracks;
+  video CODECS beyond MJPEG (VP8/VP9/H.264 bitstreams) are the
+  remaining per-row seam.
 
 Every stage is init-once-per-worker, Arrow-batched, and returns typed
 columns — the schema/partitioning/batch-shape plumbing the 100 TB
@@ -309,18 +310,139 @@ def _iter_mp4_frames(payload: bytes) -> Iterator[bytes]:
         raise ValueError("mp4 has no decodable video sample table")
 
 
+# --------------------------------------------------- webm/Matroska (EBML)
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+_MKV_SEGMENT = 0x18538067
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACK_ENTRY = 0xAE
+_MKV_CODEC_ID = 0x86
+_MKV_CLUSTER = 0x1F43B675
+_MKV_SIMPLE_BLOCK = 0xA3
+_MKV_BLOCK_GROUP = 0xA0
+_MKV_BLOCK = 0xA1
+
+
+def _ebml_vint(data: bytes, i: int, keep_marker: bool) -> tuple[int, int]:
+    """EBML variable-length int at i → (value, next index). IDs keep
+    the length-marker bit, sizes strip it."""
+    if i >= len(data):
+        raise ValueError("truncated EBML vint")
+    b0 = data[i]
+    if b0 == 0:
+        raise ValueError("bad EBML vint")
+    length = 9 - b0.bit_length()  # leading-zeros+1
+    if i + length > len(data):
+        raise ValueError("truncated EBML vint")
+    v = b0 if keep_marker else b0 & (0xFF >> length)
+    for k in range(1, length):
+        v = (v << 8) | data[i + k]
+    return v, i + length
+
+
+def _ebml_encode_vint(v: int, id_: bool = False) -> bytes:
+    if id_:  # IDs are stored verbatim (marker included in the value)
+        n = (v.bit_length() + 7) // 8
+        return v.to_bytes(n, "big")
+    for length in range(1, 9):
+        if v < (1 << (7 * length)) - 1:
+            return ((1 << (7 * length)) | v).to_bytes(length, "big")
+    raise ValueError("EBML size too large")
+
+
+def _mkv_el(id_: int, payload: bytes) -> bytes:
+    return _ebml_encode_vint(id_, id_=True) + _ebml_encode_vint(len(payload)) + payload
+
+
+def encode_webm_mjpeg(frames_jpeg: list[bytes]) -> bytes:
+    """Minimal Matroska with one V_MJPEG track: EBML header + Segment(
+    Tracks(TrackEntry(TrackNumber=1, TrackType=video, CodecID)) +
+    Cluster(Timestamp + SimpleBlocks)). Real files carry Info/Cues
+    too — the reader skips unknown elements, so they parse as well."""
+    ebml = _mkv_el(
+        0x1A45DFA3,
+        _mkv_el(0x4282, b"matroska")  # DocType
+        + _mkv_el(0x4286, b"\x01"),   # EBMLVersion
+    )
+    track = _mkv_el(
+        _MKV_TRACK_ENTRY,
+        _mkv_el(0xD7, b"\x01")        # TrackNumber
+        + _mkv_el(0x83, b"\x01")      # TrackType: video
+        + _mkv_el(_MKV_CODEC_ID, b"V_MJPEG"),
+    )
+    tracks = _mkv_el(_MKV_TRACKS, track)
+    blocks = b""
+    for k, fr in enumerate(frames_jpeg):
+        # SimpleBlock: track vint(1) + s16 timecode + flags(keyframe)
+        blocks += _mkv_el(
+            _MKV_SIMPLE_BLOCK,
+            b"\x81" + struct.pack(">h", k) + b"\x80" + fr,
+        )
+    cluster = _mkv_el(_MKV_CLUSTER, _mkv_el(0xE7, b"\x00") + blocks)
+    return ebml + _mkv_el(_MKV_SEGMENT, tracks + cluster)
+
+
+def _iter_webm_frames(payload: bytes) -> Iterator[bytes]:
+    """Walk Segment → Tracks (codec check) and Clusters → SimpleBlock/
+    BlockGroup frames. Laced blocks and unknown-size elements are
+    rejected (per-row error); non-MJPEG codecs (V_VP8/V_VP9/…) raise
+    the unbundled-codec seam."""
+    codec: bytes | None = None
+    frames: list[bytes] = []
+
+    def block_frame(body: bytes) -> bytes:
+        _track, j = _ebml_vint(body, 0, keep_marker=False)
+        j += 2  # timecode
+        if j >= len(body):
+            raise ValueError("truncated matroska block")
+        flags = body[j]
+        if flags & 0x06:
+            raise ValueError("laced matroska blocks unsupported")
+        return body[j + 1 :]
+
+    def walk(lo: int, hi: int, depth: int) -> None:
+        nonlocal codec
+        i = lo
+        while i < hi:
+            el_id, i = _ebml_vint(payload, i, keep_marker=True)
+            size, i = _ebml_vint(payload, i, keep_marker=False)
+            end = i + size
+            if end > hi:
+                # also catches unknown-size (all-ones) elements, whose
+                # size value always exceeds the container
+                raise ValueError("truncated or unknown-size EBML element")
+            if el_id in (_MKV_SEGMENT, _MKV_TRACKS, _MKV_TRACK_ENTRY, _MKV_CLUSTER, _MKV_BLOCK_GROUP):
+                walk(i, end, depth + 1)
+            elif el_id == _MKV_CODEC_ID:
+                codec = payload[i:end]
+            elif el_id in (_MKV_SIMPLE_BLOCK, _MKV_BLOCK):
+                frames.append(block_frame(payload[i:end]))
+            i = end
+
+    walk(0, len(payload), 0)
+    if codec is None:
+        raise ValueError("matroska file has no CodecID")
+    if codec.rstrip(b"\x00") not in (b"V_MJPEG",):
+        raise NotImplementedError(
+            f"matroska codec {codec!r} not bundled offline (V_MJPEG decodes)"
+        )
+    yield from frames
+
+
 def iter_video_frames(payload: bytes) -> Iterator[bytes]:
-    """MOCKV1 (deterministic synth), RIFF AVI/MJPEG, or ISO-BMFF mp4
-    (real sample-table demux; MJPEG samples decode, other codecs are
-    the per-row unsupported-codec seam)."""
+    """MOCKV1 (deterministic synth), RIFF AVI/MJPEG, ISO-BMFF mp4, or
+    webm/Matroska (real EBML demux; MJPEG frames decode, other codecs
+    are the per-row unsupported-codec seam)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         yield from _iter_avi_frames(payload)
         return
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         yield from _iter_mp4_frames(payload)
         return
+    if payload.startswith(_EBML_MAGIC):
+        yield from _iter_webm_frames(payload)
+        return
     if not payload.startswith(VIDEO_MAGIC):
-        raise ValueError("not a MOCKV1/AVI/mp4 container")
+        raise ValueError("not a MOCKV1/AVI/mp4/webm container")
     (n,) = struct.unpack_from("<I", payload, len(VIDEO_MAGIC))
     pos = len(VIDEO_MAGIC) + 4
     for _ in range(n):

@@ -306,3 +306,45 @@ def test_mp4_multi_chunk_sample_table():
     moov = mm._box(b"moov", mm._box(b"trak", mm._box(b"mdia", mm._box(b"minf", stbl))))
     payload = ftyp + mm._box(b"mdat", mdat_payload) + moov
     assert list(mm.iter_video_frames(payload)) == frames
+
+
+def test_webm_mjpeg_mux_demux_roundtrip():
+    """EBML/Matroska demux is real: V_MJPEG SimpleBlocks round trip
+    exactly; VP8-coded tracks are the unbundled-codec seam; malformed
+    EBML is a per-row ValueError."""
+    import numpy as np
+
+    from ragflow_ocr_spark.kernels import imgcodecs as ic
+
+    frames = [
+        ic.encode_jpeg(np.full((16, 20), 25 * k + 15, np.uint8), quality=95)
+        for k in range(4)
+    ]
+    mkv = mm.encode_webm_mjpeg(frames)
+    assert list(mm.iter_video_frames(mkv)) == frames
+    with pytest.raises(NotImplementedError, match="codec"):
+        list(mm.iter_video_frames(mkv.replace(b"V_MJPEG", b"V_VP8\x00\x00")))
+    with pytest.raises(ValueError):
+        list(mm.iter_video_frames(mm._EBML_MAGIC + b"\x00\xff\x13"))
+
+
+def test_webm_through_frame_sample_stage(spark):
+    """A webm payload goes through the SAME frame-sampling stage as
+    the other containers, with per-frame decode features."""
+    import numpy as np
+
+    from ragflow_ocr_spark.kernels import imgcodecs as ic
+
+    frames = [
+        ic.encode_jpeg(np.full((16, 20), 60 * k + 30, np.uint8), quality=95)
+        for k in range(3)
+    ]
+    df = spark.createDataFrame(
+        [(7, "video", bytearray(mm.encode_webm_mjpeg(frames)), "mjpeg_webm", 20, 16, 0)],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = df.mapInPandas(
+        mm.frame_sample_stage(every_k=1), schema=mm.FRAME_SAMPLE_SCHEMA
+    ).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+    assert [r["mean_luma"] for r in rows] == [30.0, 90.0, 150.0]
