@@ -777,11 +777,11 @@ FROM documents WHERE doc_id < {_AUD_LIMIT}
 
 def _synth_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Container mix with identical closed-form frame lumas: MOCKV1
-    (PNG frames) for even ids, ISO-BMFF mp4 with MJPEG samples for odd
-    ids — constant-value JPEG frames are LOSSLESS at quality 95 (the
-    luma DC quantizer is 2, and 8·(v−128) is always even), so the
-    DuckDB oracle stays exact while the real sample-table demux +
-    JPEG decode run."""
+    (PNG frames) for even ids; for odd ids, MJPEG samples in an
+    ISO-BMFF mp4 (id % 4 == 1) or a webm/Matroska (id % 4 == 3) —
+    constant-value JPEG frames are LOSSLESS at quality 95 (the luma DC
+    quantizer is 2, and 8·(v−128) is always even), so the DuckDB
+    oracle stays exact while the real demuxers + JPEG decode run."""
     from ragflow_ocr_spark.kernels import imgcodecs
 
     for b in batches:
@@ -808,8 +808,11 @@ def _synth_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     )
                     for idx in range(n_frames)
                 ]
-                payload = encode_mp4_mjpeg(frames, 32, 24)
-                rows.append((did, "video", payload, "mjpeg_mp4", 32, 24, 0))
+                if did % 4 == 1:
+                    payload, codec = encode_mp4_mjpeg(frames, 32, 24), "mjpeg_mp4"
+                else:
+                    payload, codec = encode_webm_mjpeg(frames), "mjpeg_webm"
+                rows.append((did, "video", payload, codec, 32, 24, 0))
         yield pd.DataFrame(
             rows,
             columns=["media_id", "kind", "payload", "meta_codec", "meta_w", "meta_h", "meta_sr"],
