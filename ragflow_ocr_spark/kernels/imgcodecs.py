@@ -443,6 +443,132 @@ def decode_gif(data: bytes) -> np.ndarray:
     raise ValueError("GIF has no image block")
 
 
+def encode_gif_animation(frames: list[np.ndarray], delay_cs: int = 10) -> bytes:
+    """Multi-frame GIF89a: every frame full-size gray (256-gray global
+    palette), a Graphic Control Extension per frame, and a NETSCAPE
+    loop block — the animated-GIF shape real crawls carry."""
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape[:2]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += np.arange(256, dtype=np.uint8).repeat(3).tobytes()
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    for img in frames:
+        if img.ndim != 2 or img.shape != (h, w):
+            raise ValueError("animation frames must be equal-size gray")
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out.append(8)
+        lzw = _lzw_encode(8, img.tobytes())
+        for i in range(0, len(lzw), 255):
+            block = lzw[i : i + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+@_codec_errors
+def decode_gif_frames(data: bytes) -> list[np.ndarray]:
+    """All frames of a GIF87a/89a animation, composited onto the
+    logical screen (left/top sub-rects drawn in place, GCE transparent
+    index skipped, disposal 'restore to background' honored; 'restore
+    previous' treated as leave — rare in crawl GIFs). Frames come back
+    gray when globally grayscale, else RGB."""
+    if data[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF")
+    sw, sh, flags, bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    if not (0 < sw and 0 < sh and sw * sh <= MAX_DECODE_PIXELS):
+        raise ValueError("bad GIF screen size")
+    pos = 13
+    global_pal = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        global_pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((sh, sw, 3), np.uint8)
+    if global_pal is not None and bg < len(global_pal):
+        canvas[:] = global_pal[bg]
+    frames: list[np.ndarray] = []
+    transparent = -1
+    disposal = 0
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:  # extension
+            label = data[pos]
+            pos += 1
+            if label == 0xF9 and pos < len(data) and data[pos] == 4:
+                gce_flags = data[pos + 1]
+                disposal = (gce_flags >> 2) & 7
+                transparent = data[pos + 4] if gce_flags & 1 else -1
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+        left, top, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        if left + w > sw or top + h > sh or w == 0 or h == 0:
+            raise ValueError("GIF frame outside logical screen")
+        pal = global_pal
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        min_code = data[pos]
+        pos += 1
+        if not (2 <= min_code <= 8):
+            raise ValueError("bad GIF LZW code size")
+        chunks = []
+        while pos < len(data) and data[pos] != 0:
+            ln = data[pos]
+            chunks.append(data[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1  # sub-block terminator
+        idx_bytes = _lzw_decode(min_code, b"".join(chunks), w * h)
+        if len(idx_bytes) < w * h:
+            raise ValueError("short GIF pixel data")
+        idx = np.frombuffer(bytes(idx_bytes[: w * h]), np.uint8).reshape(h, w)
+        if idx.max() >= len(pal):
+            raise ValueError("GIF index out of palette range")
+        if iflags & 0x40:
+            rows = np.concatenate(
+                [np.arange(0, h, 8), np.arange(4, h, 8),
+                 np.arange(2, h, 4), np.arange(1, h, 2)]
+            )
+            un = np.empty_like(idx)
+            un[rows] = idx
+            idx = un
+        region = canvas[top : top + h, left : left + w]
+        if transparent >= 0:
+            opaque = idx != transparent
+            region[opaque] = pal[idx[opaque]]
+        else:
+            region[:] = pal[idx]
+        frames.append(canvas.copy())
+        if disposal == 2:  # restore to background
+            bg_rgb = pal[bg] if bg < len(pal) else 0
+            canvas[top : top + h, left : left + w] = bg_rgb
+        if len(frames) * sw * sh > MAX_DECODE_PIXELS:
+            raise ValueError("GIF animation exceeds pixel budget")
+    if not frames:
+        raise ValueError("GIF has no image block")
+    if all(
+        (f[..., 0] == f[..., 1]).all() and (f[..., 1] == f[..., 2]).all()
+        for f in frames
+    ):
+        return [np.ascontiguousarray(f[..., 0]) for f in frames]
+    return frames
+
+
 # ---------------------------------------------------------------- JPEG
 # Standard Annex-K quantization tables (quality 50 base)
 _STD_LUMA_Q = np.array([

@@ -441,8 +441,16 @@ def iter_video_frames(payload: bytes) -> Iterator[bytes]:
     if payload.startswith(_EBML_MAGIC):
         yield from _iter_webm_frames(payload)
         return
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        # animated GIF as a video: composited frames re-encoded PNG so
+        # the frame contract (decodable bytes) holds downstream
+        from ragflow_ocr_spark.kernels import imgcodecs
+
+        for frame in imgcodecs.decode_gif_frames(payload):
+            yield pngcodec.encode_png(frame)
+        return
     if not payload.startswith(VIDEO_MAGIC):
-        raise ValueError("not a MOCKV1/AVI/mp4/webm container")
+        raise ValueError("not a MOCKV1/AVI/mp4/webm/GIF container")
     (n,) = struct.unpack_from("<I", payload, len(VIDEO_MAGIC))
     pos = len(VIDEO_MAGIC) + 4
     for _ in range(n):

@@ -465,3 +465,53 @@ def test_staged_detect_agrees_with_extract_on_codecs():
     for enc in (ic.encode_bmp, ic.encode_tiff, lambda i: ic.encode_jpeg(i, 90)):
         kind, decoded = decode_payload_image(enc(img))
         assert decoded is not None, kind
+
+
+def test_animated_gif_frames_roundtrip_and_compositing():
+    frames = [np.full((10, 14), 30 * k, np.uint8) for k in range(5)]
+    gif = ic.encode_gif_animation(frames)
+    out = ic.decode_gif_frames(gif)
+    assert len(out) == 5
+    for k, f in enumerate(out):
+        assert f.shape == (10, 14) and (f == 30 * k).all()
+    # single-frame GIFs work through both APIs
+    single = ic.encode_gif(np.full((6, 9), 77, np.uint8))
+    assert len(ic.decode_gif_frames(single)) == 1
+    with pytest.raises(ValueError):
+        ic.decode_gif_frames(b"GIF89a" + b"\x01" * 10)
+
+
+def test_animated_gif_subrect_transparency_composite():
+    """Hand-built animation: frame 2 draws a 2x3 sub-rect at (1,1)
+    with a transparent index — untouched pixels keep frame 1's
+    content, transparent pixels show through."""
+    import struct
+
+    w, h = 6, 4
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += np.arange(256, dtype=np.uint8).repeat(3).tobytes()
+    # frame 1: full screen value 100
+    out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out.append(8)
+    lzw = ic._lzw_encode(8, bytes([100]) * (w * h))
+    for i in range(0, len(lzw), 255):
+        out.append(len(lzw[i : i + 255])); out += lzw[i : i + 255]
+    out += b"\x00"
+    # frame 2: 3x2 sub-rect at (1,1): [200, T, 200 / T, 200, T], T=7
+    out += b"\x21\xf9\x04\x01\x0a\x00\x07\x00"  # transparency flag, idx 7
+    out += struct.pack("<BHHHHB", 0x2C, 1, 1, 3, 2, 0)
+    out.append(8)
+    sub = bytes([200, 7, 200, 7, 200, 7])
+    lzw = ic._lzw_encode(8, sub)
+    for i in range(0, len(lzw), 255):
+        out.append(len(lzw[i : i + 255])); out += lzw[i : i + 255]
+    out += b"\x00\x3b"
+    frames = ic.decode_gif_frames(bytes(out))
+    assert len(frames) == 2
+    assert (frames[0] == 100).all()
+    f2 = frames[1]
+    assert f2[1, 1] == 200 and f2[1, 2] == 100 and f2[1, 3] == 200
+    assert f2[2, 1] == 100 and f2[2, 2] == 200 and f2[2, 3] == 100
+    assert f2[0, 0] == 100  # outside the sub-rect untouched

@@ -348,3 +348,21 @@ def test_webm_through_frame_sample_stage(spark):
     ).collect()
     assert [r["frame_idx"] for r in rows] == [0, 1, 2]
     assert [r["mean_luma"] for r in rows] == [30.0, 90.0, 150.0]
+
+
+def test_animated_gif_through_frame_sample_stage(spark):
+    """Animated GIFs route through the video path: composited frames
+    re-encode as PNG and sample through the same stage."""
+    import numpy as np
+
+    from ragflow_ocr_spark.kernels import imgcodecs as ic
+
+    frames = [np.full((12, 16), 50 * k + 20, np.uint8) for k in range(4)]
+    gif = ic.encode_gif_animation(frames)
+    df = spark.createDataFrame(
+        [(9, "video", bytearray(gif), "gif_anim", 16, 12, 0)], mm.MEDIA_SCHEMA
+    )
+    rows = df.mapInPandas(
+        mm.frame_sample_stage(every_k=2), schema=mm.FRAME_SAMPLE_SCHEMA
+    ).collect()
+    assert [(r["frame_idx"], r["mean_luma"]) for r in rows] == [(0, 20.0), (2, 120.0)]
