@@ -254,6 +254,34 @@ def extract_payload(data: bytes | None, cfg: OCRConfig | None = None) -> OcrResu
     routes: png/jpeg/bmp/tiff/pdf/null.
     """
     cfg = cfg or OCRConfig()
+    kind = pngcodec.sniff_payload(data)
+    if kind == "pdf":
+        # multi-page route: OCR every page (bounded), join page texts
+        try:
+            from ragflow_ocr_spark.kernels import pdf
+
+            pages = pdf.pdf_to_images(data)
+        except Exception:
+            img = extract_pdf_payload(data)  # legacy embedded-PNG fallback
+            if img is None:
+                return OcrResult(None, 0, "error:decode", [], [])
+            pages = [img]
+        texts: list[str] = []
+        boxes: list[list[list[float]]] = []
+        scores: list[float] = []
+        n_blocks = 0
+        any_ok = False
+        for page_img in pages:
+            r = ocr_image(page_img, cfg)
+            if r.status == "ok":
+                any_ok = True
+                texts.append(r.text)
+                boxes.extend(r.boxes)
+                scores.extend(r.scores)
+                n_blocks += r.n_blocks
+        if not any_ok:
+            return OcrResult("", 0, "empty", [], [])
+        return OcrResult("\n".join(texts), n_blocks, "ok", boxes, scores)
     kind, img = decode_payload_image(data)
     if kind == "null":
         return OcrResult(None, 0, "error:null", [], [])

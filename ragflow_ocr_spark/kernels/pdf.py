@@ -321,7 +321,15 @@ def _render_text_spans(spans, media_w: int, media_h: int) -> np.ndarray:
 
 
 def pdf_to_image(data: bytes) -> np.ndarray:
-    """%PDF bytes → first page as uint8 gray/RGB image.
+    """%PDF bytes → FIRST page as uint8 gray/RGB image (the staged
+    detect API's single-image contract; the extraction pipeline uses
+    ``pdf_to_images`` for full multi-page text)."""
+    return pdf_to_images(data, max_pages=1)[0]
+
+
+def pdf_to_images(data: bytes, max_pages: int = 16) -> list[np.ndarray]:
+    """%PDF bytes → page images (uint8 gray/RGB), up to ``max_pages``
+    (crafted page-tree bombs stay bounded).
 
     Image-XObject pages return the embedded image (scan shape); text
     pages rasterize their Tj/TJ spans with the 5x7 font. Raises
@@ -340,8 +348,12 @@ def pdf_to_image(data: bytes) -> np.ndarray:
     ]
     if not pages:
         raise ValueError("PDF has no /Type /Page object")
-    _num, page = pages[0]
+    return [
+        _page_image(objs, page) for _num, page in pages[:max_pages]
+    ]
 
+
+def _page_image(objs, page: dict) -> np.ndarray:
     media = _resolve(objs, page.get("MediaBox", [0, 0, 612, 792]))
     media_w = max(1, int(_resolve(objs, media[2]) - _resolve(objs, media[0])))
     media_h = max(1, int(_resolve(objs, media[3]) - _resolve(objs, media[1])))
@@ -458,47 +470,61 @@ def _assemble(objects: list[bytes]) -> bytes:
 
 
 def build_text_pdf(
-    lines: list[str],
+    lines: list[str] | None = None,
     size: int = 24,
     media: tuple[int, int] = (612, 792),
     margin: int = 40,
     compress: bool = False,
+    pages: list[list[str]] | None = None,
 ) -> bytes:
-    """Real single-page text PDF: catalog → pages → page → content
-    stream of Tf/Td/Tj ops (optionally FlateDecode'd) + a Type1 font
-    resource."""
+    """Real text PDF: catalog → pages → page(s) → content stream(s) of
+    Tf/Td/Tj ops (optionally FlateDecode'd) + a Type1 font resource.
+    ``lines`` makes a single page; ``pages`` a multi-page document."""
+    if pages is None:
+        pages = [lines or []]
     w, h = media
-    ops = [b"BT", f"/F1 {size} Tf".encode()]
-    y = h - margin - size
-    first = True
-    for line in lines:
-        if first:
-            ops.append(f"{margin} {y} Td".encode())
-            first = False
-        else:
-            ops.append(f"0 -{size + 16} Td".encode())
-        ops.append(b"(" + _escape(line) + b") Tj")
-    ops.append(b"ET")
-    content = b" ".join(ops)
-    filt = b""
-    if compress:
-        content = zlib.compress(content)
-        filt = b" /Filter /FlateDecode"
-    objects = [
+    n_pages = len(pages)
+    # object layout: 1 catalog, 2 pages, then per page (page, content),
+    # font last
+    font_num = 3 + 2 * n_pages
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objects: list[bytes] = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
-        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
-        (
-            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
-            "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
-        ).encode(),
-        b"<< /Length "
-        + str(len(content)).encode()
-        + filt
-        + b" >>\nstream\n"
-        + content
-        + b"\nendstream",
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
     ]
+    for i, page_lines in enumerate(pages):
+        ops = [b"BT", f"/F1 {size} Tf".encode()]
+        y = h - margin - size
+        first = True
+        for line in page_lines:
+            if first:
+                ops.append(f"{margin} {y} Td".encode())
+                first = False
+            else:
+                ops.append(f"0 -{size + 16} Td".encode())
+            ops.append(b"(" + _escape(line) + b") Tj")
+        ops.append(b"ET")
+        content = b" ".join(ops)
+        filt = b""
+        if compress:
+            content = zlib.compress(content)
+            filt = b" /Filter /FlateDecode"
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
+                f"/Contents {4 + 2 * i} 0 R "
+                f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>"
+            ).encode()
+        )
+        objects.append(
+            b"<< /Length "
+            + str(len(content)).encode()
+            + filt
+            + b" >>\nstream\n"
+            + content
+            + b"\nendstream"
+        )
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     return _assemble(objects)
 
 

@@ -133,3 +133,31 @@ def test_flate_image_xobject_exact():
 
     payload = zlib.compress(img.tobytes())
     del payload
+
+
+def test_multi_page_text_pdf_joins_page_texts():
+    data = pdf.build_text_pdf(
+        pages=[["PAGE ONE LINE A", "PAGE ONE LINE B"],
+               ["PAGE TWO LINE C"],
+               ["PAGE THREE 33"]],
+        compress=True,
+    )
+    r = extract_payload(data)
+    assert r.status == "ok" and r.n_blocks == 4
+    assert r.text == (
+        "PAGE ONE LINE A\nPAGE ONE LINE B\nPAGE TWO LINE C\nPAGE THREE 33"
+    )
+    # the staged single-image contract reads page 1 only
+    img = pdf.pdf_to_image(data)
+    from ragflow_ocr_spark.kernels.ocr_pipeline import ocr_image
+    from ragflow_ocr_spark.config import OCRConfig
+
+    assert ocr_image(img, OCRConfig()).text == "PAGE ONE LINE A\nPAGE ONE LINE B"
+
+
+def test_page_tree_bomb_is_bounded():
+    # 64 declared pages: pdf_to_images caps at max_pages (16) instead
+    # of rasterizing unbounded MediaBox canvases
+    data = pdf.build_text_pdf(pages=[[f"P{k}"] for k in range(64)])
+    pages = pdf.pdf_to_images(data)
+    assert len(pages) == 16
