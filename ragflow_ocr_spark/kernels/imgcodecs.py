@@ -1,4 +1,4 @@
-"""Stdlib/numpy image codecs beyond PNG: BMP, uncompressed TIFF, and
+"""Stdlib/numpy image codecs beyond PNG: BMP, TIFF, GIF, and
 baseline JPEG.
 
 The reference decodes every payload through ``cv2.imdecode``
@@ -16,8 +16,9 @@ Scope (documented substitution, like the PNG codec):
 - GIF: 87a/89a first frame — LZW, global/local color tables,
   interlacing, extension blocks; the encoder emits single-frame
   256-color GIF89a for fixtures.
-- TIFF: uncompressed (compression=1), little- or big-endian, gray or
-  RGB, chunky, any strip layout.
+- TIFF: compression none/LZW (MSB-first, EarlyChange)/PackBits with
+  the horizontal-differencing predictor, little- or big-endian, gray
+  or RGB, chunky, any strip layout.
 - JPEG: baseline sequential DCT (SOF0) AND progressive DCT (SOF2 —
   spectral selection + successive approximation, EOBn runs, DC/AC
   refinement scans; the most common real-crawl payload after
@@ -133,20 +134,172 @@ TIFF_MAGIC_LE = b"II*\x00"
 TIFF_MAGIC_BE = b"MM\x00*"
 
 
-def encode_tiff(img: np.ndarray) -> bytes:
-    """HxW (gray) or HxWx3 uint8 → uncompressed little-endian TIFF,
-    single strip, chunky."""
+def _tiff_lzw_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF LZW (MSB-first packing, CLEAR=256/EOI=257, 9→12-bit codes
+    with the spec's EarlyChange width bump)."""
+    CLEAR, EOI = 256, 257
+    width = 9
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    i = 0
+    n = len(data)
+    while True:
+        while nbits < width and i < n:
+            acc = (acc << 8) | data[i]
+            nbits += 8
+            i += 1
+        if nbits < width:
+            break
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if code < len(table) and (code < 256 or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("bad TIFF LZW code")
+        out += entry
+        if len(out) > max_out:
+            raise ValueError("TIFF LZW output exceeds strip size")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        prev = entry
+        # EarlyChange + the decoder's one-entry lag behind the encoder
+        # (an entry is appended only when the NEXT code arrives): grow
+        # at size-2 so code widths stay in lockstep — libtiff semantics
+        if len(table) >= (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    CLEAR, EOI = 256, 257
+    width = 9
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(CLEAR)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code < 4094:
+            table[wc] = next_code
+            next_code += 1
+            if next_code >= (1 << width) - 1 and width < 12:  # EarlyChange
+                width += 1
+        else:
+            emit(CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(EOI)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, max_out: int) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < max_out:
+        b = data[i]
+        i += 1
+        if b == 128:  # noop
+            continue
+        if b < 128:  # literal run of b+1
+            out += data[i : i + b + 1]
+            i += b + 1
+        else:  # repeat next byte 257-b times
+            if i >= n:
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[i]]) * (257 - b)
+            i += 1
+    return bytes(out[:max_out])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        lit = i
+        while (
+            i < n
+            and i - lit < 128
+            and not (i + 1 < n and i + 2 < n and data[i] == data[i + 1] == data[i + 2])
+        ):
+            i += 1
+        out.append(i - lit - 1)
+        out += data[lit:i]
+    return bytes(out)
+
+
+def encode_tiff(
+    img: np.ndarray, compression: str = "none", predictor: bool = False
+) -> bytes:
+    """HxW (gray) or HxWx3 uint8 → little-endian TIFF, single strip,
+    chunky. ``compression``: none / lzw / packbits; ``predictor``
+    applies the horizontal differencing predictor (tag 317=2, LZW
+    only) — the layouts real scanner/exporter TIFFs use."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
     spp = 1 if gray else 3
-    px = img.tobytes()
+    raw = img
+    if predictor:
+        if compression != "lzw":
+            raise ValueError("predictor is defined for LZW here")
+        p = img.reshape(h, w, spp).astype(np.int16)
+        p[:, 1:] -= img.reshape(h, w, spp)[:, :-1]
+        raw = (p & 0xFF).astype(np.uint8)
+    data = raw.tobytes()
+    comp_id = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    if compression == "lzw":
+        data = _tiff_lzw_encode(data)
+    elif compression == "packbits":
+        data = _packbits_encode(data)
     # IFD after the 8-byte header; pixel data after the IFD
-    tags = []
-
     def tag(tid: int, ttype: int, count: int, value: int) -> bytes:
         return struct.pack("<HHII", tid, ttype, count, value)
 
-    n_tags = 8 if gray else 9
+    n_tags = (8 if gray else 9) + (1 if predictor else 0)
     ifd_off = 8
     data_off = ifd_off + 2 + n_tags * 12 + 4
     bps_off = data_off  # for RGB: BitsPerSample needs 3 shorts out-of-line
@@ -158,18 +311,20 @@ def encode_tiff(img: np.ndarray) -> bytes:
         tag(256, 4, 1, w),                            # ImageWidth
         tag(257, 4, 1, h),                            # ImageLength
         tag(258, 3, 1, 8) if gray else tag(258, 3, 3, bps_off),  # BitsPerSample
-        tag(259, 3, 1, 1),                            # Compression: none
+        tag(259, 3, 1, comp_id),                      # Compression
         tag(262, 3, 1, 1 if gray else 2),             # Photometric
         tag(273, 4, 1, strip_off),                    # StripOffsets
         tag(278, 4, 1, h),                            # RowsPerStrip
-        tag(279, 4, 1, len(px)),                      # StripByteCounts
+        tag(279, 4, 1, len(data)),                    # StripByteCounts
     ]
     if not gray:
         tags.insert(6, tag(277, 3, 1, spp))           # SamplesPerPixel
+    if predictor:
+        tags.append(tag(317, 3, 1, 2))                # Predictor: horizontal
     tags.sort(key=lambda t: struct.unpack_from("<H", t)[0])
     ifd = struct.pack("<H", len(tags)) + b"".join(tags) + struct.pack("<I", 0)
     assert len(ifd) == 2 + n_tags * 12 + 4
-    return TIFF_MAGIC_LE + struct.pack("<I", ifd_off) + ifd + extra + px
+    return TIFF_MAGIC_LE + struct.pack("<I", ifd_off) + ifd + extra + data
 
 
 @_codec_errors
@@ -220,8 +375,11 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if w * h > MAX_DECODE_PIXELS:
         raise ValueError(f"TIFF too large ({w}x{h} > {MAX_DECODE_PIXELS} px)")
     comp = vals(259, [1])[0]
-    if comp != 1:
+    if comp not in (1, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {comp}")
+    predictor = vals(317, [1])[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     spp = vals(277, [1])[0]
     bps = vals(258, [8])
     if any(b != 8 for b in bps) or spp not in (1, 3):
@@ -230,6 +388,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
     counts = vals(279, [w * h * spp])
     rows_per_strip = vals(278, [h])[0] or h
     need = w * h * spp
+    strip_need = min(need, rows_per_strip * w * spp)
     buf = bytearray()
     # strip offsets are attacker-controlled and may alias the same file
     # bytes; cap assembly at `need` so sum(counts) can't amplify a small
@@ -239,14 +398,21 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raise ValueError("truncated TIFF strip")
         if len(buf) >= need:
             break
-        buf += data[o : o + min(c, need - len(buf))]
+        raw = data[o : o + c]
+        if comp == 5:
+            raw = _tiff_lzw_decode(raw, strip_need)
+        elif comp == 32773:
+            raw = _packbits_decode(raw, strip_need)
+        buf += raw[: need - len(buf)]
     if len(buf) < need:
         raise ValueError("TIFF pixel data short")
     px = np.frombuffer(bytes(buf[:need]), dtype=np.uint8)
-    del rows_per_strip
-    if spp == 1:
-        return px.reshape(h, w)
-    return px.reshape(h, w, 3)
+    px = px.reshape(h, w) if spp == 1 else px.reshape(h, w, 3)
+    if predictor == 2:  # undo horizontal differencing (per row, per channel)
+        p = px.reshape(h, w, spp).astype(np.int32)
+        p = np.cumsum(p, axis=1) & 0xFF
+        px = p.astype(np.uint8).reshape(px.shape)
+    return px
 
 
 # ----------------------------------------------------------------- GIF

@@ -515,3 +515,36 @@ def test_animated_gif_subrect_transparency_composite():
     assert f2[1, 1] == 200 and f2[1, 2] == 100 and f2[1, 3] == 200
     assert f2[2, 1] == 100 and f2[2, 2] == 200 and f2[2, 3] == 100
     assert f2[0, 0] == 100  # outside the sub-rect untouched
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [{"compression": "lzw"}, {"compression": "packbits"},
+     {"compression": "lzw", "predictor": True}],
+)
+def test_tiff_compressed_roundtrips(kw):
+    """TIFF LZW (MSB-first, EarlyChange), PackBits, and the horizontal
+    predictor — the layouts real scanner TIFFs use."""
+    rng = np.random.default_rng(52)
+    for shape in [(17, 23), (11, 13, 3)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        assert np.array_equal(ic.decode_tiff(ic.encode_tiff(img, **kw)), img)
+
+
+def test_tiff_lzw_width_transitions_and_repeats():
+    rng = np.random.default_rng(53)
+    rand = bytes(rng.integers(0, 256, 5000, dtype=np.uint8))
+    assert ic._tiff_lzw_decode(ic._tiff_lzw_encode(rand), 5000) == rand
+    rep = (b"ABCABCAB" * 4000)[:20000]  # KwKwK + table-reset paths
+    assert ic._tiff_lzw_decode(ic._tiff_lzw_encode(rep), len(rep)) == rep
+    flat = np.full((64, 64), 200, np.uint8)
+    assert len(ic.encode_tiff(flat, compression="lzw")) < len(ic.encode_tiff(flat)) / 4
+
+
+def test_tiff_corrupt_lzw_is_error_row():
+    rng = np.random.default_rng(54)
+    enc = bytearray(
+        ic.encode_tiff(rng.integers(0, 256, (8, 8)).astype(np.uint8), compression="lzw")
+    )
+    enc[-5:] = b"\xff" * 5
+    assert extract_payload(bytes(enc)).status == "error:decode"
