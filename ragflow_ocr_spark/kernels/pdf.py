@@ -228,6 +228,15 @@ def _decode_stream(objs, d: dict, raw: bytes) -> bytes:
                 out = zlib.decompress(out)
             except zlib.error as e:
                 raise ValueError(f"bad FlateDecode stream: {e}") from e
+        elif name == "LZWDecode":
+            # same LZW variant as TIFF (MSB-first, EarlyChange) —
+            # bounded by the shared untrusted-payload pixel ceiling
+            from ragflow_ocr_spark.kernels.imgcodecs import (
+                MAX_DECODE_PIXELS,
+                _tiff_lzw_decode,
+            )
+
+            out = _tiff_lzw_decode(out, MAX_DECODE_PIXELS)
         elif name == "DCTDecode":
             pass  # image data; decoded by the JPEG codec at use site
         else:

@@ -119,10 +119,31 @@ def test_pdf_mediabox_bomb_rejected():
 def test_unsupported_filter_rejected():
     objects = [
         b"<< /Type /Page /Contents 2 0 R >>",
-        b"<< /Filter /LZWDecode /Length 4 >>\nstream\nXXXX\nendstream",
+        b"<< /Filter /JBIG2Decode /Length 4 >>\nstream\nXXXX\nendstream",
     ]
     with pytest.raises(ValueError, match="filter"):
         pdf.pdf_to_image(pdf._assemble(objects))
+
+
+def test_lzw_decode_filter():
+    """Older real PDFs use LZWDecode (same MSB-first/EarlyChange LZW
+    as TIFF) — a hand-built LZW content stream rasterizes and reads."""
+    from ragflow_ocr_spark.kernels.imgcodecs import _tiff_lzw_encode
+
+    content = _tiff_lzw_encode(b"BT /F1 24 Tf 40 700 Td (LZW PDF TEXT) Tj ET")
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >>",
+        b"<< /Filter /LZWDecode /Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n"
+        + content
+        + b"\nendstream",
+    ]
+    r = ocr_image(pdf.pdf_to_image(pdf._assemble(objects)), OCRConfig())
+    assert r.text == "LZW PDF TEXT"
 
 
 def test_flate_image_xobject_exact():
