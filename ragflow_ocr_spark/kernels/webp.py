@@ -27,6 +27,13 @@ import struct
 import numpy as np
 
 MAX_DECODE_PIXELS = 1 << 26  # same untrusted-payload ceiling as the others
+# VP8L-specific ceiling, deliberately tighter: the entropy decode is a
+# per-pixel Python loop (Huffman peek + LZ77/cache bookkeeping —
+# correctness-first, ~100k px/s), so a 64 MPix image would stall a
+# Spark task for minutes. 4 MPix covers typical web images; larger
+# lossless WebPs become per-row errors instead of stragglers. Installs
+# of onnxruntime-class native decoders can lift this at deploy time.
+VP8L_MAX_PIXELS = 1 << 22
 
 
 def _codec_errors(fn):
@@ -469,8 +476,8 @@ def decode_vp8l(data: bytes) -> np.ndarray:
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise ValueError("bad VP8L version")
-    if w * h > MAX_DECODE_PIXELS:
-        raise ValueError("VP8L too large")
+    if w * h > VP8L_MAX_PIXELS:
+        raise ValueError("VP8L too large for the pure-Python decoder")
 
     transforms: list[tuple] = []
     seen = set()
