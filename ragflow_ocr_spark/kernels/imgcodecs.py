@@ -723,6 +723,9 @@ def decode_gif_frames(data: bytes) -> list[np.ndarray]:
         if disposal == 2:  # restore to background
             bg_rgb = pal[bg] if bg < len(pal) else 0
             canvas[top : top + h, left : left + w] = bg_rgb
+        # GIF89a: a GCE governs only the single image that follows it
+        transparent = -1
+        disposal = 0
         if len(frames) * sw * sh > MAX_DECODE_PIXELS:
             raise ValueError("GIF animation exceeds pixel budget")
     if not frames:

@@ -271,6 +271,7 @@ def extract_payload(data: bytes | None, cfg: OCRConfig | None = None) -> OcrResu
         scores: list[float] = []
         n_blocks = 0
         any_ok = False
+        any_dropped = False
         for page_img in pages:
             r = ocr_image(page_img, cfg)
             if r.status == "ok":
@@ -279,8 +280,13 @@ def extract_payload(data: bytes | None, cfg: OCRConfig | None = None) -> OcrResu
                 boxes.extend(r.boxes)
                 scores.extend(r.scores)
                 n_blocks += r.n_blocks
+            elif r.status == "empty:dropped":
+                any_dropped = True
         if not any_ok:
-            return OcrResult("", 0, "empty", [], [])
+            # keep the blank-vs-low-confidence distinction of the
+            # single-image path: if any page had detections that all
+            # fell below drop_score, the doc is dropped, not blank
+            return OcrResult("", 0, "empty:dropped" if any_dropped else "empty", [], [])
         return OcrResult("\n".join(texts), n_blocks, "ok", boxes, scores)
     kind, img = decode_payload_image(data)
     if kind == "null":

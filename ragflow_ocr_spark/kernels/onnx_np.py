@@ -558,8 +558,20 @@ def _op_resize(n, env):
     ys = src_coords(None, sy, oh, h)
     xs = src_coords(None, sx, ow, w)
     if mode == "nearest":
-        yi = np.clip(np.floor(ys + (0.5 if ctm != "asymmetric" else 0)), 0, h - 1).astype(int)
-        xi = np.clip(np.floor(xs + (0.5 if ctm != "asymmetric" else 0)), 0, w - 1).astype(int)
+        nm = n.attrs.get("nearest_mode", b"round_prefer_floor")
+        nm = nm.decode() if isinstance(nm, bytes) else nm
+
+        def _round(v):
+            if nm == "round_prefer_ceil":
+                return np.floor(v + 0.5)
+            if nm == "floor":
+                return np.floor(v)
+            if nm == "ceil":
+                return np.ceil(v)
+            return np.ceil(v - 0.5)  # round_prefer_floor (ONNX default)
+
+        yi = np.clip(_round(ys), 0, h - 1).astype(int)
+        xi = np.clip(_round(xs), 0, w - 1).astype(int)
         env[n.outputs[0]] = x[:, :, yi][:, :, :, xi]
         return
     if mode != "linear":

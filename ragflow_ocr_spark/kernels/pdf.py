@@ -165,12 +165,17 @@ def _parse_value(data: bytes, i: int):
 
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+# bare integer objects ("N G obj 1234 endobj") — the common shape of an
+# indirect /Length target; pre-scanned so a stream whose /Length is a
+# Ref can be sliced exactly even before its target is parsed
+_INT_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\s+(\d+)\s+endobj")
 
 
 def parse_objects(data: bytes) -> dict[int, tuple[object, bytes | None]]:
     """num → (value, raw_stream_bytes). Sequential scan so binary
     stream content can't be misread as an object header."""
     objs: dict[int, tuple[object, bytes | None]] = {}
+    int_objs: dict[int, int] | None = None  # lazy pre-scan for Ref lengths
     pos = 0
     n = len(data)
     while True:
@@ -188,16 +193,31 @@ def parse_objects(data: bytes) -> dict[int, tuple[object, bytes | None]]:
             elif data.startswith(b"\n", i) or data.startswith(b"\r", i):
                 i += 1
             length = val.get("Length") if isinstance(val, dict) else None
+            if isinstance(length, Ref):
+                # indirect /Length (common in real PDFs): resolve via a
+                # one-time scan of bare-integer objects in the file
+                if int_objs is None:
+                    int_objs = {
+                        int(m.group(1)): int(m.group(2))
+                        for m in _INT_OBJ_RE.finditer(data)
+                    }
+                length = int_objs.get(length.num)
             if isinstance(length, int) and data.startswith(
                 b"endstream", _skip_ws(data, i + length)
             ):
                 stream = data[i : i + length]
                 i = _skip_ws(data, i + length) + len(b"endstream")
-            else:  # /Length is a ref or wrong: search
+            else:  # /Length missing or wrong: search
                 j = data.find(b"endstream", i)
                 if j < 0:
                     raise ValueError("unterminated PDF stream")
-                stream = data[i:j].rstrip(b"\r\n")
+                stream = data[i:j]
+                # strip at most ONE EOL — binary payloads legitimately
+                # end in 0x0A/0x0D; rstrip-ing a run truncates them
+                if stream.endswith(b"\r\n"):
+                    stream = stream[:-2]
+                elif stream.endswith((b"\n", b"\r")):
+                    stream = stream[:-1]
                 i = j + len(b"endstream")
         objs[num] = (val, stream)
         j = data.find(b"endobj", i)

@@ -548,3 +548,36 @@ def test_tiff_corrupt_lzw_is_error_row():
     )
     enc[-5:] = b"\xff" * 5
     assert extract_payload(bytes(enc)).status == "error:decode"
+
+
+def test_gif_gce_applies_to_one_image_only():
+    """GIF89a: a Graphic Control Extension governs only the next image.
+    A follow-up frame WITHOUT its own GCE must not inherit the previous
+    frame's transparent index or disposal mode."""
+    import struct
+
+    w, h = 4, 2
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += np.arange(256, dtype=np.uint8).repeat(3).tobytes()
+
+    def image_block(pixels):
+        blk = bytearray(struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0))
+        blk.append(8)
+        lzw = ic._lzw_encode(8, bytes(pixels))
+        for i in range(0, len(lzw), 255):
+            blk.append(len(lzw[i : i + 255])); blk += lzw[i : i + 255]
+        blk += b"\x00"
+        return blk
+
+    # frame 1: GCE with transparent index 7, disposal=2 (restore bg)
+    out += b"\x21\xf9\x04" + bytes([(2 << 2) | 1]) + b"\x0a\x00\x07\x00"
+    out += image_block([1] * (w * h))
+    # frame 2: NO GCE — pixels equal to 7 must be drawn opaquely, and
+    # no background-restore should occur afterwards
+    out += image_block([7] * (w * h))
+    out += b"\x3b"
+    frames = ic.decode_gif_frames(bytes(out))
+    assert len(frames) == 2
+    # frame 2's value-7 pixels drawn (palette entry 7 = gray 7)
+    assert (frames[1] == 7).all()

@@ -314,3 +314,33 @@ def test_malformed_onnx_bytes_raise_value_error():
         ox.parse_model(b"\x3b\xff\xff")  # bogus length-delimited
     with pytest.raises(ValueError):
         ox.parse_model(b"\x08\x01")  # valid ir_version, no graph
+
+
+def test_resize_nearest_default_round_prefer_floor():
+    """ONNX default nearest_mode is round_prefer_floor: exact .5 source
+    coordinates round DOWN (ceil(x-0.5)), not up."""
+    x = np.arange(4, dtype=np.float32).reshape(1, 1, 1, 4)
+    # asymmetric + scale 1/2 thirds: pick a scale producing a .5 coord
+    m = ox.build_model(
+        [ox.node_bytes("Resize", ["x", "roi", "scales"], ["y"],
+                       mode="nearest",
+                       coordinate_transformation_mode="asymmetric")],
+        [ox.tensor_bytes("roi", np.array([], np.float32)),
+         ox.tensor_bytes("scales", np.array([1, 1, 1, 2], np.float32))],
+        "x", "y",
+    )
+    y = ox.NumpyOnnxNet(m).run(x)
+    # coords idx/2 = 0,.5,1,1.5,... → round_prefer_floor: 0,0,1,1,...
+    assert np.array_equal(y[0, 0, 0], np.repeat(x[0, 0, 0], 2))
+    # explicit round_prefer_ceil flips the ties up
+    m2 = ox.build_model(
+        [ox.node_bytes("Resize", ["x", "roi", "scales"], ["y"],
+                       mode="nearest",
+                       coordinate_transformation_mode="asymmetric",
+                       nearest_mode="round_prefer_ceil")],
+        [ox.tensor_bytes("roi", np.array([], np.float32)),
+         ox.tensor_bytes("scales", np.array([1, 1, 1, 2], np.float32))],
+        "x", "y",
+    )
+    y2 = ox.NumpyOnnxNet(m2).run(x)
+    assert np.array_equal(y2[0, 0, 0], np.array([0, 1, 1, 2, 2, 3, 3, 3], np.float32))

@@ -182,3 +182,48 @@ def test_page_tree_bomb_is_bounded():
     data = pdf.build_text_pdf(pages=[[f"P{k}"] for k in range(64)])
     pages = pdf.pdf_to_images(data)
     assert len(pages) == 16
+
+
+def test_indirect_length_preserves_trailing_eol_bytes():
+    """A binary stream with an indirect /Length whose payload ends in
+    0x0A/0x0D must come back byte-exact (the endstream fallback used
+    to rstrip a run of EOLs)."""
+    payload = b"\x00\x01binary\n\n"  # legitimately ends in two LFs
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 100 100] "
+        b"/Contents 4 0 R >>",
+        b"<< /Length 5 0 R >>\nstream\n" + payload + b"\nendstream",
+        str(len(payload)).encode(),
+    ]
+    objs = pdf.parse_objects(pdf._assemble(objects))
+    assert objs[4][1] == payload
+
+
+def test_indirect_length_stream_containing_endstream_token():
+    """Binary data containing the literal token 'endstream' must not
+    cut the stream short when /Length is an indirect reference."""
+    payload = b"head endstream tail!!"
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 100 100] "
+        b"/Contents 4 0 R >>",
+        b"<< /Length 5 0 R >>\nstream\n" + payload + b"\nendstream",
+        str(len(payload)).encode(),
+    ]
+    objs = pdf.parse_objects(pdf._assemble(objects))
+    assert objs[4][1] == payload
+
+
+def test_multipage_all_dropped_propagates_empty_dropped():
+    """When every page's detections fall below drop_score the doc-level
+    status is 'empty:dropped', not a bare 'empty' (parity with the
+    single-image path)."""
+    from ragflow_ocr_spark.kernels.ocr_pipeline import extract_payload
+
+    doc = pdf.build_text_pdf(["DROP ME PLEASE"], compress=False)
+    r = extract_payload(doc, OCRConfig(drop_score=1.01))
+    assert r.status == "empty:dropped"
+    assert r.text == ""
