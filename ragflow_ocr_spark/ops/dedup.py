@@ -247,6 +247,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- SimHash
 SIMHASH_BITS = 60  # 15 hex chars of md5 → portable across Spark & DuckDB
+_LANES = 3  # vote lanes packed per 64-bit agg column
+_LANE_BITS = 21  # lane width → per-doc token budget 2^21 (runtime-guarded)
 
 
 def _token_hash(hash_family: str):
@@ -266,6 +268,68 @@ def _token_hash(hash_family: str):
     raise ValueError(f"unknown simhash hash_family: {hash_family!r}")
 
 
+def simhash_values(d: DataFrame, hash_family: str = "xxhash64") -> DataFrame:
+    """doc_id → 60-bit simhash over whitespace tokens (packed vote agg).
+
+    Exposed separately from q_dedup_simhash so the packed-lane
+    aggregation can be pinned against a naive per-bit reference."""
+    tokens = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).where(F.length("tok") > 0)
+    # pre-aggregate (doc_id, tok) → count, then hash each DISTINCT
+    # token occurrence once and weight the vote by the count — exact
+    # same integer votes as per-instance ±1, with ~4× fewer hashes and
+    # a far smaller input to the packed vote aggregation (map-side
+    # combine handles the (doc_id, tok) shuffle)
+    tok_counts = tokens.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    h = tok_counts.withColumn("h", _token_hash(hash_family))
+    # Packed vote aggregation: the per-bit signed vote sum(±c) equals
+    # 2·S_i − T where S_i = sum(c·bit_i) ≥ 0 and T = sum(c), so only
+    # the NON-NEGATIVE S_i lanes need aggregating. Three 21-bit lanes
+    # per long pack 60 bits into 20 agg columns (3× fewer than the
+    # naive 60 SUM(CASE…) columns, and pure shift/mask arithmetic —
+    # no branches). Lane capacity 2^21 tokens/doc is runtime-guarded
+    # below with assert_true, not silently wrapped.
+    packed = [
+        F.sum(
+            sum(
+                F.shiftleft(
+                    F.shiftright(F.col("h"), k * _LANES + j)
+                    .bitwiseAND(F.lit(1))
+                    * F.col("c"),
+                    _LANE_BITS * j,
+                )
+                for j in range(_LANES)
+            )
+        ).alias(f"p{k}")
+        for k in range(SIMHASH_BITS // _LANES)
+    ]
+    votes = h.groupBy("doc_id").agg(F.sum("c").alias("t"), *packed)
+    lane = lambda i: F.shiftright(  # noqa: E731 — S_i from its lane
+        F.col(f"p{i // _LANES}"), _LANE_BITS * (i % _LANES)
+    ).bitwiseAND(F.lit((1 << _LANE_BITS) - 1))
+    sim_val = sum(
+        [
+            # vote_i > 0  ⇔  2·S_i > T   (exactly sum(±c) > 0)
+            F.when(lane(i) * 2 > F.col("t"), F.lit(1 << i).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    # guard folded INTO the value expression (a separate dropped column
+    # would be pruned by Catalyst and never evaluated): assert_true
+    # yields NULL when the condition holds, throws at runtime otherwise
+    guard = F.assert_true(
+        F.col("t") < F.lit(1 << _LANE_BITS),
+        F.lit("simhash vote lane overflow: document exceeds 2^21 tokens"),
+    )
+    return votes.select(
+        "doc_id", F.when(guard.isNull(), sim_val).alias("simhash")
+    )
+
+
 def q_dedup_simhash(
     spark: SparkSession, sf_dir: str, hash_family: str = "xxhash64"
 ) -> DataFrame:
@@ -277,42 +341,10 @@ def q_dedup_simhash(
     check is still exact). ``hash_family`` selects the token hash:
     xxhash64 is the production default (one JVM call per token), md5 is
     kept for the DuckDB oracle run (see _token_hash). The vote
-    aggregation is 60 plain agg columns → map-side partial aggregation,
-    like the minhash signatures.
+    aggregation packs three 21-bit non-negative lanes per long (20 agg
+    columns for 60 bits, map-side combined) — see the in-body notes.
     """
-    d = _docs(spark, sf_dir)
-    tokens = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    ).where(F.length("tok") > 0)
-    # pre-aggregate (doc_id, tok) → count, then hash each DISTINCT
-    # token occurrence once and weight the vote by the count — exact
-    # same integer votes as per-instance ±1, with ~4× fewer hashes and
-    # a ~4× smaller input to the 60-column vote aggregation (map-side
-    # combine handles the (doc_id, tok) shuffle)
-    tok_counts = tokens.groupBy("doc_id", "tok").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    h = tok_counts.withColumn("h", _token_hash(hash_family))
-    bit_cols = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("c")
-            ).otherwise(-F.col("c"))
-        ).alias(f"b{i}")
-        for i in range(SIMHASH_BITS)
-    ]
-    votes = h.groupBy("doc_id").agg(*bit_cols)
-    sim = votes.select(
-        "doc_id",
-        sum(
-            [
-                F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                )
-                for i in range(SIMHASH_BITS)
-            ]
-        ).alias("simhash"),
-    )
+    sim = simhash_values(_docs(spark, sf_dir), hash_family)
     bands = sim.select(
         "doc_id",
         "simhash",
@@ -330,24 +362,35 @@ def q_dedup_simhash(
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.key")
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # SINGLE-PASS bucket pairing, not a self-join: a self-join on
+    # (band, key) evaluates the whole simhash lineage (tokenize →
+    # (doc_id, tok) agg → vote agg) once PER SIDE — the plan audit
+    # showed the agg subtree twice with no ReusedExchange. One groupBy
+    # collects each bucket's (doc_id, simhash) list, then pairs expand
+    # in-row (two explodes) — exactly the rows the join produced, with
+    # ONE pass over the lineage and one shuffle on the uniform
+    # (band, key) key. Bucket lists are near-dup-band-sized (tiny by
+    # construction; a pathological all-identical corpus degenerates the
+    # pair OUTPUT quadratically in either formulation, so the list adds
+    # no new failure mode).
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        buckets.select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long")
+            .alias("hamming"),
         )
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"))
         .where(F.col("hamming") <= 6)
+        .distinct()  # the same pair can collide in several bands
         .select("id_a", "id_b", "hamming")
     )
     return pairs
@@ -448,6 +491,103 @@ GROUP BY doc_id
 
 
 # ----------------------------------------------------- dedup clustering
+def _cc_large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., 'Connected Components in
+    MapReduce and Beyond'): every node u connects its strictly-larger
+    neighbors to m(u) = min(Γ(u) ∪ {u}). Input/output: symmetric-free
+    edge list (src, dst); output rows are src > dst by construction."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    m = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least(F.col("src"), F.col("mn")).alias("m"))
+    )
+    return (
+        sym.join(m, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _cc_small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient edges large→small, then every node
+    u connects all its (smaller) neighbors and itself to
+    m(u) = min(Γ(u) ∪ {u})."""
+    o = edges.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    m = o.groupBy("src").agg(F.min("dst").alias("m"))
+    relink = (
+        o.join(m, "src")
+        .where(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    selflink = m.select("src", F.col("m").alias("dst"))
+    return relink.unionByName(selflink).distinct()
+
+
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, max_rounds: int = 30
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star connected components.
+
+    ``edges``: (src, dst) pair list (any orientation, self-loops ok);
+    ``nodes``: one ``doc_id`` column covering all vertices (so
+    singletons get labels). Returns (labels_df[doc_id, label], rounds).
+
+    Convergence is O(log n) rounds even for path graphs (vs the
+    O(diameter) of plain min-label propagation). Each round's edge set
+    is ``localCheckpoint``ed: lineage is truncated so round i never
+    replays rounds 0..i-1 — the fix for the geometric-recompute trap a
+    persist-then-unpersist chain falls into. The per-round driver read
+    is ONE aggregated row (count + order-independent xxhash checksum),
+    never data; fixpoint ⇔ the (count, checksum) signature repeats,
+    exact up to a 2⁻⁶⁴ hash collision per round.
+    """
+    cur = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sig = None
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        cur = _cc_small_star(_cc_large_star(cur)).localCheckpoint()
+        row = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: order-independent AND overflow-free
+            # under ANSI mode (a sum of 2^63-scale hashes throws)
+            F.expr("bit_xor(xxhash64(src, dst))").alias("x"),
+        ).collect()[0]
+        new_sig = (row["n"], row["x"])
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    # at fixpoint the edges form stars src→root (root = component min);
+    # nodes absent from the edge list are singletons labeling themselves
+    stars = cur.groupBy("src").agg(F.min("dst").alias("root"))
+    labels = (
+        nodes.select(F.col("doc_id").cast("long"))
+        .join(stars.select(F.col("src").alias("doc_id"), "root"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("root"), F.col("doc_id")).alias("label")
+        )
+    )
+    return labels, rounds
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the
     MinHash+LSH J≥0.5 pair graph, every document labeled with its
@@ -455,70 +595,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-one-per-cluster step real training pipelines run after pair
     generation.
 
-    Iterative min-label propagation over DataFrames: each round every
-    node takes the min of its own label and its neighbors' labels;
-    convergence in O(component diameter) rounds (near-dup components
-    are dense and shallow — 2-4 rounds in practice; the alternating
-    large-star/small-star variant bounds pathological chains at
-    O(log n) and swaps in here without changing the contract). Per
-    round: one shuffle join on id + one min-agg, both map-side
-    combined; `labels` and the (expensive) pair edges are persisted so
-    iteration i doesn't recompute lineage i times. The per-round
-    driver `count()` reads ONE aggregated number (the convergence
-    check), not data.
+    Components via alternating large-star/small-star (see
+    ``connected_components``): O(log n) rounds on pathological chain
+    graphs, per-round lineage truncated with ``localCheckpoint`` so no
+    round replays its predecessors. Per round: two min-aggs + two
+    self-joins on uniformly-hashed ids, all map-side combined; the only
+    driver reads are one-row convergence signatures.
     """
-    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
     docs = _docs(spark, sf_dir).select("doc_id")
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
-        )
-    ).persist()
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
-    try:
-        for _ in range(50):
-            neigh = (
-                edges.join(
-                    labels.select(
-                        F.col("doc_id").alias("id_b"),
-                        F.col("label").alias("nlabel"),
-                    ),
-                    "id_b",
-                )
-                .groupBy(F.col("id_a").alias("doc_id"))
-                .agg(F.min("nlabel").alias("nlabel"))
-            )
-            new_labels = (
-                labels.join(neigh, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                    ).alias("label"),
-                    (F.col("nlabel") < F.col("label")).alias("_chg"),
-                )
-            ).persist()
-            changed = new_labels.where(F.col("_chg")).count()
-            labels.unpersist()
-            labels = new_labels.select("doc_id", "label").persist()
-            new_labels.unpersist()
-            if changed == 0:
-                break
-        else:
-            raise RuntimeError("dedup_clusters did not converge in 50 rounds")
-        # materialize the final labels cache so the caller's reads hit
-        # the cache, never a replay of the whole iteration lineage —
-        # then the edge cache can be dropped. The final labels stay
-        # persisted (2 long columns) for the caller; NO driver-side
-        # collect of data (the only collects above are the one-row
-        # convergence counters).
-        labels.count()
-        return labels.select(
-            F.col("doc_id").cast("bigint").alias("doc_id"),
-            F.col("label").cast("bigint").alias("cluster_id"),
-        )
-    finally:
-        edges.unpersist()
+    labels, _ = connected_components(pairs, docs)
+    return labels.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("label").cast("bigint").alias("cluster_id"),
+    )
 
 
 # recursive-CTE oracle: cluster id = min doc_id reachable in the

@@ -79,3 +79,86 @@ def test_dedup_clusters_groups_duplicates_and_labels_singletons(spark, dup_dir):
     # labels are component minima: a cluster id always labels itself
     for cid in set(labels.values()):
         assert labels[cid] == cid
+
+
+def test_connected_components_long_chain_olog_rounds(spark):
+    """A 256-node path graph converges in O(log n) star rounds (min-label
+    propagation would need ~n rounds) and labels every node with the
+    chain minimum."""
+    n = 256
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+    labels, rounds = dedup.connected_components(edges, nodes)
+    got = {r.doc_id: r.label for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    # theory: ~log2(n) alternating rounds (+1 to observe the fixpoint)
+    assert rounds <= 12, f"chain of {n} took {rounds} rounds"
+
+
+def test_connected_components_mixed_graph(spark):
+    """Two components + singletons; edge orientation and duplicates are
+    irrelevant; labels are component minima."""
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 5), (20, 21), (21, 20), (20, 22)],
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [3, 5, 9, 20, 21, 22, 40, 41]], "doc_id long"
+    )
+    labels, _ = dedup.connected_components(edges, nodes)
+    got = {r.doc_id: r.label for r in labels.collect()}
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 22: 20, 40: 40, 41: 41}
+
+
+def test_connected_components_empty_edges(spark):
+    nodes = spark.range(4).withColumnRenamed("id", "doc_id")
+    edges = spark.createDataFrame([], "src long, dst long")
+    labels, _ = dedup.connected_components(edges, nodes)
+    assert {r.doc_id: r.label for r in labels.collect()} == {
+        i: i for i in range(4)
+    }
+
+
+def test_simhash_packed_votes_match_unpacked_reference(spark, dup_dir):
+    """The packed 21-bit-lane vote aggregation must produce the exact
+    simhash a naive per-bit ±count vote produces (pinned on real docs
+    by recomputing the naive votes in pandas)."""
+    sf_dir, _ = dup_dir
+    import collections
+    import hashlib
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    rows = docs.select("doc_id", "text").collect()
+    want = {}
+    for r in rows:
+        votes = [0] * dedup.SIMHASH_BITS
+        toks = [t for t in (r.text or "").split(" ") if t]
+        if not toks:
+            continue
+        for tok, c in collections.Counter(toks).items():
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            for i in range(dedup.SIMHASH_BITS):
+                votes[i] += c if (h >> i) & 1 else -c
+        want[r.doc_id] = sum(
+            (1 << i) for i in range(dedup.SIMHASH_BITS) if votes[i] > 0
+        )
+    d = spark.createDataFrame(
+        [(r.doc_id, r.text) for r in rows], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash_values(d, hash_family="md5").collect()
+    }
+    assert got == want
+
+
+def test_simhash_lane_overflow_raises_not_wraps(spark):
+    """A document whose token count exceeds a 21-bit vote lane must
+    fail loudly (assert_true), never silently wrap into a wrong hash."""
+    d = spark.createDataFrame(
+        [(1, "x " * ((1 << dedup._LANE_BITS) + 8))], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="lane overflow"):
+        dedup.simhash_values(d, hash_family="md5").collect()

@@ -50,7 +50,9 @@ CHECKS = {
         (r"WindowGroupLimit", "per-partition top-k pushed below the rank shuffle"),
     ],
     "dedup_simhash": [
-        (r"HashAggregate", "map-side partial aggregation of the 60 vote columns"),
+        (r"HashAggregate", "map-side partial aggregation of the packed vote lanes"),
+        (r"!Join", "single-pass band buckets: no self-join, the simhash lineage is computed once"),
+        (r"collect_list", "in-bucket pair expansion from one grouped pass"),
     ],
     "repetition_stats": [
         (r"HashAggregate", "per-doc gram aggregations with map-side combine"),
@@ -64,11 +66,13 @@ CHECKS = {
         (r"BroadcastHashJoin", "benchmark n-gram set broadcast (train side never shuffles for the probe)"),
     ],
     "dedup_clusters": [
-        (r"InMemoryTableScan", "iterative fixpoint served from the materialized cache, not a lineage replay"),
+        (r"Scan ExistingRDD|LogicalRDD", "fixpoint star edges served from a localCheckpoint-truncated lineage (no iteration replay)"),
+        (r"!InMemoryTableScan", "no persist chain left behind: rounds checkpoint, they don't cache"),
     ],
     "dedup_simhash_fast": [
-        (r"HashAggregate", "map-side partial aggregation of the 60 vote columns"),
+        (r"HashAggregate", "map-side partial aggregation of the packed vote lanes"),
         (r"xxhash64", "production token-hash family (one JVM call, no md5/conv chain)"),
+        (r"!Join", "single-pass band buckets: no self-join, the simhash lineage is computed once"),
     ],
     "media_frame_sample": [
         (r"MapInPandas|ArrowEvalPython|PythonMapInArrow", "vectorized Arrow Python stages (synth + sample)"),
