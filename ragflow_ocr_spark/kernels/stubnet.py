@@ -211,6 +211,59 @@ def _classify(seg: np.ndarray, line_r0: int, line_r1: int) -> tuple[int, float]:
     return best_i, float(d[best_i])
 
 
+def _classify_batch(
+    jobs: list[tuple[np.ndarray, float, float]],
+) -> list[tuple[int, float]]:
+    """Batched ``_classify``: ``jobs`` are (trimmed_sub, rel_cy, rel_h).
+
+    Glyph shapes repeat constantly (one font, few scales), so grouping
+    by (h, w) yields large batches: one 3-D integral-image resample and
+    one (k, C) distance matrix per shape group replaces k Python-level
+    calls. Bit-identical to the scalar path (same float64 ops in the
+    same order per element); pinned by
+    tests/test_stubnet.py::test_classify_batch_matches_scalar.
+    """
+    out: list[tuple[int, float]] = [(-1, 1.0)] * len(jobs)
+    _templates()
+    groups: dict[tuple[int, int], list[int]] = {}
+    for j, (sub, _cy, _rh) in enumerate(jobs):
+        if sub.size:
+            groups.setdefault(sub.shape, []).append(j)
+    for (h, w), idxs in groups.items():
+        k = len(idxs)
+        m = np.empty((k, h, w), dtype=np.float64)
+        for t, j in enumerate(idxs):
+            m[t] = jobs[j][0]
+        s = np.zeros((k, h + 1, w + 1))
+        s[:, 1:, 1:] = m.cumsum(axis=1).cumsum(axis=2)
+        y0, y1, fy, x0, x1, fx, areas = _grid_coeffs(h, w, 7, 5)
+        rows = s[:, y0] * (1 - fy) + s[:, y1] * fy
+        grid = rows[:, :, x0] * (1 - fx) + rows[:, :, x1] * fx
+        g = (
+            grid[:, 1:, 1:]
+            - grid[:, :-1, 1:]
+            - grid[:, 1:, :-1]
+            + grid[:, :-1, :-1]
+        ) / areas
+        # arithmetic over strided views can come out non-C-contiguous,
+        # and a strided operand changes the pairwise-sum ORDER inside
+        # mean(axis=2) by an ulp vs the scalar path — force C order so
+        # the batched distances are bit-identical to _classify
+        grids = np.ascontiguousarray(g).reshape(k, -1)
+        cy = np.array([jobs[j][1] for j in idxs])
+        rh = np.array([jobs[j][2] for j in idxs])
+        d = (
+            np.abs(grids[:, None, :] - _TMPL_GRIDS[None, :, :]).mean(axis=2)
+            + 1.5 * np.abs(cy[:, None] - _TMPL_CY[None, :])
+            + 1.0 * np.abs(rh[:, None] - _TMPL_H[None, :])
+        )
+        best = np.argmin(d, axis=1)
+        dmin = d[np.arange(k), best]
+        for t, j in enumerate(idxs):
+            out[j] = (int(best[t]), float(dmin[t]))
+    return out
+
+
 def _dominant_row_band(ink: np.ndarray) -> np.ndarray:
     """Keep only the row band (run of consecutive inked rows) with the
     most ink mass. Detection boxes are unclip-expanded
@@ -272,7 +325,13 @@ class RecStubNet:
 
     def run(self, batch: np.ndarray) -> np.ndarray:
         b = batch.shape[0]
-        per_img: list[list[tuple[int, float]]] = []
+        # two-phase: segment every line first, then classify EVERY
+        # glyph of the whole micro-batch in one _classify_batch call
+        # (shape-grouped vectorization) — the per-glyph scalar path was
+        # the rec stub's hot loop (~80 Python calls per crop, profiled
+        # at >40% of extraction CPU).
+        per_img_plan: list[list[tuple[bool, int]]] = []  # (space, job or -1)
+        jobs: list[tuple[np.ndarray, float, float]] = []
         for i in range(b):
             # channel 0 only — crops are replicated-gray RGB (see
             # denormalize_to_gray); [-1, 1]; ink ≈ −1, paper ≈ +1
@@ -282,7 +341,7 @@ class RecStubNet:
             # thresholding so a permissive ink cutoff can't eat the pad
             content = np.flatnonzero(np.abs(gray).max(axis=0) > 0.5)
             if content.size == 0:
-                per_img.append([])
+                per_img_plan.append([])
                 continue
             gray = gray[:, : content[-1] + 1]
             # permissive cutoff keeps thin antialiased strokes (X/V
@@ -290,18 +349,35 @@ class RecStubNet:
             ink = gray < 0.25
             ink = _dominant_row_band(ink)
             sub, r0, c0 = _trim(ink)
-            emits: list[tuple[int, float]] = []
+            plan: list[tuple[bool, int]] = []
             if sub.size:
                 segs = _segment_line(sub)
-                space_cls = REC_CHARSET.index(" ") + 1  # +1 for blank
+                line_h = max(sub.shape[0] - 1, 1)
                 for cs, ce, space in segs:
-                    if space:
-                        emits.append((space_cls, 0.0))
-                    cls, dist = _classify(
-                        sub[:, cs:ce], 0, sub.shape[0] - 1
-                    )
-                    if cls >= 0:
-                        emits.append((cls + 1, dist))
+                    sub_g, g_r0, _ = _trim(sub[:, cs:ce])
+                    if sub_g.size == 0:
+                        if space:
+                            plan.append((True, -1))
+                        continue
+                    rel_cy = (
+                        (g_r0 + g_r0 + sub_g.shape[0] - 1) / 2.0
+                    ) / line_h
+                    rel_h = sub_g.shape[0] / (line_h + 1)
+                    plan.append((space, len(jobs)))
+                    jobs.append((sub_g, rel_cy, rel_h))
+            per_img_plan.append(plan)
+
+        results = _classify_batch(jobs)
+        space_cls = REC_CHARSET.index(" ") + 1  # +1 for blank
+        per_img: list[list[tuple[int, float]]] = []
+        for plan in per_img_plan:
+            emits: list[tuple[int, float]] = []
+            for space, job in plan:
+                if space:
+                    emits.append((space_cls, 0.0))
+                if job >= 0:
+                    cls, dist = results[job]
+                    emits.append((cls + 1, dist))
             per_img.append(emits)
 
         t = max((2 * len(e) + 1 for e in per_img), default=1)

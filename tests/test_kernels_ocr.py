@@ -303,3 +303,36 @@ def test_run_with_retry_recovers_and_exhausts():
     # exhausts after 4
     with pytest.raises(RuntimeError, match="after 4 attempts"):
         run_with_retry(Flaky(99), x)
+
+
+def test_classify_batch_matches_scalar():
+    """The shape-grouped batched glyph classifier must agree with the
+    scalar `_classify` on every glyph of a rendered page (same class,
+    same distance to float64 identity)."""
+    import numpy as np
+
+    from ragflow_ocr_spark.kernels import font5x7, stubnet
+
+    img, _ = font5x7.render_page(
+        ["THE QUICK BROWN FOX 0123456789", "jumps over, the lazy-dog!"],
+        900,
+        96,
+        2,
+    )
+    gray = img.astype(np.float64) / 127.5 - 1.0
+    ink = gray < 0.25
+    sub, _, _ = stubnet._trim(ink)
+    segs = stubnet._segment_line(sub)
+    assert len(segs) > 20
+    line_h = max(sub.shape[0] - 1, 1)
+    jobs = []
+    want = []
+    for cs, ce, _sp in segs:
+        seg = sub[:, cs:ce]
+        want.append(stubnet._classify(seg, 0, sub.shape[0] - 1))
+        g, r0, _ = stubnet._trim(seg)
+        rel_cy = ((r0 + r0 + g.shape[0] - 1) / 2.0) / line_h
+        rel_h = g.shape[0] / (line_h + 1)
+        jobs.append((g, rel_cy, rel_h))
+    got = stubnet._classify_batch(jobs)
+    assert got == want
