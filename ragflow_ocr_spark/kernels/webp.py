@@ -6,9 +6,8 @@ canonical prefix codes (simple + normal with 16/17/18 run coding),
 LZ77 back-references through the 120-entry 2D distance map, the color
 cache, meta prefix (huffman) images, and all four transforms
 (predictor, color, subtract-green, color-indexing incl. sub-byte pixel
-bundling). Lossy VP8 remains a documented seam (a DCT+bool-coder
-video-frame decoder is out of offline scope) and surfaces as the same
-per-row error.
+bundling). Lossy VP8 keyframes decode via kernels/vp8 (RFC 6386
+intra path — see that module's probability-table provenance note).
 
 The encoder emits valid VP8L for fixtures: literal pixels with real
 Huffman codes, optional subtract-green / fixed-mode predictor / color
@@ -539,8 +538,8 @@ def decode_vp8l(data: bytes) -> np.ndarray:
 
 @_codec_errors
 def decode_webp(data: bytes) -> np.ndarray:
-    """RIFF/WEBP container → image. VP8L (lossless) decodes for real;
-    VP8 (lossy) raises the documented seam error."""
+    """RIFF/WEBP container → image. VP8L (lossless) and VP8 (lossy,
+    intra-frame) both decode for real (kernels/vp8.py)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP")
     pos = 12
@@ -548,13 +547,14 @@ def decode_webp(data: bytes) -> np.ndarray:
         tag = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
         payload = data[pos + 8 : pos + 8 + size]
+        if tag in (b"VP8L", b"VP8 ") and len(payload) < size:
+            raise ValueError("truncated WebP chunk")
         if tag == b"VP8L":
             return decode_vp8l(payload)
         if tag == b"VP8 ":
-            raise NotImplementedError(
-                "lossy WebP (VP8) requires a video-frame decoder not "
-                "bundled offline; lossless VP8L decodes"
-            )
+            from ragflow_ocr_spark.kernels import vp8 as vp8mod
+
+            return vp8mod.decode_vp8(payload)
         pos += 8 + size + (size & 1)
     raise ValueError("WebP container has no VP8L/VP8 chunk")
 

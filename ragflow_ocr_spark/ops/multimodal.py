@@ -3,12 +3,12 @@ metadata, processed by iterator ``mapInPandas`` stages.
 
 Container/codec reality in this sandbox (no PIL/cv2/ffmpeg):
 - **image**: PNG (incl. Adam7/palette/alpha), JPEG (baseline +
-  progressive), GIF, BMP, uncompressed TIFF, and lossless WebP (VP8L,
-  kernels/webp) all decode for real (kernels/pngcodec +
-  kernels/imgcodecs); the remaining genuinely unbundled codec — lossy
-  WebP's VP8 video frame — surfaces as per-row
-  ``error:unsupported_codec``; the production build swaps the decoder,
-  nothing else changes.
+  progressive), GIF, BMP, uncompressed TIFF, lossless WebP (VP8L,
+  kernels/webp) AND lossy WebP (VP8 keyframes, kernels/vp8 — full
+  RFC 6386 intra path; see its docstring for the probability-table
+  provenance seam) all decode for real (kernels/pngcodec +
+  kernels/imgcodecs); exotic stills (JPEG 2000, CMYK JPEG) remain
+  per-row ``error:unsupported_codec``.
 - **audio**: raw PCM s16le payloads AND real RIFF/WAV PCM16 containers
   (kernels/wavcodec) — RMS / zero-crossing / peak features are real.
 - **video**: MOCKV1 (deterministic synth container), real RIFF
@@ -694,7 +694,11 @@ def q_media_image_stats(spark, sf_dir: str):
       (q00=3) divides the DC coefficient exactly → lossless decode
       through the real multi-scan path;
     - id % 8 == 3: two-tone GIF (LZW is lossless);
-    - id % 8 == 7: two-tone lossless WebP (VP8L) — same closed form."""
+    - id % 16 == 7: two-tone lossless WebP (VP8L) — same closed form;
+    - id % 16 == 15: LOSSY WebP (VP8 keyframe, kernels/vp8) of a flat
+      image whose q_index-0 DC levels reconstruct the value with zero
+      rounding error, so the decoded gray is the exact BT.601 map
+      g = (298*(y-16)+128) >> 8 — closed form in SQL."""
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ragflow_ocr_spark.kernels import imgcodecs
@@ -716,6 +720,12 @@ def q_media_image_stats(spark, sf_dir: str):
                     img = np.full((48, 64), v, dtype=np.uint8)
                     payload = imgcodecs.encode_jpeg_progressive(img, quality=90)
                     rows.append((did, "image", payload, "jpeg", 64, 48, 0))
+                elif did % 16 == 15:
+                    from ragflow_ocr_spark.kernels import vp8 as vp8mod
+
+                    y = 64 + did % 128
+                    payload = vp8mod.encode_webp_lossy_flat(64, 48, (y, 128, 128))
+                    rows.append((did, "image", payload, "webp", 64, 48, 0))
                 else:
                     a = did % 256
                     v = (did * 7 + 13) % 256
@@ -742,9 +752,12 @@ ORACLE_IMAGE_STATS = f"""
 SELECT doc_id AS media_id, 64 AS width, 48 AS height,
        ROUND(CASE WHEN doc_id % 4 = 1
              THEN CAST(128 + 3 * ((doc_id * 5 + 7) % 42 - 21) AS DOUBLE)
+             WHEN doc_id % 16 = 15
+             THEN CAST((298 * (64 + doc_id % 128 - 16) + 128) // 256
+                       AS DOUBLE)
              ELSE ((doc_id % 256) + ((doc_id * 7 + 13) % 256)) / 2.0
              END, 6) AS mean_luma,
-       ROUND(CASE WHEN doc_id % 4 = 1
+       ROUND(CASE WHEN doc_id % 4 = 1 OR doc_id % 16 = 15
              THEN 0.0
              ELSE ABS((doc_id % 256) - ((doc_id * 7 + 13) % 256)) / 2.0
              END, 6) AS std_luma,

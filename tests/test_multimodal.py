@@ -54,10 +54,10 @@ def test_image_features_truth(media, spark):
 
 
 def test_codec_routes_are_row_errors_not_task_failures(spark):
-    """jpeg/bmp/tiff are REAL decode routes now (kernels/imgcodecs) —
-    a valid JPEG succeeds, malformed bytes become a decode-error row,
-    and a genuinely unbundled codec (webp) stays unsupported. None of
-    them may raise out of the stage."""
+    """jpeg/bmp/tiff/webp are REAL decode routes now — a valid JPEG
+    succeeds, malformed bytes (including a garbage lossy-VP8 chunk)
+    become decode-error rows. None of them may raise out of the
+    stage."""
     import numpy as np
 
     from ragflow_ocr_spark.kernels import imgcodecs
@@ -93,7 +93,7 @@ def test_codec_routes_are_row_errors_not_task_failures(spark):
     }
     assert rows[1]["status"] == "ok" and abs(rows[1]["mean_luma"] - 90) < 2
     assert rows[2]["status"].startswith("error")
-    assert rows[3]["status"] == "error:unsupported_codec"
+    assert rows[3]["status"] == "error:decode"
 
 
 def test_thumbnail_roundtrip(media, spark):
@@ -141,6 +141,10 @@ def test_contract_queries_match_analytic_truth(spark):
         if did % 4 == 1:  # progressive-JPEG constant-value family
             v = 128 + 3 * ((did * 5 + 7) % 42 - 21)
             assert r["mean_luma"] == float(v)
+            assert r["std_luma"] == 0.0
+        elif did % 16 == 15:  # lossy VP8 WebP flat family (BT.601 map)
+            y = 64 + did % 128
+            assert r["mean_luma"] == float((298 * (y - 16) + 128) >> 8)
             assert r["std_luma"] == 0.0
         else:  # two-tone PNG (even, Adam7 for %4==0) / GIF (%4==3)
             a, v = did % 256, (did * 7 + 13) % 256

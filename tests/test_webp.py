@@ -62,9 +62,10 @@ def test_ocr_roundtrip_via_router():
     assert (r.status, r.text) == ("ok", "\n".join(drawn))
 
 
-def test_lossy_vp8_is_seam_error_not_crash():
+def test_lossy_vp8_malformed_is_error_not_crash():
+    # A garbage VP8 chunk must become a per-row decode error, not a crash.
     fake_vp8 = b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         webp.decode_webp(fake_vp8)
     r = extract_payload(fake_vp8)  # router converts to per-row error
     assert r.status == "error:decode"
@@ -116,15 +117,20 @@ def test_mutation_fuzz_exception_contract():
             pass
 
 
-def test_multimodal_seam_split():
-    """Multimodal decode_image: lossless webp decodes for real; lossy
-    VP8 keeps the unsupported-codec status."""
+def test_multimodal_decode_image_webp_routes():
+    """Multimodal decode_image: lossless webp round-trips exactly; a
+    malformed lossy-VP8 chunk raises (→ per-row error upstream)."""
+    from ragflow_ocr_spark.kernels import vp8
     from ragflow_ocr_spark.ops.multimodal import decode_image
 
     rng = np.random.default_rng(44)
     img = rng.integers(0, 256, (12, 18)).astype(np.uint8)
     out = decode_image(webp.encode_webp(img), "webp")
     assert np.array_equal(out, img)
+    # real lossy VP8 decodes through the same route
+    lossy = vp8.encode_webp_lossy_flat(32, 16, (100, 128, 128))
+    dec = decode_image(lossy, "webp")
+    assert dec.shape == (16, 32)
     fake_vp8 = b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image(fake_vp8, "webp")
