@@ -58,8 +58,10 @@ from __future__ import annotations
 
 import numpy as np
 
-# A 4 Mpix ceiling mirrors VP8L_MAX_PIXELS: covers typical web images,
-# bounds the pure-Python per-MB loop (~16k MBs) to a few seconds.
+# A 4 Mpix ceiling (tighter than VP8L_MAX_PIXELS, whose entropy loop
+# got the round-3 windowed-peek rewrite): covers typical web images,
+# bounds the pure-Python per-macroblock loop (~16k MBs) to a few
+# seconds per task.
 VP8_MAX_PIXELS = 1 << 22
 
 # ---------------------------------------------------------------------------

@@ -26,21 +26,24 @@ import struct
 import numpy as np
 
 MAX_DECODE_PIXELS = 1 << 26  # same untrusted-payload ceiling as the others
-# VP8L-specific ceiling, deliberately tighter: the entropy decode is a
-# per-pixel Python loop (Huffman peek + LZ77/cache bookkeeping —
-# correctness-first, ~100k px/s), so a 64 MPix image would stall a
-# Spark task for minutes. 4 MPix covers typical web images; larger
-# lossless WebPs become per-row errors instead of stragglers. Installs
-# of onnxruntime-class native decoders can lift this at deploy time.
-VP8L_MAX_PIXELS = 1 << 22
+# VP8L-specific ceiling, still tighter than the global one: the entropy
+# decode is sequential Python (windowed-peek Huffman + list-slice LZ77,
+# ~1 Mpx/s after the round-3 rewrite — was ~0.1-0.6 before), so a
+# legal 64 MPix image would stall one Spark task ~a minute. 16 MPix
+# (~16 s worst-case, fully-literal stream) keeps the straggler bounded
+# while covering effectively all real crawl images; beyond it rows
+# become per-row errors, and a native-decoder install can lift this at
+# deploy time. Decode memory is O(1 MiB) in stream size (chunked
+# windows), so the ceiling is compute-, not memory-, bound.
+VP8L_MAX_PIXELS = 1 << 24
 
 
 def _codec_errors(fn):
     """Same decoder boundary guard as kernels/imgcodecs: crafted input
     can surface struct/index/key errors from the tokenizer paths —
     normalize to the contractual ValueError (per-row error upstream,
-    never a task failure). NotImplementedError (the lossy-VP8 seam)
-    passes through for callers that distinguish it."""
+    never a task failure). NotImplementedError (remaining unbundled-
+    codec seams) passes through for callers that distinguish it."""
 
     @functools.wraps(fn)
     def inner(data: bytes) -> np.ndarray:
@@ -91,6 +94,7 @@ class _Bits:
         self.pos = 0
         self.nbits = len(data) * 8
 
+
     def read(self, n: int) -> int:
         if n == 0:
             return 0
@@ -103,28 +107,49 @@ class _Bits:
         return (w >> (p & 7)) & ((1 << n) - 1)
 
 
-class _Code:
-    """Canonical prefix decoder: peek-table over max code length."""
+# Sliding 32-bit little-endian windows over one chunk of the stream:
+# W[k] holds bits starting at byte (start+k), so any ≤25-bit peek is
+# one C-speed list index instead of int.from_bytes per symbol
+# (max code 15 bits + 7-bit phase ≤ 22; max LZ77 extra 18 + 7 ≤ 25).
+# 32-bit beats a one-fetch-per-pixel 64-bit window variant in CPython:
+# most 64-bit values are multi-digit longs and every shift/mask on
+# them allocates. Chunked (1 MiB) because a full-stream list of
+# Python ints costs ~28 bytes per stream byte — the chunk bounds
+# decode memory to O(_WCHUNK) at any image size. pos is monotonic, so
+# a rolling rebuild suffices; rebuilds trigger 16 bytes ahead of the
+# chunk end so within-pixel reads (~9-byte overshoot) stay in range.
+_WCHUNK = 1 << 20
 
-    __slots__ = ("val", "ln", "bits", "single")
+
+def _win32(buf: bytes, start: int) -> list:
+    seg = buf[start : start + _WCHUNK + 8] + b"\x00" * 8
+    a = np.frombuffer(seg, dtype=np.uint8).astype(np.uint32)
+    return (a[:-3] | (a[1:-2] << 8) | (a[2:-1] << 16) | (a[3:] << 24)).tolist()
+
+
+class _Code:
+    """Canonical prefix decoder: peek-table over max code length,
+    packed as ``(len << 12) | sym`` ints (sym < 4096 for every VP8L
+    alphabet: green max 256+24+2048), invalid peeks = -1. A degenerate
+    single-symbol code is table ``[sym]`` with mask 0 (zero bits read),
+    so the hot loop needs no special case."""
+
+    __slots__ = ("packed", "mask")
 
     def __init__(self, lengths: list[int]):
         maxlen = max(lengths) if any(lengths) else 0
         nonzero = [(ln, s) for s, ln in enumerate(lengths) if ln]
         if len(nonzero) == 1:
             # degenerate: single symbol, zero bits read
-            self.single = nonzero[0][1]
-            self.bits = 0
-            self.val = self.ln = None
+            self.packed = [nonzero[0][1]]
+            self.mask = 0
             return
-        self.single = None
         # kraft check
         if sum(1 << (maxlen - ln) for ln, _ in nonzero) != 1 << maxlen:
             raise ValueError("incomplete VP8L prefix code")
-        self.bits = maxlen
+        self.mask = (1 << maxlen) - 1
         size = 1 << maxlen
-        val = [0] * size
-        lnt = [0] * size
+        packed = [-1] * size
         code = 0
         prev_len = 0
         for ln, sym in sorted(nonzero):
@@ -134,27 +159,23 @@ class _Code:
             # table index = bit-reversed code, repeated every 2^ln
             rev = int(f"{code:0{ln}b}"[::-1], 2)
             step = 1 << ln
+            e = (ln << 12) | sym
             for i in range(rev, size, step):
-                val[i] = sym
-                lnt[i] = ln
+                packed[i] = e
             code += 1
-        self.val = val
-        self.ln = lnt
+        self.packed = packed
 
     def read(self, br: _Bits) -> int:
-        if self.single is not None:
-            return self.single
         p = br.pos
         b = p >> 3
-        w = int.from_bytes(br.data[b : b + 8], "little")
-        peek = (w >> (p & 7)) & ((1 << self.bits) - 1)
-        ln = self.ln[peek]
-        if ln == 0:
+        w = int.from_bytes(br.data[b : b + 4], "little")
+        e = self.packed[(w >> (p & 7)) & self.mask]
+        if e < 0:
             raise ValueError("bad VP8L prefix code")
-        br.pos = p + ln
+        br.pos = p + (e >> 12)
         if br.pos > br.nbits:
             raise ValueError("truncated VP8L stream")
-        return self.val[peek]
+        return e & 0xFFF
 
 
 def _read_code_lengths(br: _Bits, alphabet: int) -> list[int]:
@@ -212,14 +233,6 @@ def _read_code_lengths(br: _Bits, alphabet: int) -> list[int]:
     return lengths
 
 
-def _lz77_value(br: _Bits, code: int) -> int:
-    if code < 4:
-        return code + 1
-    extra = (code - 2) >> 1
-    offset = (2 + (code & 1)) << extra
-    return offset + br.read(extra) + 1
-
-
 class _Group:
     __slots__ = ("g", "r", "b", "a", "d")
 
@@ -255,30 +268,108 @@ def _decode_pixels(br: _Bits, w: int, h: int, allow_meta: bool) -> np.ndarray:
         n_groups = int(meta.max()) + 1
     groups = [_Group(br, cache_size) for _ in range(n_groups)]
 
-    out = np.zeros(w * h, dtype=np.uint32)
+    # Hot loop: locals only — packed (len<<12)|sym tables, one list
+    # index per Huffman peek against the chunked 32-bit windows, LZ77
+    # copies as C-speed list-slice assignment (chunk-doubling when the
+    # reference overlaps). ~5-8× the round-2 int.from_bytes/method-call
+    # version; the truncation guard runs once per pixel.
     n = w * h
+    out = [0] * n
+    buf = br.data
+    pos = br.pos
+    nbits = br.nbits
+    wb = pos >> 3
+    W = _win32(buf, wb)
+    # rp is the bit position RELATIVE to the chunk base (saves a
+    # subtract on every peek). One guard per pixel covers both the
+    # chunk rebuild and stream truncation: rlimit stops 16 bytes short
+    # of the chunk end (within-pixel reads overshoot ≤ ~9 bytes) and
+    # ~67 bits past nbits (a truncated stream decodes ≤ a few pixels
+    # of zero slack before raising here or at the final pos check).
+    rp = pos & 7
+    rlimit = min((_WCHUNK - 16) << 3, nbits + 67 - (wb << 3))
+    csh = 32 - cache_bits if cache_bits else 0
+    tabs = [
+        (
+            g.g.packed, g.g.mask, g.r.packed, g.r.mask,
+            g.b.packed, g.b.mask, g.a.packed, g.a.mask,
+            g.d.packed, g.d.mask,
+        )
+        for g in groups
+    ]
+    gtab, gmask, rtab, rmask, btab, bmask, atab, amask, dtab, dmask = tabs[0]
+    # with a meta image the group holds only to the end of the current
+    # tile row-run; switch_at amortizes the per-pixel divmod+lookup
+    switch_at = 0 if meta is not None else n + 1
     i = 0
-    g0 = groups[0]
     while i < n:
-        if meta is not None:
+        if i >= switch_at:
             y, x = divmod(i, w)
-            grp = groups[int(meta[y >> meta_bits, x >> meta_bits])]
-        else:
-            grp = g0
-        sym = grp.g.read(br)
+            (
+                gtab, gmask, rtab, rmask, btab, bmask,
+                atab, amask, dtab, dmask,
+            ) = tabs[int(meta[y >> meta_bits, x >> meta_bits])]
+            nx = ((x >> meta_bits) + 1) << meta_bits
+            switch_at = i + ((w - x) if nx >= w else (nx - x))
+        if rp >= rlimit:
+            pos = (wb << 3) + rp
+            if pos > nbits:
+                raise ValueError("truncated VP8L stream")
+            wb = pos >> 3
+            W = _win32(buf, wb)
+            rp = pos & 7
+            rlimit = min((_WCHUNK - 16) << 3, nbits + 67 - (wb << 3))
+        e = gtab[(W[rp >> 3] >> (rp & 7)) & gmask]
+        if e < 0:
+            raise ValueError("bad VP8L prefix code")
+        rp += e >> 12
+        sym = e & 0xFFF
         if sym < 256:
-            red = grp.r.read(br)
-            blue = grp.b.read(br)
-            alpha = grp.a.read(br)
-            px = (alpha << 24) | (red << 16) | (sym << 8) | blue
+            e = rtab[(W[rp >> 3] >> (rp & 7)) & rmask]
+            if e < 0:
+                raise ValueError("bad VP8L prefix code")
+            rp += e >> 12
+            red = e & 0xFFF
+            e2 = btab[(W[rp >> 3] >> (rp & 7)) & bmask]
+            if e2 < 0:
+                raise ValueError("bad VP8L prefix code")
+            rp += e2 >> 12
+            e3 = atab[(W[rp >> 3] >> (rp & 7)) & amask]
+            if e3 < 0:
+                raise ValueError("bad VP8L prefix code")
+            rp += e3 >> 12
+            px = (e3 & 0xFFF) << 24 | (red << 16) | (sym << 8) | (e2 & 0xFFF)
             out[i] = px
             if cache_size:
-                cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+                cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> csh] = px
             i += 1
         elif sym < 280:
-            length = _lz77_value(br, sym - 256)
-            dcode = grp.d.read(br)
-            plane = _lz77_value(br, dcode)
+            code = sym - 256
+            if code < 4:
+                length = code + 1
+            else:
+                extra = (code - 2) >> 1
+                length = (
+                    ((2 + (code & 1)) << extra)
+                    + ((W[rp >> 3] >> (rp & 7)) & ((1 << extra) - 1))
+                    + 1
+                )
+                rp += extra
+            e = dtab[(W[rp >> 3] >> (rp & 7)) & dmask]
+            if e < 0:
+                raise ValueError("bad VP8L prefix code")
+            rp += e >> 12
+            dcode = e & 0xFFF
+            if dcode < 4:
+                plane = dcode + 1
+            else:
+                extra = (dcode - 2) >> 1
+                plane = (
+                    ((2 + (dcode & 1)) << extra)
+                    + ((W[rp >> 3] >> (rp & 7)) & ((1 << extra) - 1))
+                    + 1
+                )
+                rp += extra
             if plane > 120:
                 dist = plane - 120
             else:
@@ -288,18 +379,33 @@ def _decode_pixels(br: _Bits, w: int, h: int, allow_meta: bool) -> np.ndarray:
                     dist = 1
             if dist > i or i + length > n:
                 raise ValueError("bad VP8L back-reference")
-            for k in range(length):
-                px = int(out[i - dist])
-                out[i] = px
-                if cache_size:
-                    cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
-                i += 1
+            s = i - dist
+            if dist >= length:
+                out[i : i + length] = out[s : s + length]
+            else:
+                out[i : i + dist] = out[s:i]
+                copied = dist
+                while copied < length:
+                    c = length - copied
+                    if c > copied:
+                        c = copied
+                    out[i + copied : i + copied + c] = out[i : i + c]
+                    copied += c
+            if cache_size:
+                for v in out[i : i + length]:
+                    cache[(0x1E35A7BD * v & 0xFFFFFFFF) >> csh] = v
+            i += length
         else:
-            if sym - 280 >= cache_size:
+            j = sym - 280
+            if j >= cache_size:
                 raise ValueError("VP8L cache index out of range")
-            out[i] = cache[sym - 280]
+            out[i] = cache[j]
             i += 1
-    arr = out.reshape(h, w)
+    pos = (wb << 3) + rp
+    br.pos = pos
+    if pos > nbits:
+        raise ValueError("truncated VP8L stream")
+    arr = np.array(out, dtype=np.uint32).reshape(h, w)
     return np.stack(
         [
             (arr >> 24).astype(np.uint8),
@@ -369,94 +475,169 @@ def _inv_color_transform(px: np.ndarray, bits: int, data: np.ndarray) -> None:
             blk[..., 3] = b.astype(np.uint8)
 
 
+_PRED_FAST = True  # test hook: False forces the general scan-order loop
+
+
 def _inv_predictor(px: np.ndarray, bits: int, modes: np.ndarray) -> None:
     """Per-block spatial prediction, applied progressively in scan
     order (each pixel's prediction uses already-reconstructed
-    neighbors). Python loop over pixels — transform subimages and real
-    photos are modest in this engine's crawl path; correctness first."""
+    neighbors). Pixels are packed into one 32-bit int apiece and the
+    byte-lane ops run SWAR-style (avg2 = (a&b)+(((a^b)>>1)&0x7F7F7F7F),
+    add = masked even/odd-lane adds), so the sequential scan costs a
+    handful of int ops per pixel instead of 4-channel numpy scalar
+    indexing (~20× the round-2 version). Unpack-per-channel only for
+    the rare Select/ClampAddSub modes (11-13)."""
     h, w = px.shape[:2]
-    p = px.astype(np.int32)
-
-    def clamp_add_sub_full(a, b, c):
-        v = a + b - c
-        return min(255, max(0, v))
-
-    def clamp_add_sub_half(a, b):
-        # C-style truncation toward zero, NOT Python floor — differs
-        # for negative (a - b) and is bit-visible in real files
-        d = a - b
-        v = a + (d // 2 if d >= 0 else -((-d) // 2))
-        return min(255, max(0, v))
-
+    mode_flat = modes[..., 2]
+    if (
+        _PRED_FAST
+        and int(mode_flat.min()) == int(mode_flat.max())
+        and int(mode_flat.flat[0]) in (1, 2)
+    ):
+        # uniform L- or T-prediction (the common single-mode tiling,
+        # incl. this module's own encoder output): the whole inverse
+        # is two mod-256 prefix sums — np.add.accumulate on uint8
+        # wraps exactly like the per-pixel add. Row/col 0 boundary
+        # rules (origin=black, first row=L, first col=T) fold in by
+        # accumulating the boundary line first.
+        m = int(mode_flat.flat[0])
+        px[0, 0, 0] += 255  # ARGB black pred: +255 on the alpha lane
+        if m == 2:
+            np.add.accumulate(px[0], axis=0, out=px[0])  # row 0: L chain
+            np.add.accumulate(px, axis=0, out=px)  # pred = T
+        else:
+            np.add.accumulate(px[:, 0], axis=0, out=px[:, 0])  # col 0: T
+            np.add.accumulate(px, axis=1, out=px)  # pred = L
+        return
+    packed = (
+        (px[..., 0].astype(np.uint32) << 24)
+        | (px[..., 1].astype(np.uint32) << 16)
+        | (px[..., 2].astype(np.uint32) << 8)
+        | px[..., 3].astype(np.uint32)
+    )
+    mode_img = modes[..., 2]  # green field carries the mode
+    M = 0x00FF00FF
+    H7 = 0x7F7F7F7F
+    rows_out = np.empty((h, w), dtype=np.uint32)
+    prev: list = []
     for y in range(h):
-        for x in range(w):
-            if x == 0 and y == 0:
-                pred = (255, 0, 0, 0)  # ARGB black, alpha 255
-            elif y == 0:
-                pred = tuple(p[y, x - 1])
-            elif x == 0:
-                pred = tuple(p[y - 1, x])
-            else:
-                mode = int(modes[y >> bits, x >> bits, 2])  # green field
-                L = p[y, x - 1]
-                T = p[y - 1, x]
-                TL = p[y - 1, x - 1]
-                # rightmost column: TR wraps to the CURRENT row's first
-                # pixel (linear memory layout — libwebp reads top[x+1])
-                TR = p[y - 1, x + 1] if x + 1 < w else p[y, 0]
-                if mode == 0:
-                    pred = (255, 0, 0, 0)
+        res = packed[y].tolist()
+        cur = [0] * w
+        # x == 0: black at the origin, T elsewhere
+        p0 = 0xFF000000 if y == 0 else prev[0]
+        v = res[0]
+        cur[0] = (
+            (((v & M) + (p0 & M)) & M)
+            | ((((v >> 8 & M) + (p0 >> 8 & M)) & M) << 8)
+        )
+        if y == 0:
+            # first row: pred = L for every remaining pixel
+            left = cur[0]
+            for x in range(1, w):
+                v = res[x]
+                left = cur[x] = (
+                    (((v & M) + (left & M)) & M)
+                    | ((((v >> 8 & M) + (left >> 8 & M)) & M) << 8)
+                )
+        else:
+            mrow = mode_img[y >> bits].tolist()
+            bmask = (1 << bits) - 1
+            left = cur[0]
+            mode = mrow[0]
+            for x in range(1, w):
+                if not x & bmask:
+                    mode = mrow[x >> bits]
+                T = prev[x]
+                if mode == 2:
+                    pred = T
                 elif mode == 1:
-                    pred = tuple(L)
-                elif mode == 2:
-                    pred = tuple(T)
+                    pred = left
+                elif mode == 0:
+                    pred = 0xFF000000
                 elif mode == 3:
-                    pred = tuple(TR)
+                    # rightmost column: TR wraps to the CURRENT row's
+                    # first pixel (linear memory — libwebp reads top[x+1])
+                    pred = prev[x + 1] if x + 1 < w else cur[0]
                 elif mode == 4:
-                    pred = tuple(TL)
+                    pred = prev[x - 1]
                 elif mode == 5:
-                    pred = tuple(
-                        ((int(L[c]) + int(TR[c])) // 2 + int(T[c])) // 2
-                        for c in range(4)
-                    )
+                    TR = prev[x + 1] if x + 1 < w else cur[0]
+                    a = (left & TR) + (((left ^ TR) >> 1) & H7)
+                    pred = (a & T) + (((a ^ T) >> 1) & H7)
                 elif mode == 6:
-                    pred = tuple((int(L[c]) + int(TL[c])) // 2 for c in range(4))
+                    TL = prev[x - 1]
+                    pred = (left & TL) + (((left ^ TL) >> 1) & H7)
                 elif mode == 7:
-                    pred = tuple((int(L[c]) + int(T[c])) // 2 for c in range(4))
+                    pred = (left & T) + (((left ^ T) >> 1) & H7)
                 elif mode == 8:
-                    pred = tuple((int(TL[c]) + int(T[c])) // 2 for c in range(4))
+                    TL = prev[x - 1]
+                    pred = (TL & T) + (((TL ^ T) >> 1) & H7)
                 elif mode == 9:
-                    pred = tuple((int(T[c]) + int(TR[c])) // 2 for c in range(4))
+                    TR = prev[x + 1] if x + 1 < w else cur[0]
+                    pred = (T & TR) + (((T ^ TR) >> 1) & H7)
                 elif mode == 10:
-                    pred = tuple(
-                        (
-                            (int(L[c]) + int(TL[c])) // 2
-                            + (int(T[c]) + int(TR[c])) // 2
-                        )
-                        // 2
-                        for c in range(4)
-                    )
+                    TL = prev[x - 1]
+                    TR = prev[x + 1] if x + 1 < w else cur[0]
+                    a = (left & TL) + (((left ^ TL) >> 1) & H7)
+                    b = (T & TR) + (((T ^ TR) >> 1) & H7)
+                    pred = (a & b) + (((a ^ b) >> 1) & H7)
                 elif mode == 11:  # Select
-                    pL = sum(abs(int(T[c]) - int(TL[c])) for c in range(4))
-                    pT = sum(abs(int(L[c]) - int(TL[c])) for c in range(4))
-                    pred = tuple(L) if pL < pT else tuple(T)
-                elif mode == 12:
-                    pred = tuple(
-                        clamp_add_sub_full(int(L[c]), int(T[c]), int(TL[c]))
-                        for c in range(4)
+                    TL = prev[x - 1]
+                    pL = (
+                        abs((T >> 24) - (TL >> 24))
+                        + abs((T >> 16 & 0xFF) - (TL >> 16 & 0xFF))
+                        + abs((T >> 8 & 0xFF) - (TL >> 8 & 0xFF))
+                        + abs((T & 0xFF) - (TL & 0xFF))
                     )
-                elif mode == 13:
-                    pred = tuple(
-                        clamp_add_sub_half(
-                            (int(L[c]) + int(T[c])) // 2, int(TL[c])
+                    pT = (
+                        abs((left >> 24) - (TL >> 24))
+                        + abs((left >> 16 & 0xFF) - (TL >> 16 & 0xFF))
+                        + abs((left >> 8 & 0xFF) - (TL >> 8 & 0xFF))
+                        + abs((left & 0xFF) - (TL & 0xFF))
+                    )
+                    pred = left if pL < pT else T
+                elif mode == 12:  # ClampAddSubFull per channel
+                    TL = prev[x - 1]
+                    pred = 0
+                    for sh in (24, 16, 8, 0):
+                        vc = (
+                            (left >> sh & 0xFF)
+                            + (T >> sh & 0xFF)
+                            - (TL >> sh & 0xFF)
                         )
-                        for c in range(4)
-                    )
+                        if vc < 0:
+                            vc = 0
+                        elif vc > 255:
+                            vc = 255
+                        pred |= vc << sh
+                elif mode == 13:  # ClampAddSubHalf per channel
+                    TL = prev[x - 1]
+                    pred = 0
+                    for sh in (24, 16, 8, 0):
+                        a = ((left >> sh & 0xFF) + (T >> sh & 0xFF)) // 2
+                        d = a - (TL >> sh & 0xFF)
+                        # C-style truncation toward zero, NOT Python
+                        # floor — differs for negative (a - b) and is
+                        # bit-visible in real files
+                        vc = a + (d // 2 if d >= 0 else -((-d) // 2))
+                        if vc < 0:
+                            vc = 0
+                        elif vc > 255:
+                            vc = 255
+                        pred |= vc << sh
                 else:
                     raise ValueError(f"bad VP8L predictor mode {mode}")
-            for c in range(4):
-                p[y, x, c] = (p[y, x, c] + pred[c]) & 0xFF
-    px[:] = p.astype(np.uint8)
+                v = res[x]
+                left = cur[x] = (
+                    (((v & M) + (pred & M)) & M)
+                    | ((((v >> 8 & M) + (pred >> 8 & M)) & M) << 8)
+                )
+        rows_out[y] = cur
+        prev = cur
+    px[..., 0] = (rows_out >> 24).astype(np.uint8)
+    px[..., 1] = (rows_out >> 16).astype(np.uint8)
+    px[..., 2] = (rows_out >> 8).astype(np.uint8)
+    px[..., 3] = rows_out.astype(np.uint8)
 
 
 def _read_subimage(br: _Bits, w: int, h: int) -> np.ndarray:
