@@ -76,6 +76,57 @@ HEADLINE = [
 ]
 
 
+# The sf1 rung (10× sf0.1 rows, tools/gen_sf1.py): the dedup/ANN/
+# textstats operators whose 100 TB story is "bucketed candidates +
+# map-side combines, shuffles sub-linear in pairs". Per-row cost at
+# sf1 vs sf0.1 ≤ ~1.5× is the round-2 verdict's acceptance bar.
+# Deliberately absent (documented quadratic oracle baselines, not
+# scale paths): embed_near_dup, dedup_ngram_jaccard.
+SF1_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_fast",
+    "dedup_clusters",
+    "decontaminate",
+    "dedup_url_canonical",
+    "ann_cosine_topk",
+    "ann_ivf",
+    "text_quality",
+    "lm_quality",
+    "repetition_stats",
+    "token_count_bpe",
+    "fingerprint",
+    "fingerprint_winnow",
+    "lang_id",
+    "char_entropy",
+    "top_bigrams",
+    "domain_profile",
+    "sample_split",
+]
+
+
+def _time_query(spark, fn, sf_dir: str, passes: int = 3) -> float:
+    """One untimed warm pass + min of (passes-1) timed runs: this host
+    shows intermittent fault-storm noise (one run can be 10× slower)
+    and heavy-codegen queries (128-column minhash agg) pay a one-off
+    C2-JIT cost that read as a 3× "slowdown" in one recorded round;
+    warm-first measures query capability."""
+    best = None
+    for i in range(passes):
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        # noop sink: computes EVERY output column. A count() here
+        # would let Catalyst prune the whole query body for
+        # projection/window-shaped queries (verified: count() over
+        # text_quality reduces to an empty Project over the scan)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.monotonic() - t0
+        if i > 0:
+            best = dt if best is None else min(best, dt)
+    return best
+
+
 def run_headline(queries: dict) -> dict[str, float]:
     from ragflow_ocr_spark.spark.session import get_spark
 
@@ -85,28 +136,51 @@ def run_headline(queries: dict) -> dict[str, float]:
     out: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        best = None
-        # one untimed warm pass + min of 2 timed runs: this host shows
-        # intermittent fault-storm noise (one run can be 10× slower)
-        # and heavy-codegen queries (128-column minhash agg) pay a
-        # one-off C2-JIT cost that read as a 3× "slowdown" in one
-        # recorded round; warm-first measures query capability
-        for i in range(3):
-            t0 = time.monotonic()
-            df = fn(spark, SF_DIR)
-            # noop sink: computes EVERY output column. A count() here
-            # would let Catalyst prune the whole query body for
-            # projection/window-shaped queries (verified: count() over
-            # text_quality reduces to an empty Project over the scan)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.monotonic() - t0
-            if i > 0:
-                best = dt if best is None else min(best, dt)
+        best = _time_query(spark, fn, SF_DIR)
         n = fn(spark, SF_DIR).count()  # row count for display only
         out[name] = round(best, 3)
         print(f"# {name}: {out[name]}s ({n} rows)", file=sys.stderr)
     spark.stop()
     return out
+
+
+def run_sf1_rung(queries: dict) -> dict:
+    """Interleaved per-query (sf0.1, sf1) timing in ONE session so the
+    host's ±25% drift cancels within each pair; per-row cost ratio =
+    t_sf1 / (10 · t_sf01) per query, with the fixed per-job overhead
+    (scheduler + stage launch, measured as a floor of ~0.1-0.2 s)
+    hitting the small scale 10× harder — so the ratio is a safe
+    OVER-estimate of true marginal per-row growth."""
+    from tools.gen_sf1 import ensure_sf1
+
+    from ragflow_ocr_spark.spark.session import get_spark
+
+    sf1_dir = ensure_sf1(SF_DIR)
+    spark = get_spark(app_name="bench-sf1", master=f"local[{CPUS}]")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    out: dict[str, dict] = {}
+    # warm+1 timed per scale: the rung's budget must fit the per-round
+    # driver (3 passes × 20 queries × 2 scales measured ~27 min; the
+    # ratio's 10× margin below the 1.5× bar tolerates single-run noise,
+    # and same-session adjacency still cancels host drift per pair)
+    for name in SF1_QUERIES:
+        fn = queries[name]
+        t01 = _time_query(spark, fn, SF_DIR, passes=2)
+        t1 = _time_query(spark, fn, sf1_dir, passes=2)
+        out[name] = {
+            "sf0.1_sec": round(t01, 3),
+            "sf1_sec": round(t1, 3),
+            "per_row_cost_ratio": round(t1 / (10 * t01), 3),
+        }
+        print(
+            f"# sf1 {name}: {t01:.2f}s -> {t1:.2f}s "
+            f"(per-row x{out[name]['per_row_cost_ratio']})",
+            file=sys.stderr,
+        )
+    spark.stop()
+    ratios = sorted(v["per_row_cost_ratio"] for v in out.values())
+    med = ratios[len(ratios) // 2]
+    return {"queries": out, "median_per_row_cost_ratio": med}
 
 
 def ensure_bench_pages() -> str:
@@ -186,6 +260,11 @@ def main() -> None:
 
     queries = entrymod.queries()
     per_query = run_headline(queries)
+    sf1 = (
+        run_sf1_rung(queries)
+        if os.environ.get("BENCH_SF1", "1") != "0"
+        else None
+    )
 
     path = ensure_bench_pages()
     # N → 4N pair (the north-rule criterion), plus the full-width run.
@@ -250,6 +329,8 @@ def main() -> None:
             "scaling_efficiency_full_width": eff_full,
         },
     }
+    if sf1 is not None:
+        result["sf1"] = sf1
     print(json.dumps(result))
 
 

@@ -98,16 +98,17 @@ def media_df(spark, n_rows: int = 60, partitions: int = 4):
 
 # ---------------------------------------------------------------- decode
 def decode_image(payload: bytes, codec: str) -> np.ndarray:
-    """The codec seam. PNG is real; everything else raises — callers
-    convert to per-row error status (never a task failure)."""
+    """The codec router. PNG/JPEG/GIF/BMP/TIFF/WebP (VP8L lossless AND
+    VP8 lossy keyframes, kernels/vp8) decode for real; genuinely
+    unbundled codecs raise NotImplementedError and malformed payloads
+    ValueError — callers convert both to per-row error statuses (never
+    a task failure)."""
     kind = pngcodec.sniff_payload(payload)
     if codec == "png" or kind == "png":
         return pngcodec.decode_png(payload)
     if kind == "webp":
         from ragflow_ocr_spark.kernels import webp as webpmod
 
-        # lossless VP8L decodes; lossy VP8 raises NotImplementedError →
-        # callers map it to error:unsupported_codec (the narrowed seam)
         return webpmod.decode_webp(payload)
     if kind in ("jpeg", "gif", "bmp", "tiff"):
         from ragflow_ocr_spark.kernels import imgcodecs
