@@ -39,6 +39,32 @@ def get_rotate_crop_image(img: np.ndarray, points: np.ndarray) -> np.ndarray:
     )
     img_crop_width = max(img_crop_width, 1)
     img_crop_height = max(img_crop_height, 1)
+    # Axis-aligned integer quad (the overwhelmingly common case for
+    # horizontal text boxes) → the exact perspective warp is the
+    # identity translation (i,j) → (x0+i, y0+j): bilinear sampling at
+    # integer coordinates reads single pixels, so a direct slice IS
+    # the mathematically exact warp, skipping the 8x8 solve + full
+    # inverse-map grid (~the crop stage's whole cost). In-bounds
+    # requirement keeps the border-replicate path on the warp.
+    x0, y0 = pts[0]
+    if (
+        pts[0, 1] == pts[1, 1]
+        and pts[2, 1] == pts[3, 1]
+        and pts[0, 0] == pts[3, 0]
+        and pts[1, 0] == pts[2, 0]
+        and x0 == int(x0)
+        and y0 == int(y0)
+        and pts[1, 0] - x0 == img_crop_width
+        and pts[3, 1] - y0 == img_crop_height
+        and x0 >= 0
+        and y0 >= 0
+        and x0 + img_crop_width <= img.shape[1]
+        and y0 + img_crop_height <= img.shape[0]
+    ):
+        xi, yi = int(x0), int(y0)
+        return img[
+            yi : yi + img_crop_height, xi : xi + img_crop_width
+        ].astype(np.float32)
     dst = np.array(
         [
             [0, 0],
