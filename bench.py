@@ -184,10 +184,24 @@ def run_sf1_rung(queries: dict) -> dict:
 
 
 def ensure_bench_pages() -> str:
-    """Deterministic pages parquet, generated once per (n, seed)."""
+    """Deterministic pages parquet, generated once per (n, seed,
+    payload-format). The content probe in the key is load-bearing:
+    keying on (n, seed) alone silently reused a cache written by an
+    OLDER synth payload writer after the writer changed (observed in
+    round 3 — round-1-format stub PDFs survived in the cache, parsed
+    to empty pages, and the extraction bench quietly measured the
+    wrong corpus)."""
+    import hashlib
+
     from ragflow_ocr_spark.spark import synth
 
-    path = f"{BENCH_DATA}_{N_BENCH_DOCS}_s{synth.GLOBAL_SEED}"
+    probe = hashlib.md5()
+    for rid in range(40):  # covers every payload class w.h.p.
+        probe.update(bytes(synth.make_row(rid)["html"] or b""))
+    path = (
+        f"{BENCH_DATA}_{N_BENCH_DOCS}_s{synth.GLOBAL_SEED}"
+        f"_p{probe.hexdigest()[:10]}"
+    )
     marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(marker):
         return path

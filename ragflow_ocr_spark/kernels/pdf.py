@@ -377,9 +377,63 @@ def pdf_to_images(data: bytes, max_pages: int = 16) -> list[np.ndarray]:
     ]
     if not pages:
         raise ValueError("PDF has no /Type /Page object")
-    return [
-        _page_image(objs, page) for _num, page in pages[:max_pages]
-    ]
+    imgs = [_page_image(objs, page) for _num, page in pages[:max_pages]]
+    # Salvage route for content-less documents: some writers (broken
+    # generators, and this repo's own early fixtures) emit page objects
+    # with no /Contents while the page scan sits in an orphan image
+    # stream nothing references. If EVERY rendered page came out blank,
+    # decoding those streams recovers the scans — a genuinely blank PDF
+    # (no image streams) still returns its blank pages → 'empty'.
+    if all(int(im.min()) == 255 for im in imgs if im.size):
+        salvaged: list[np.ndarray] = []
+        for _num, (d, raw) in sorted(objs.items()):
+            if raw is None or not isinstance(d, dict):
+                continue
+            if len(salvaged) >= max_pages:
+                break
+            if d.get("Subtype") == ("name", "Image"):
+                try:
+                    salvaged.append(_xobject_image(objs, d, raw))
+                    continue
+                except (ValueError, NotImplementedError):
+                    pass
+            try:
+                body = _decode_stream(objs, d, raw)
+            except ValueError:
+                continue
+            img = _decode_bare_image(body)
+            if img is not None:
+                salvaged.append(img)
+        if salvaged:
+            return salvaged[:max_pages]
+    return imgs
+
+
+def _decode_bare_image(body: bytes) -> np.ndarray | None:
+    """Stream bytes that ARE a standalone image file → decoded image
+    (or None). Routed by magic bytes like the payload router."""
+    from ragflow_ocr_spark.kernels import pngcodec
+
+    kind = pngcodec.sniff_payload(body)
+    try:
+        if kind == "png":
+            return pngcodec.decode_png(body)
+        if kind in ("jpeg", "gif", "bmp", "tiff"):
+            from ragflow_ocr_spark.kernels import imgcodecs
+
+            return {
+                "jpeg": imgcodecs.decode_jpeg,
+                "gif": imgcodecs.decode_gif,
+                "bmp": imgcodecs.decode_bmp,
+                "tiff": imgcodecs.decode_tiff,
+            }[kind](body)
+        if kind == "webp":
+            from ragflow_ocr_spark.kernels import webp
+
+            return webp.decode_webp(body)
+    except (ValueError, NotImplementedError):
+        return None
+    return None
 
 
 def _page_image(objs, page: dict) -> np.ndarray:

@@ -227,3 +227,30 @@ def test_multipage_all_dropped_propagates_empty_dropped():
     r = extract_payload(doc, OCRConfig(drop_score=1.01))
     assert r.status == "empty:dropped"
     assert r.text == ""
+
+
+def test_contentless_pdf_salvages_orphan_image_stream():
+    """A page object with no /Contents plus an orphan image stream
+    (broken generators; this repo's own early fixtures) must recover
+    the scan instead of returning a blank page — and a genuinely
+    blank PDF must NOT invent content."""
+    from ragflow_ocr_spark.kernels import pngcodec
+    from ragflow_ocr_spark.kernels.ocr_pipeline import extract_payload
+
+    img, drawn = font5x7.render_page(["ORPHAN SCAN 11"], 448, 96, 2)
+    png = pngcodec.encode_png(img)
+    orphan = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Page >>\nendobj\n"
+        b"2 0 obj\n<< /Type /XObject /Subtype /Image /Length "
+        + str(len(png)).encode()
+        + b" >>\nstream\n" + png + b"\nendstream\nendobj\n"
+        b"trailer\n<< >>\n%%EOF"
+    )
+    r = extract_payload(orphan)
+    assert (r.status, r.text) == ("ok", "\n".join(drawn))
+    blank = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\ntrailer\n<< >>\n%%EOF"
+    )
+    r2 = extract_payload(blank)
+    assert r2.status == "empty"
