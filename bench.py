@@ -52,6 +52,7 @@ HEADLINE = [
     "top_bigrams",
     "ann_ivf",
     "text_quality",
+    "gopher_filter",
     "lm_quality",
     "repetition_stats",
     "token_count_bpe",
@@ -93,6 +94,7 @@ SF1_QUERIES = [
     "ann_cosine_topk",
     "ann_ivf",
     "text_quality",
+    "gopher_filter",
     "lm_quality",
     "repetition_stats",
     "token_count_bpe",

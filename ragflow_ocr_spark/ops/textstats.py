@@ -469,7 +469,180 @@ GROUP BY doc_id
 """
 
 
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style (Rae et al., MassiveText) composite document
+    filter in ONE pass: word count, mean word length, alphabetic-word
+    fraction, distinct-stopword count, duplicate-word mass, and
+    top-bigram mass, folded into a keep flag plus the FIRST failing
+    rule as a human-readable reason — the standard pretraining-corpus
+    gate, emitted per document so downstream sampling can stratify by
+    drop reason.
+
+    Scale shape: every signal except the top bigram is a per-row array
+    expression (no explode, no shuffle); the bigram mass needs one
+    (doc_id, gram) count — the same distinct-gram shuffle
+    q_repetition_stats carries, with map-side combine. Thresholds are
+    Gopher's where the synthetic corpus exercises both outcomes and
+    adapted (documented inline) where the 31-word vocabulary would
+    make a rule constant."""
+    d = _docs(spark, sf_dir)
+    txt = F.trim(F.col("text"))
+    w = F.split(txt, " +")
+    n_words = F.when(F.length(txt) == 0, 0).otherwise(F.size(w)).cast("long")
+    n_chars_ns = F.length(F.regexp_replace(txt, " +", ""))
+    frac_alpha = F.when(
+        n_words > 0,
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).cast("double")
+        / n_words,
+    ).otherwise(0.0)
+    n_stop_d = F.size(
+        F.array_distinct(F.filter(w, lambda x: F.lower(x).isin(_STOPWORDS)))
+    ).cast("long")
+    dup_frac = F.when(
+        n_words > 0,
+        1.0 - F.size(F.array_distinct(w)).cast("double") / n_words,
+    ).otherwise(0.0)
+    feats = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(
+            F.when(n_words > 0, n_chars_ns.cast("double") / n_words).otherwise(
+                0.0
+            ),
+            6,
+        ).alias("mean_word_len"),
+        F.round(frac_alpha, 6).alias("frac_alpha_words"),
+        n_stop_d.alias("n_stop_distinct"),
+        F.round(dup_frac, 6).alias("dup_word_frac"),
+    )
+    base = d.where(F.length(txt) > 0).select("doc_id", w.alias("w"))
+    bi = (
+        base.where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.size("w") - 2)).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("w", F.col("i") + 1),
+                F.element_at("w", F.col("i") + 2),
+            ).alias("g"),
+        )
+    )
+    bi_stats = (
+        bi.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("nb"),
+            F.max("c").cast("bigint").alias("topc"),
+        )
+    )
+    out = feats.join(bi_stats, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "frac_alpha_words",
+        "n_stop_distinct",
+        "dup_word_frac",
+        F.round(
+            F.coalesce(
+                F.col("topc").cast("double") / F.col("nb"), F.lit(0.0)
+            ),
+            6,
+        ).alias("top_bigram_frac"),
+    )
+    # rules reference the ROUNDED columns so both engines compare the
+    # same 6-decimal values; 20-word floor instead of Gopher's 50 and
+    # dup ≤ 0.85 instead of 0.2-class thresholds keep both outcomes
+    # represented in the 10-100-word / 31-word-vocab synthetic corpus
+    r_words = (F.col("n_words") >= 20) & (F.col("n_words") <= 100000)
+    r_mlen = (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)
+    r_alpha = F.col("frac_alpha_words") >= 0.8
+    r_stop = F.col("n_stop_distinct") >= 2
+    r_dup = F.col("dup_word_frac") <= 0.85
+    r_bi = F.col("top_bigram_frac") <= 0.18
+    return out.select(
+        "*",
+        (r_words & r_mlen & r_alpha & r_stop & r_dup & r_bi)
+        .cast("int")
+        .alias("keep"),
+        F.when(~r_words, "n_words")
+        .when(~r_mlen, "mean_word_len")
+        .when(~r_alpha, "alpha_words")
+        .when(~r_stop, "stopwords")
+        .when(~r_dup, "dup_words")
+        .when(~r_bi, "top_bigram")
+        .otherwise("ok")
+        .alias("reason"),
+    )
+
+
+ORACLE_GOPHER = f"""
+WITH base AS (
+  SELECT doc_id, TRIM(text) AS t,
+         regexp_split_to_array(TRIM(text), ' +') AS w
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         CAST(CASE WHEN LENGTH(t) = 0 THEN 0 ELSE len(w) END AS BIGINT)
+           AS n_words,
+         LENGTH(REGEXP_REPLACE(t, ' +', '', 'g')) AS n_chars_ns,
+         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_w,
+         CAST(len(list_distinct(list_filter(w, x -> LOWER(x) IN {_SW_SQL})))
+              AS BIGINT) AS n_stop_distinct,
+         len(list_distinct(w)) AS n_distinct
+  FROM base
+), bi AS (
+  SELECT doc_id,
+         w[i + 1] || ' ' || w[i + 2] AS g
+  FROM base, UNNEST(range(len(w) - 1)) AS r(i)
+  WHERE LENGTH(t) > 0 AND len(w) >= 2
+), bic AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2
+), bistats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nb, CAST(MAX(c) AS BIGINT) AS topc
+  FROM bic GROUP BY 1
+), rounded AS (
+  SELECT f.doc_id, f.n_words,
+         ROUND(CASE WHEN f.n_words > 0
+               THEN f.n_chars_ns / CAST(f.n_words AS DOUBLE) ELSE 0.0 END, 6)
+           AS mean_word_len,
+         ROUND(CASE WHEN f.n_words > 0
+               THEN f.n_alpha_w / CAST(f.n_words AS DOUBLE) ELSE 0.0 END, 6)
+           AS frac_alpha_words,
+         f.n_stop_distinct,
+         ROUND(CASE WHEN f.n_words > 0
+               THEN 1.0 - f.n_distinct / CAST(f.n_words AS DOUBLE)
+               ELSE 0.0 END, 6) AS dup_word_frac,
+         ROUND(COALESCE(b.topc / CAST(b.nb AS DOUBLE), 0.0), 6)
+           AS top_bigram_frac
+  FROM feats f LEFT JOIN bistats b USING (doc_id)
+)
+SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stop_distinct,
+       dup_word_frac, top_bigram_frac,
+       CAST(n_words BETWEEN 20 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND frac_alpha_words >= 0.8
+            AND n_stop_distinct >= 2
+            AND dup_word_frac <= 0.85
+            AND top_bigram_frac <= 0.18 AS INT) AS keep,
+       CASE WHEN NOT (n_words BETWEEN 20 AND 100000) THEN 'n_words'
+            WHEN NOT (mean_word_len BETWEEN 3.0 AND 10.0) THEN 'mean_word_len'
+            WHEN frac_alpha_words < 0.8 THEN 'alpha_words'
+            WHEN n_stop_distinct < 2 THEN 'stopwords'
+            WHEN dup_word_frac > 0.85 THEN 'dup_words'
+            WHEN top_bigram_frac > 0.18 THEN 'top_bigram'
+            ELSE 'ok' END AS reason
+FROM rounded
+"""
+
+
 QUERIES = {
+    "gopher_filter": (q_gopher_filter, ORACLE_GOPHER),
     "text_quality": (q_text_quality, ORACLE_QUALITY),
     "lm_quality": (q_lm_quality, ORACLE_LM_QUALITY),
     "repetition_stats": (q_repetition_stats, ORACLE_REPETITION),

@@ -58,6 +58,10 @@ CHECKS = {
         (r"HashAggregate", "per-doc gram aggregations with map-side combine"),
         (r"!CartesianProduct", "no cross join anywhere in the stats plan"),
     ],
+    "gopher_filter": [
+        (r"HashAggregate", "bigram-mass agg with map-side combine (the one shuffle)"),
+        (r"!CartesianProduct", "per-row array expressions for every other rule: no joins beyond the bigram side"),
+    ],
     "lm_quality": [
         (r"BroadcastHashJoin", "alphabet²-sized model tables broadcast (doc side never shuffles for the score join)"),
         (r"HashAggregate", "map-side combined bigram aggregations"),
