@@ -53,6 +53,7 @@ HEADLINE = [
     "ann_ivf",
     "text_quality",
     "gopher_filter",
+    "pii_scrub",
     "lm_quality",
     "repetition_stats",
     "token_count_bpe",
@@ -70,6 +71,7 @@ HEADLINE = [
     "domain_profile",
     "exists_high_qty",
     "sample_split",
+    "stratified_sample",
     "char_entropy",
     "html_extract_docs",
     "ocr_extract_docs",
@@ -95,6 +97,7 @@ SF1_QUERIES = [
     "ann_ivf",
     "text_quality",
     "gopher_filter",
+    "pii_scrub",
     "lm_quality",
     "repetition_stats",
     "token_count_bpe",
@@ -105,6 +108,7 @@ SF1_QUERIES = [
     "top_bigrams",
     "domain_profile",
     "sample_split",
+    "stratified_sample",
 ]
 
 

@@ -469,6 +469,103 @@ GROUP BY doc_id
 """
 
 
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{4}\b"
+_IP_RE = r"\b\d{1,3}(?:\.\d{1,3}){3}\b"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance pass every training corpus runs
+    before release: count and replace emails, phone numbers, and IPv4
+    addresses with typed placeholder tokens. The corpus text is clean
+    by construction, so both engines first append the SAME
+    deterministic PII suffixes (emails on doc_id%5, phones on %7, IPs
+    on %11 — the synthesis is part of the oracle-checked expression,
+    exactly like the weburl URL synthesis), then scrub.
+
+    Scale shape: pure per-row regexp expressions (Java-regex/RE2
+    common subset), whole-stage codegen, no shuffle, no UDF; the
+    emitted md5 certifies the scrubbed text without carrying it."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"),
+                     F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" call 555-"),
+                     F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(F.lit(" from 10.0."), (did % 256).cast("string"),
+                     F.lit("."), ((did * 3) % 256).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    base = d.select("doc_id", txt.alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    return base.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PHONE_RE), F.lit(0)))
+        .cast("int")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all("t", F.lit(_IP_RE), F.lit(0)))
+        .cast("int")
+        .alias("n_ips"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        (F.length(scrubbed) - F.length("t")).cast("long").alias("len_delta"),
+    )
+
+
+_PII_TEXT_SQL = """text
+    || CASE WHEN doc_id % 5 = 0
+       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+       ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+       THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+       THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+            || CAST((doc_id * 3) % 256 AS VARCHAR)
+       ELSE '' END"""
+
+ORACLE_PII = f"""
+WITH base AS (
+  SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents
+), scrub AS (
+  SELECT doc_id, t,
+         REGEXP_REPLACE(
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g'),
+           '{_IP_RE}', '<IP>', 'g') AS s
+  FROM base
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{_IP_RE}')) AS INT) AS n_ips,
+       md5(s) AS scrubbed_md5,
+       CAST(LENGTH(s) - LENGTH(t) AS BIGINT) AS len_delta
+FROM scrub
+"""
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style (Rae et al., MassiveText) composite document
     filter in ONE pass: word count, mean word length, alphabetic-word
@@ -643,6 +740,7 @@ FROM rounded
 
 QUERIES = {
     "gopher_filter": (q_gopher_filter, ORACLE_GOPHER),
+    "pii_scrub": (q_pii_scrub, ORACLE_PII),
     "text_quality": (q_text_quality, ORACLE_QUALITY),
     "lm_quality": (q_lm_quality, ORACLE_LM_QUALITY),
     "repetition_stats": (q_repetition_stats, ORACLE_REPETITION),

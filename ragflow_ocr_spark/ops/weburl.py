@@ -193,8 +193,51 @@ FROM b GROUP BY 1, 2
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum quotas: the top-5 documents of every
+    (lang, source) cell ordered by a salted hash — the curation idiom
+    for building evaluation slices with GUARANTEED per-cell counts
+    (Bernoulli/fraction sampling only hits quotas in expectation, and
+    its RNG stream is partitioning-dependent; the hash order is
+    engine-portable and retry-stable).
+
+    Scale shape: one shuffle on the stratum key; the rank's top-k is
+    pushed below the shuffle as WindowGroupLimit (plan-asserted), so
+    each map task forwards at most k rows per stratum it sees — the
+    shuffle carries O(cells · k · tasks), not the corpus. Tie-break
+    chain md5 → doc_id keeps row_number deterministic (oracle
+    convention)."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("doc_id", "lang", "source", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+ORACLE_STRATIFIED = """
+SELECT doc_id, lang, source, CAST(rn AS INT) AS rn
+FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= 5
+"""
+
+
 QUERIES = {
     "dedup_url_canonical": (q_dedup_url_canonical, ORACLE_URL_DEDUP),
     "domain_profile": (q_domain_profile, ORACLE_DOMAIN),
     "sample_split": (q_sample_split, ORACLE_SAMPLE_SPLIT),
+    "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED),
 }

@@ -44,3 +44,39 @@ def test_canonicalize_order_matters(spark):
     raw = "https://www.a.com/p/?utm_source=s#sec"
     row = spark.range(1).select(_canonicalize(F.lit(raw)).alias("c")).first()
     assert row.c == "https://a.com/p"
+
+
+def test_pii_scrub_finds_and_redacts_injected_pii(spark):
+    """Guards the regex family against the silent-zero trap: an
+    over-escaped pattern matches nothing in BOTH engines and the
+    oracle hash still agrees — so pin that the injected positives
+    actually fire and the placeholders land in the scrubbed text."""
+    from ragflow_ocr_spark.ops.textstats import q_pii_scrub
+
+    rows = q_pii_scrub(spark, "/root/testdata/sf0.001").collect()
+    assert sum(r["n_emails"] for r in rows) > 0
+    assert sum(r["n_phones"] for r in rows) > 0
+    assert sum(r["n_ips"] for r in rows) > 0
+    by_id = {r["doc_id"]: r for r in rows}
+    hit = by_id[0]  # doc 0: email+phone+ip (0 % 5 == 0 % 7 == 0 % 11 == 0)
+    assert (hit["n_emails"], hit["n_phones"], hit["n_ips"]) == (1, 1, 1)
+    clean = by_id[1]  # doc 1 gets no injection
+    assert (clean["n_emails"], clean["n_phones"], clean["n_ips"]) == (0, 0, 0)
+    assert clean["len_delta"] == 0
+
+
+def test_stratified_sample_exact_quotas(spark):
+    """Every (lang, source) stratum yields at most 5 rows and ranks
+    are the contiguous prefix 1..n."""
+    from collections import defaultdict
+
+    from ragflow_ocr_spark.ops.weburl import q_stratified_sample
+
+    rows = q_stratified_sample(spark, "/root/testdata/sf0.001").collect()
+    cells = defaultdict(list)
+    for r in rows:
+        cells[(r["lang"], r["source"])].append(r["rn"])
+    assert cells
+    for rns in cells.values():
+        assert sorted(rns) == list(range(1, len(rns) + 1))
+        assert len(rns) <= 5

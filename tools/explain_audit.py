@@ -58,6 +58,14 @@ CHECKS = {
         (r"HashAggregate", "per-doc gram aggregations with map-side combine"),
         (r"!CartesianProduct", "no cross join anywhere in the stats plan"),
     ],
+    "stratified_sample": [
+        (r"WindowGroupLimit", "per-stratum top-k pushed below the rank shuffle"),
+        (r"!CartesianProduct", "one stratum-key shuffle only"),
+    ],
+    "pii_scrub": [
+        (r"!BatchEvalPython", "regex scrub is JVM-side (no Python UDF)"),
+        (r"!HashAggregate", "pure per-row projection: no agg/join, the only exchange is the documented test-corpus fan-out (read_fanout)"),
+    ],
     "gopher_filter": [
         (r"HashAggregate", "bigram-mass agg with map-side combine (the one shuffle)"),
         (r"!CartesianProduct", "per-row array expressions for every other rule: no joins beyond the bigram side"),
