@@ -38,6 +38,7 @@ HEADLINE = [
     "sessionize_events",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_incremental",
     "dedup_simhash",
     "dedup_simhash_fast",
     "dedup_clusters",
@@ -88,6 +89,7 @@ HEADLINE = [
 SF1_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_incremental",
     "dedup_simhash",
     "dedup_simhash_fast",
     "dedup_clusters",

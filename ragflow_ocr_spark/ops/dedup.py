@@ -490,6 +490,143 @@ GROUP BY doc_id
 """
 
 
+# ------------------------------------------------------ incremental dedup
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (snapshot-vs-corpus) near-dedup: for every NEW
+    document (doc_id % 10 == 0 — the fresh crawl slice), decide
+    whether an EXISTING document (the other 90%) already covers it at
+    Jaccard ≥ 0.5, and name the smallest matching old doc_id — the
+    continuously-crawled-corpus shape where re-deduping the whole
+    corpus per increment is wasteful.
+
+    Scale shape: this is the asymmetric win over full-corpus LSH —
+    the new slice's band table is BROADCAST (a crawl increment is
+    orders smaller than the corpus), so the old side streams its
+    bands map-side with NO corpus-wide shuffle for candidates;
+    exact-Jaccard verification touches candidate pairs only. Oracle:
+    exact new×old Jaccard in SQL (band recall ≈1 at J≥0.5, same
+    argument as q_dedup_minhash_lsh). New docs with <3 words carry no
+    shingles and report is_dup=0 in both engines."""
+    d = _docs(spark, sf_dir)
+    sh = _shingles_df(spark, sf_dir)
+    hashed = sh.select("doc_id", F.xxhash64(F.col("shingle")).alias("h1"))
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("h1"), F.lit(i))).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ],
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bsig"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig")
+    )
+    new_bands = bands.where(F.col("doc_id") % 10 == 0)
+    old_bands = bands.where(F.col("doc_id") % 10 != 0)
+    cand = (
+        old_bands.alias("o")
+        .join(
+            F.broadcast(new_bands.alias("n")),
+            (F.col("o.band") == F.col("n.band"))
+            & (F.col("o.bsig") == F.col("n.bsig")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("o.doc_id").alias("old_id"),
+        )
+        .distinct()
+    )
+    sh_n = sh.select(F.col("doc_id").alias("new_id"), "shingle")
+    sh_o = sh.select(F.col("doc_id").alias("old_id"), "shingle")
+    inter = (
+        cand.join(sh_n, "new_id")
+        .join(sh_o, ["old_id", "shingle"])
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sn = sizes.select(F.col("doc_id").alias("new_id"), F.col("n_sh").alias("nn"))
+    so = sizes.select(F.col("doc_id").alias("old_id"), F.col("n_sh").alias("no"))
+    j = inter.join(sn, "new_id").join(so, "old_id").select(
+        "new_id",
+        "old_id",
+        F.round(
+            F.col("n_common")
+            / (F.col("nn") + F.col("no") - F.col("n_common")).cast("double"),
+            6,
+        ).alias("jac"),
+    )
+    m = (
+        j.where(F.col("jac") >= 0.5)
+        .groupBy("new_id")
+        .agg(
+            F.min("old_id").cast("long").alias("matched_old"),
+            F.max("jac").alias("best_jaccard"),
+        )
+    )
+    return (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+        .join(m.withColumnRenamed("new_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("matched_old").isNotNull().cast("int").alias("is_dup"),
+            "matched_old",
+            "best_jaccard",
+        )
+    )
+
+
+ORACLE_INCREMENTAL = """
+WITH sh AS (
+  SELECT doc_id, UNNEST(list_distinct([
+           w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+           FOR i IN RANGE(1, len(w) - 1)])) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS old_id, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+  GROUP BY 1, 2
+), j AS (
+  SELECT new_id, old_id,
+         ROUND(n_common / CAST(sn.n_sh + so.n_sh - n_common AS DOUBLE), 6)
+           AS jac
+  FROM inter
+  JOIN sizes sn ON sn.doc_id = new_id
+  JOIN sizes so ON so.doc_id = old_id
+), m AS (
+  SELECT new_id, CAST(MIN(old_id) AS BIGINT) AS matched_old,
+         MAX(jac) AS best_jaccard
+  FROM j WHERE jac >= 0.5 GROUP BY 1
+)
+SELECT d.doc_id, CAST(m.new_id IS NOT NULL AS INT) AS is_dup,
+       m.matched_old, m.best_jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN m ON m.new_id = d.doc_id
+"""
+
+
 # ----------------------------------------------------- dedup clustering
 def _cc_large_star(edges: DataFrame) -> DataFrame:
     """One large-star round (Kiveris et al., 'Connected Components in
@@ -662,6 +799,7 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, ORACLE_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_NGRAM),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_NGRAM),
+    "dedup_incremental": (q_dedup_incremental, ORACLE_INCREMENTAL),
     # oracle entry pins the md5 family (DuckDB-reproducible values);
     # the production xxhash64 default is the rows-only _fast entry
     "dedup_simhash": (_q_dedup_simhash_oracle, _oracle_simhash()),

@@ -162,3 +162,28 @@ def test_simhash_lane_overflow_raises_not_wraps(spark):
     )
     with pytest.raises(Exception, match="lane overflow"):
         dedup.simhash_values(d, hash_family="md5").collect()
+
+
+def test_dedup_incremental_flags_straddling_dups(spark, tmp_path):
+    """An exact copy of an OLD doc placed in the NEW slice (doc_id
+    % 10 == 0) must be flagged with that old partner named at J=1;
+    new docs without an old match stay is_dup=0 with null columns."""
+    from ragflow_ocr_spark.ops.dedup import q_dedup_incremental
+
+    out = str(tmp_path)
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    old3 = d.where(F.col("doc_id") == 3)  # 3 % 10 != 0 → old side
+    copy_new = old3.withColumn("doc_id", F.lit(1_000_000).cast("long"))
+    d.unionByName(copy_new).write.parquet(f"{out}/documents.parquet")
+    rows = {
+        r["doc_id"]: r for r in q_dedup_incremental(spark, out).collect()
+    }
+    hit = rows[1_000_000]
+    assert hit["is_dup"] == 1
+    assert hit["matched_old"] == 3
+    assert hit["best_jaccard"] == 1.0
+    for r in rows.values():
+        if not r["is_dup"]:
+            assert r["matched_old"] is None and r["best_jaccard"] is None
+        else:
+            assert r["matched_old"] % 10 != 0 and r["best_jaccard"] >= 0.5

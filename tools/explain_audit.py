@@ -77,6 +77,10 @@ CHECKS = {
     "decontaminate": [
         (r"BroadcastHashJoin", "benchmark n-gram set broadcast (train side never shuffles for the probe)"),
     ],
+    "dedup_incremental": [
+        (r"BroadcastHashJoin", "the new-snapshot band table broadcasts; the corpus side streams map-side (no corpus-wide candidate shuffle)"),
+        (r"!CartesianProduct", "bucketed candidates only"),
+    ],
     "dedup_clusters": [
         (r"Scan ExistingRDD|LogicalRDD", "fixpoint star edges served from a localCheckpoint-truncated lineage (no iteration replay)"),
         (r"!InMemoryTableScan", "no persist chain left behind: rounds checkpoint, they don't cache"),
