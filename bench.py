@@ -262,8 +262,13 @@ def time_extraction_ladder(
     mins across rounds lets the two levels draw from different drift
     phases (a lucky fast 2-core draw + an average 8-core draw read as
     poor scaling — observed 0.80 on a run whose per-round ratios were
-    all ≥0.85). Adjacent same-round measurements cancel the drift."""
-    rounds = [levels, levels, levels[:2]]
+    all ≥0.85). Adjacent same-round measurements cancel the drift.
+
+    Five N→4N samples, not three: this host's steal spikes reach ~2×
+    and can land INSIDE one round (observed per-round ratios
+    0.76/0.66/0.85 in a run bracketed by 0.88/0.84/0.81 ladders);
+    a median of five absorbs two contaminated rounds."""
+    rounds = [levels, levels, levels, levels[:2], levels[:2]]
     best: dict[int, float] = {}
     per_round: list[dict[int, float]] = []
     n = 0
