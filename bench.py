@@ -55,6 +55,7 @@ HEADLINE = [
     "text_quality",
     "gopher_filter",
     "pii_scrub",
+    "pack_sequences",
     "lm_quality",
     "repetition_stats",
     "token_count_bpe",
@@ -100,6 +101,7 @@ SF1_QUERIES = [
     "text_quality",
     "gopher_filter",
     "pii_scrub",
+    "pack_sequences",
     "lm_quality",
     "repetition_stats",
     "token_count_bpe",

@@ -566,6 +566,115 @@ FROM scrub
 """
 
 
+_PACK_SEQ_LEN = 512  # tokens per packed training sequence
+_PACK_CHUNK = 1000  # doc_id-range chunk for the two-level prefix sum
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining
+    layout): documents are concatenated in doc_id order into one token
+    stream cut into fixed 512-token sequences; each document reports
+    its global token offset, the first/last sequence it lands in, and
+    how many sequences it touches.
+
+    Scale shape — NO global window: a single unpartitioned
+    ``row_number/sum over (order by doc_id)`` would funnel the corpus
+    through one task. Instead the classic two-level prefix sum:exact
+    per-chunk cumsum inside doc_id-range chunks (window partitioned by
+    chunk — parallel), then chunk totals (one tiny row per chunk)
+    carry a running offset whose window is thousands of rows at any
+    corpus size. The DuckDB oracle computes the plain global cumsum —
+    identical results, different plan."""
+    d = _docs(spark, sf_dir)
+    txt = F.trim(F.col("text"))
+    n_tok = (
+        F.when(F.length(txt) == 0, 0)
+        .otherwise(F.size(F.split(txt, " +")))
+        .cast("long")
+    )
+    base = d.select(
+        "doc_id", n_tok.alias("n_tokens"), (F.col("doc_id") / _PACK_CHUNK)
+        .cast("long")
+        .alias("chunk"),
+    )
+    from pyspark.sql import Window
+
+    in_chunk = Window.partitionBy("chunk").orderBy("doc_id")
+    with_local = base.withColumn(
+        "local_end", F.sum("n_tokens").over(in_chunk)
+    )
+    chunk_totals = base.groupBy("chunk").agg(
+        F.sum("n_tokens").alias("chunk_tok")
+    )
+    chunk_offsets = chunk_totals.withColumn(
+        "chunk_off",
+        F.coalesce(
+            F.sum("chunk_tok").over(
+                Window.orderBy("chunk").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("chunk", "chunk_off")
+    return (
+        with_local.join(F.broadcast(chunk_offsets), "chunk")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("chunk_off") + F.col("local_end") - F.col("n_tokens"))
+            .cast("long")
+            .alias("tok_offset"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "tok_offset",
+            (F.col("tok_offset") / _PACK_SEQ_LEN).cast("long").alias("first_seq"),
+            F.when(F.col("n_tokens") == 0, (F.col("tok_offset") / _PACK_SEQ_LEN).cast("long"))
+            .otherwise(
+                ((F.col("tok_offset") + F.col("n_tokens") - 1) / _PACK_SEQ_LEN)
+                .cast("long")
+            )
+            .alias("last_seq"),
+        )
+        .withColumn(
+            "n_seqs",
+            F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
+                F.col("last_seq") - F.col("first_seq") + 1
+            ),
+        )
+    )
+
+
+ORACLE_PACK = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), ' +')) END
+              AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tok_offset
+  FROM base
+)
+SELECT doc_id, n_tokens, tok_offset,
+       CAST(tok_offset // {_PACK_SEQ_LEN} AS BIGINT) AS first_seq,
+       CAST(CASE WHEN n_tokens = 0 THEN tok_offset // {_PACK_SEQ_LEN}
+            ELSE (tok_offset + n_tokens - 1) // {_PACK_SEQ_LEN} END
+            AS BIGINT) AS last_seq,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+            ELSE (CASE WHEN n_tokens = 0 THEN tok_offset // {_PACK_SEQ_LEN}
+                  ELSE (tok_offset + n_tokens - 1) // {_PACK_SEQ_LEN} END)
+                 - tok_offset // {_PACK_SEQ_LEN} + 1 END
+            AS BIGINT) AS n_seqs
+FROM cum
+"""
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style (Rae et al., MassiveText) composite document
     filter in ONE pass: word count, mean word length, alphabetic-word
@@ -741,6 +850,7 @@ FROM rounded
 QUERIES = {
     "gopher_filter": (q_gopher_filter, ORACLE_GOPHER),
     "pii_scrub": (q_pii_scrub, ORACLE_PII),
+    "pack_sequences": (q_pack_sequences, ORACLE_PACK),
     "text_quality": (q_text_quality, ORACLE_QUALITY),
     "lm_quality": (q_lm_quality, ORACLE_LM_QUALITY),
     "repetition_stats": (q_repetition_stats, ORACLE_REPETITION),

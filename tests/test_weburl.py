@@ -80,3 +80,23 @@ def test_stratified_sample_exact_quotas(spark):
     for rns in cells.values():
         assert sorted(rns) == list(range(1, len(rns) + 1))
         assert len(rns) <= 5
+
+
+def test_pack_sequences_offsets_are_contiguous(spark):
+    """Offsets must reproduce the exact global concatenation order:
+    doc N's offset = doc N-1's offset + its token count, starting at
+    0 — across chunk boundaries of the two-level prefix sum."""
+    from ragflow_ocr_spark.ops.textstats import q_pack_sequences
+
+    rows = sorted(
+        q_pack_sequences(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert rows[0]["tok_offset"] == 0
+    run = 0
+    for r in rows:
+        assert r["tok_offset"] == run, r
+        run += r["n_tokens"]
+        assert r["first_seq"] == r["tok_offset"] // 512
+        if r["n_tokens"]:
+            assert r["last_seq"] == (r["tok_offset"] + r["n_tokens"] - 1) // 512

@@ -66,6 +66,10 @@ CHECKS = {
         (r"!BatchEvalPython", "regex scrub is JVM-side (no Python UDF)"),
         (r"!HashAggregate", "pure per-row projection: no agg/join, the only exchange is the documented test-corpus fan-out (read_fanout)"),
     ],
+    "pack_sequences": [
+        (r"BroadcastHashJoin", "chunk running-offsets (one tiny row per chunk) broadcast back onto the corpus"),
+        (r"!CartesianProduct", "two-level prefix sum: the only global window runs over chunk totals, not rows"),
+    ],
     "gopher_filter": [
         (r"HashAggregate", "bigram-mass agg with map-side combine (the one shuffle)"),
         (r"!CartesianProduct", "per-row array expressions for every other rule: no joins beyond the bigram side"),
