@@ -201,20 +201,21 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # single-pass band buckets (same trick as q_dedup_simhash): a
+    # (band,bsig) self-join would evaluate the whole 128-hash
+    # signature lineage once per join side; one groupBy +
+    # collect_list + in-row pair expansion computes it once. Buckets
+    # are tiny (near-dup groups), so the collected lists stay small.
+    buckets = (
+        bands.groupBy("band", "bsig")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .where(F.size("ds") > 1)
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bsig") == F.col("b.bsig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-        )
-        .distinct()
+        buckets.select(F.explode("ds").alias("id_a"), "ds")
+        .select("id_a", F.explode("ds").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .distinct()  # the same pair can collide in several bands
     )
     # exact verification of candidates only (shingles recomputed from
     # lineage — deliberately uncached, see _shingles_df)
