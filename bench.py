@@ -56,6 +56,7 @@ HEADLINE = [
     "gopher_filter",
     "pii_scrub",
     "pack_sequences",
+    "chunk_documents",
     "lm_quality",
     "repetition_stats",
     "token_count_bpe",
@@ -102,6 +103,7 @@ SF1_QUERIES = [
     "gopher_filter",
     "pii_scrub",
     "pack_sequences",
+    "chunk_documents",
     "lm_quality",
     "repetition_stats",
     "token_count_bpe",

@@ -570,6 +570,82 @@ _PACK_SEQ_LEN = 512  # tokens per packed training sequence
 _PACK_CHUNK = 1000  # doc_id-range chunk for the two-level prefix sum
 
 
+# 32-token chunks at stride 24 (8-token overlap): sized so the
+# 10-100-token synthetic documents exercise 1-4 chunks INCLUDING the
+# overlap and short-tail paths (production values like 128/96 would
+# make every test doc single-chunk and leave the windowing untested)
+_CHUNK_LEN = 32
+_CHUNK_STRIDE = 24
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the retrieval/embedding-prep
+    layout: each document yields L-token chunks at stride S
+    (L-S-token overlap), one output row per chunk with its token span.
+    K = 1 + ceil(max(n_tokens - L, 0) / S) chunks, so every token
+    is covered and a short document still yields one (short) chunk.
+
+    Scale shape: a pure per-row explode over a computed sequence — no
+    shuffle, no UDF; output row count is ~n_tokens/96 per document,
+    the same fan-out an embedding stage would feed."""
+    d = _docs(spark, sf_dir)
+    txt = F.trim(F.col("text"))
+    n_tok = (
+        F.when(F.length(txt) == 0, 0)
+        .otherwise(F.size(F.split(txt, " +")))
+        .cast("long")
+    )
+    base = d.select("doc_id", n_tok.alias("n_tokens")).where(
+        F.col("n_tokens") > 0
+    )
+    n_chunks = 1 + F.floor(
+        (
+            F.greatest(F.col("n_tokens") - _CHUNK_LEN, F.lit(0))
+            + (_CHUNK_STRIDE - 1)
+        )
+        / _CHUNK_STRIDE
+    ).cast("long")
+    return (
+        base.withColumn(
+            "chunk_idx",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * _CHUNK_STRIDE).alias("tok_start"),
+            F.least(
+                F.col("chunk_idx") * _CHUNK_STRIDE + _CHUNK_LEN,
+                F.col("n_tokens"),
+            ).alias("tok_end"),
+        )
+        .withColumn("n_tok_chunk", F.col("tok_end") - F.col("tok_start"))
+    )
+
+
+ORACLE_CHUNKS = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), ' +')) END
+              AS BIGINT) AS n_tokens
+  FROM documents
+), k AS (
+  SELECT doc_id, n_tokens,
+         1 + (GREATEST(n_tokens - {_CHUNK_LEN}, 0) + {_CHUNK_STRIDE - 1})
+             // {_CHUNK_STRIDE} AS n_chunks
+  FROM base WHERE n_tokens > 0
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {_CHUNK_STRIDE} AS BIGINT) AS tok_start,
+       CAST(LEAST(i * {_CHUNK_STRIDE} + {_CHUNK_LEN}, n_tokens) AS BIGINT)
+         AS tok_end,
+       CAST(LEAST(i * {_CHUNK_STRIDE} + {_CHUNK_LEN}, n_tokens)
+            - i * {_CHUNK_STRIDE} AS BIGINT) AS n_tok_chunk
+FROM k, UNNEST(range(n_chunks)) AS r(i)
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (the GPT-style pretraining
     layout): documents are concatenated in doc_id order into one token
@@ -851,6 +927,7 @@ QUERIES = {
     "gopher_filter": (q_gopher_filter, ORACLE_GOPHER),
     "pii_scrub": (q_pii_scrub, ORACLE_PII),
     "pack_sequences": (q_pack_sequences, ORACLE_PACK),
+    "chunk_documents": (q_chunk_documents, ORACLE_CHUNKS),
     "text_quality": (q_text_quality, ORACLE_QUALITY),
     "lm_quality": (q_lm_quality, ORACLE_LM_QUALITY),
     "repetition_stats": (q_repetition_stats, ORACLE_REPETITION),

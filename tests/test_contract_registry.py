@@ -14,8 +14,8 @@ def test_registry_shape():
     # every query callable, every oracle non-empty SQL
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in oracles.values())
-    # coverage floor (grow-only): 56 queries, all but two oracle-checked
-    assert len(qs) >= 56
+    # coverage floor (grow-only): 57 queries, all but two oracle-checked
+    assert len(qs) >= 57
     assert len(qs) - len(oracles) <= 2
     # rows-only exceptions must stay exactly the documented set
     assert set(qs) - set(oracles) == {

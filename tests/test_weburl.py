@@ -100,3 +100,26 @@ def test_pack_sequences_offsets_are_contiguous(spark):
         assert r["first_seq"] == r["tok_offset"] // 512
         if r["n_tokens"]:
             assert r["last_seq"] == (r["tok_offset"] + r["n_tokens"] - 1) // 512
+
+
+def test_chunk_documents_cover_every_token_with_overlap(spark):
+    """Chunks tile each document: starts at stride 24, spans capped at
+    32 tokens, last chunk ends exactly at n_tokens, consecutive chunks
+    overlap unless the doc ended."""
+    from ragflow_ocr_spark.ops.textstats import q_chunk_documents
+
+    rows = q_chunk_documents(spark, "/root/testdata/sf0.001").collect()
+    from collections import defaultdict
+
+    docs = defaultdict(list)
+    for r in rows:
+        docs[r["doc_id"]].append(r)
+    assert any(len(v) > 1 for v in docs.values())  # multi-chunk docs exist
+    for chunks in docs.values():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        for i, c in enumerate(chunks):
+            assert c["chunk_idx"] == i
+            assert c["tok_start"] == i * 24
+            assert c["tok_end"] - c["tok_start"] == c["n_tok_chunk"] <= 32
+            if i + 1 < len(chunks):
+                assert c["tok_end"] > chunks[i + 1]["tok_start"]  # overlap

@@ -66,6 +66,11 @@ CHECKS = {
         (r"!BatchEvalPython", "regex scrub is JVM-side (no Python UDF)"),
         (r"!HashAggregate", "pure per-row projection: no agg/join, the only exchange is the documented test-corpus fan-out (read_fanout)"),
     ],
+    "chunk_documents": [
+        (r"Generate", "per-row sliding-window explode (map-side fan-out)"),
+        (r"!BatchEvalPython", "no Python UDF in the chunking expressions"),
+        (r"!SortMergeJoin", "no join: the only exchange is the documented test-corpus fan-out (read_fanout)"),
+    ],
     "pack_sequences": [
         (r"BroadcastHashJoin", "chunk running-offsets (one tiny row per chunk) broadcast back onto the corpus"),
         (r"!CartesianProduct", "two-level prefix sum: the only global window runs over chunk totals, not rows"),
