@@ -1,8 +1,15 @@
-"""Per-round benchmark. Prints ONE JSON line:
+"""Per-round benchmark. Prints ONE COMPACT JSON line as the FINAL
+stdout line (the driver keeps only a ~2000-char tail — round 3's
+full-detail single line was truncated into unparseable garbage, losing
+the headline and extraction-ladder evidence):
 
   {"metric": "...", "value": <total headline sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": ...,
-   "extraction": {docs/sec @ N and @4N cores + scaling efficiency}}
+   "queries": {...top slowest...}, "sf": ...,
+   "extraction": {docs/sec ladder + scaling efficiency},
+   "sf1": {median/max per-row cost ratio}, "full": <repo file>}
+
+The COMPLETE result (every per-query time, every sf1 pair, per-round
+ladder walls) is written to BENCH/{ROUND}_full.json in-repo.
 
 - Headline queries run at $SPARK_GRAFT_SF_DIR (default sf0.1) on
   local[$SPARK_GRAFT_CPUS].
@@ -24,6 +31,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ROUND = os.environ.get("SPARK_GRAFT_ROUND", "r04")  # full-detail file tag
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "8000"))
 BENCH_DATA = os.environ.get("BENCH_DATA_DIR", "/tmp/ragflow_bench_pages")
@@ -98,6 +106,7 @@ SF1_QUERIES = [
     "decontaminate",
     "dedup_url_canonical",
     "ann_cosine_topk",
+    "ann_lsh_bucketed",
     "ann_ivf",
     "text_quality",
     "gopher_filter",
@@ -313,22 +322,31 @@ def main() -> None:
     # a level twice and report oversubscription as "scaling"
     levels = list(dict.fromkeys([n_small, n_mid, CPUS]))
     walls, per_round, n1 = time_extraction_ladder(levels, path)
-    # Adaptive retry: a deep hypervisor-steal phase can contaminate an
-    # ENTIRE ladder asymmetrically (observed: one run where every wall
-    # was 1.3-2× a clean bracket and min-walls read 0.727 against
-    # 0.826-0.851 on four other ladders). If the graded ratio lands
-    # under 0.82 — i.e. within noise of the gate — run ONE more ladder
-    # and take elementwise-min walls across both: more samples exactly
-    # where contamination is detected, disclosed via n_ladders.
+    # Adaptive retry on a SYMMETRIC contamination signal: a deep
+    # hypervisor-steal phase can contaminate an entire ladder (observed:
+    # one run where every wall was 1.3-2× a clean bracket and min-walls
+    # read 0.727 against 0.826-0.851 on four other ladders). The round-3
+    # version retried only when the graded ratio fell below the 0.82
+    # gate — one-sided conditional resampling that biases the reported
+    # efficiency upward (ADVICE r03). Now the trigger is wall-time
+    # DISPERSION across rounds at either graded level (max/min > 1.35,
+    # i.e. beyond this host's documented ±25% drift band), which fires
+    # on steal contamination regardless of which direction it pushed
+    # the ratio. Disclosed via n_ladders; walls merge elementwise-min.
     n_ladders = 1
-    if n_small != n_mid:
-        first_eff = (walls[n_small] / walls[n_mid]) / (n_mid / n_small)
-        if first_eff < 0.82:
-            walls2, per_round2, _ = time_extraction_ladder(levels, path)
-            for k, v in walls2.items():
-                walls[k] = min(walls[k], v)
-            per_round.extend(per_round2)
-            n_ladders = 2
+    contaminated = any(
+        max(r[lvl] for r in per_round if lvl in r)
+        / min(r[lvl] for r in per_round if lvl in r)
+        > 1.35
+        for lvl in (n_small, n_mid)
+        if any(lvl in r for r in per_round)
+    )
+    if n_small != n_mid and contaminated:
+        walls2, per_round2, _ = time_extraction_ladder(levels, path)
+        for k, v in walls2.items():
+            walls[k] = min(walls[k], v)
+        per_round.extend(per_round2)
+        n_ladders = 2
     if len(levels) < 3:  # degenerate small-host ladder
         for lvl in (n_small, n_mid, CPUS):
             walls.setdefault(lvl, walls[levels[-1]])
@@ -365,33 +383,78 @@ def main() -> None:
     ]
     eff_full = round(median(full_effs), 3) if full_effs else None
 
-    result = {
+    extraction = {
+        "n_docs": n1,
+        "n_ladders": n_ladders,
+        "cores": [n_small, n_mid, CPUS],
+        "wall_sec": [round(t_small, 3), round(t_mid, 3), round(t_big, 3)],
+        "docs_per_sec": [
+            round(thr_small, 2),
+            round(thr_mid, 2),
+            round(thr_big, 2),
+        ],
+        "scaling_efficiency": eff_n_4n,
+        "scaling_efficiency_within_round_median": (
+            round(median(pair_effs), 3) if pair_effs else None
+        ),
+        "scaling_efficiency_rounds": [round(x, 3) for x in pair_effs],
+        "scaling_efficiency_full_width": eff_full,
+    }
+    full = {
         "metric": "headline_queries_total",
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
         "queries": per_query,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
-        "extraction": {
-            "n_docs": n1,
-            "n_ladders": n_ladders,
-            "cores": [n_small, n_mid, CPUS],
-            "wall_sec": [round(t_small, 3), round(t_mid, 3), round(t_big, 3)],
-            "docs_per_sec": [
-                round(thr_small, 2),
-                round(thr_mid, 2),
-                round(thr_big, 2),
-            ],
-            "scaling_efficiency": eff_n_4n,
-            "scaling_efficiency_within_round_median": (
-                round(median(pair_effs), 3) if pair_effs else None
-            ),
-            "scaling_efficiency_rounds": [round(x, 3) for x in pair_effs],
-            "scaling_efficiency_full_width": eff_full,
-        },
+        "extraction": dict(
+            extraction, per_round_walls=[
+                {str(k): round(v, 3) for k, v in r.items()} for r in per_round
+            ]
+        ),
     }
     if sf1 is not None:
-        result["sf1"] = sf1
-    print(json.dumps(result))
+        full["sf1"] = sf1
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", f"{ROUND}_full.json"
+    )
+    os.makedirs(os.path.dirname(full_path), exist_ok=True)
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1)
+    print(f"# full detail -> {full_path}", file=sys.stderr)
+
+    # COMPACT final line (driver keeps a ~2000-char tail; round 3's
+    # single full-detail line was truncated to garbage). Per-query
+    # times: only the slowest ~10 inline; everything is in the full
+    # file. Hard budget: stay under 1500 chars, dropping the rounds
+    # list and then the queries section if ever needed.
+    top = dict(
+        sorted(per_query.items(), key=lambda kv: -kv[1])[:10]
+    )
+    compact = {
+        "metric": "headline_queries_total",
+        "value": full["value"],
+        "unit": "sec",
+        "sf": full["sf"],
+        "n_queries": len(per_query),
+        "queries_top10": top,
+        "extraction": extraction,
+        "full": f"BENCH/{ROUND}_full.json",
+    }
+    if sf1 is not None:
+        ratios = [v["per_row_cost_ratio"] for v in sf1["queries"].values()]
+        compact["sf1"] = {
+            "n_queries": len(ratios),
+            "median_per_row_cost_ratio": sf1["median_per_row_cost_ratio"],
+            "max_per_row_cost_ratio": max(ratios),
+        }
+    line = json.dumps(compact)
+    if len(line) > 1500:
+        compact["extraction"].pop("scaling_efficiency_rounds", None)
+        line = json.dumps(compact)
+    if len(line) > 1500:
+        compact.pop("queries_top10", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
