@@ -494,16 +494,18 @@ GROUP BY doc_id
 # ------------------------------------------------------ incremental dedup
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (snapshot-vs-corpus) near-dedup: for every NEW
-    document (doc_id % 10 == 0 — the fresh crawl slice), decide
-    whether an EXISTING document (the other 90%) already covers it at
+    document (doc_id % 100 == 0 — the fresh crawl slice), decide
+    whether an EXISTING document (the other 99%) already covers it at
     Jaccard ≥ 0.5, and name the smallest matching old doc_id — the
     continuously-crawled-corpus shape where re-deduping the whole
     corpus per increment is wasteful.
 
     Scale shape: this is the asymmetric win over full-corpus LSH —
-    the new slice's band table is BROADCAST (a crawl increment is
-    orders smaller than the corpus), so the old side streams its
-    bands map-side with NO corpus-wide shuffle for candidates;
+    the new slice's band table is BROADCAST — valid only because the
+    increment is ORDERS smaller than the corpus (1% here; a slice that
+    grows with the corpus must drop the broadcast hint and let AQE pick
+    the join) — so the old side streams its bands map-side with NO
+    corpus-wide shuffle for candidates;
     exact-Jaccard verification touches candidate pairs only. Oracle:
     exact new×old Jaccard in SQL (band recall ≈1 at J≥0.5, same
     argument as q_dedup_minhash_lsh). New docs with <3 words carry no
@@ -539,8 +541,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig")
     )
-    new_bands = bands.where(F.col("doc_id") % 10 == 0)
-    old_bands = bands.where(F.col("doc_id") % 10 != 0)
+    new_bands = bands.where(F.col("doc_id") % 100 == 0)
+    old_bands = bands.where(F.col("doc_id") % 100 != 0)
     cand = (
         old_bands.alias("o")
         .join(
@@ -583,7 +585,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        d.where(F.col("doc_id") % 10 == 0)
+        d.where(F.col("doc_id") % 100 == 0)
         .select("doc_id")
         .join(m.withColumnRenamed("new_id", "doc_id"), "doc_id", "left")
         .select(
@@ -607,7 +609,7 @@ WITH sh AS (
 ), inter AS (
   SELECT a.doc_id AS new_id, b.doc_id AS old_id, COUNT(*) AS n_common
   FROM sh a JOIN sh b ON a.shingle = b.shingle
-  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+  WHERE a.doc_id % 100 = 0 AND b.doc_id % 100 != 0
   GROUP BY 1, 2
 ), j AS (
   SELECT new_id, old_id,
@@ -623,7 +625,7 @@ WITH sh AS (
 )
 SELECT d.doc_id, CAST(m.new_id IS NOT NULL AS INT) AS is_dup,
        m.matched_old, m.best_jaccard
-FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+FROM (SELECT doc_id FROM documents WHERE doc_id % 100 = 0) d
 LEFT JOIN m ON m.new_id = d.doc_id
 """
 

@@ -166,7 +166,7 @@ def test_simhash_lane_overflow_raises_not_wraps(spark):
 
 def test_dedup_incremental_flags_straddling_dups(spark, tmp_path):
     """An exact copy of an OLD doc placed in the NEW slice (doc_id
-    % 10 == 0) must be flagged with that old partner named at J=1;
+    % 100 == 0) must be flagged with that old partner named at J=1;
     new docs without an old match stay is_dup=0 with null columns."""
     from ragflow_ocr_spark.ops.dedup import q_dedup_incremental
 
@@ -186,4 +186,4 @@ def test_dedup_incremental_flags_straddling_dups(spark, tmp_path):
         if not r["is_dup"]:
             assert r["matched_old"] is None and r["best_jaccard"] is None
         else:
-            assert r["matched_old"] % 10 != 0 and r["best_jaccard"] >= 0.5
+            assert r["matched_old"] % 100 != 0 and r["best_jaccard"] >= 0.5
