@@ -380,11 +380,14 @@ def pdf_to_images(data: bytes, max_pages: int = 16) -> list[np.ndarray]:
     imgs = [_page_image(objs, page) for _num, page in pages[:max_pages]]
     # Salvage route for content-less documents: some writers (broken
     # generators, and this repo's own early fixtures) emit page objects
-    # with no /Contents while the page scan sits in an orphan image
-    # stream nothing references. If EVERY rendered page came out blank,
-    # decoding those streams recovers the scans — a genuinely blank PDF
-    # (no image streams) still returns its blank pages → 'empty'.
-    if all(int(im.min()) == 255 for im in imgs if im.size):
+    # with NO /Contents key while the page scan sits in an orphan image
+    # stream nothing references. The gate is the structural shape —
+    # every page object lacks /Contents — NOT "all pages rendered
+    # blank": a legitimately blank PDF whose pages do declare /Contents
+    # keeps its blank pages ('empty') even if an unreferenced
+    # thumbnail/logo stream happens to be decodable elsewhere in the
+    # file. A contentless file with no image streams also stays blank.
+    if all("Contents" not in page for _num, page in pages):
         salvaged: list[np.ndarray] = []
         for _num, (d, raw) in sorted(objs.items()):
             if raw is None or not isinstance(d, dict):

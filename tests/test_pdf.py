@@ -254,3 +254,27 @@ def test_contentless_pdf_salvages_orphan_image_stream():
     )
     r2 = extract_payload(blank)
     assert r2.status == "empty"
+
+
+def test_blank_page_with_contents_never_salvages_unreferenced_image():
+    """Salvage is gated on the structural no-/Contents shape: a page
+    that DOES declare /Contents but renders blank (e.g. an empty
+    content stream) must stay blank even when an unreferenced
+    decodable image (a thumbnail/logo) sits elsewhere in the file."""
+    from ragflow_ocr_spark.kernels import pngcodec
+    from ragflow_ocr_spark.kernels.ocr_pipeline import extract_payload
+
+    logo, _ = font5x7.render_page(["NOT PAGE CONTENT"], 448, 96, 2)
+    png = pngcodec.encode_png(logo)
+    doc = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Page /Contents 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Length 0 >>\nstream\n\nendstream\nendobj\n"
+        b"3 0 obj\n<< /Type /XObject /Subtype /Image /Length "
+        + str(len(png)).encode()
+        + b" >>\nstream\n" + png + b"\nendstream\nendobj\n"
+        b"trailer\n<< >>\n%%EOF"
+    )
+    r = extract_payload(doc)
+    assert r.status == "empty"
+    assert r.text == ""
