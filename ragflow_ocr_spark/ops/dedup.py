@@ -252,8 +252,8 @@ _LANES = 3  # vote lanes packed per 64-bit agg column
 _LANE_BITS = 21  # lane width → per-doc token budget 2^21 (runtime-guarded)
 
 
-def _token_hash(hash_family: str):
-    """60-bit token hash expression over column ``tok``.
+def _token_hash_sql(hash_family: str) -> str:
+    """60-bit token hash SQL expression over column ``tok``.
 
     - ``xxhash64`` (production default): one cheap JVM hash, masked to
       60 bits. NOT DuckDB-reproducible — rows-only checked.
@@ -261,11 +261,12 @@ def _token_hash(hash_family: str):
       but byte-identical in DuckDB, so the oracle run uses it.
     """
     if hash_family == "xxhash64":
-        return F.xxhash64(F.col("tok")).bitwiseAND(F.lit((1 << SIMHASH_BITS) - 1))
+        return f"xxhash64(tok) & {(1 << SIMHASH_BITS) - 1}"
     if hash_family == "md5":
-        return F.conv(
-            F.substring(F.md5(F.encode(F.col("tok"), "UTF-8")), 1, 15), 16, 10
-        ).cast("long")
+        return (
+            "cast(conv(substring(md5(encode(tok, 'UTF-8')), 1, 15), 16, 10)"
+            " as bigint)"
+        )
     raise ValueError(f"unknown simhash hash_family: {hash_family!r}")
 
 
@@ -273,61 +274,72 @@ def simhash_values(d: DataFrame, hash_family: str = "xxhash64") -> DataFrame:
     """doc_id → 60-bit simhash over whitespace tokens (packed vote agg).
 
     Exposed separately from q_dedup_simhash so the packed-lane
-    aggregation can be pinned against a naive per-bit reference."""
+    aggregation can be pinned against a naive per-bit reference.
+
+    Packed vote aggregation: the per-bit signed vote sum(±c) equals
+    2·S_i − T where S_i = sum(c·bit_i) ≥ 0 and T = sum(c), so only the
+    NON-NEGATIVE S_i lanes need aggregating. Three 21-bit lanes per
+    long pack 60 bits into 20 agg columns (3× fewer than the naive 60
+    SUM(CASE…) columns, and pure shift/mask arithmetic — no branches).
+    Lane capacity 2^21 tokens/doc is runtime-guarded with assert_true,
+    not silently wrapped.
+
+    Two deliberate per-family shapes (profiled at sf0.1, round 4):
+    - md5: pre-aggregate (doc_id, tok) → count and hash each DISTINCT
+      token once, weighting the vote by the count — identical integer
+      votes with ~4× fewer of the 3-string-op md5 hashes;
+    - xxhash64: hash every token INSTANCE directly (the hash is one
+      cheap JVM call, cheaper than the extra (doc_id, tok) combine
+      shuffle the pre-agg costs — measured 0.3 s of the round-3
+      2.4 s).
+    All expressions are built as single SQL strings (F.expr), not
+    nested Column trees: constructing ~360 py4j Column nodes per call
+    dominated plan-build time (measured ~0.7 s/run of the round-3
+    2.4 s — fixed driver overhead, but bench measures it).
+    """
+    pre_aggregate = hash_family == "md5"
     tokens = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).where(F.length("tok") > 0)
-    # pre-aggregate (doc_id, tok) → count, then hash each DISTINCT
-    # token occurrence once and weight the vote by the count — exact
-    # same integer votes as per-instance ±1, with ~4× fewer hashes and
-    # a far smaller input to the packed vote aggregation (map-side
-    # combine handles the (doc_id, tok) shuffle)
-    tok_counts = tokens.groupBy("doc_id", "tok").agg(
-        F.count(F.lit(1)).alias("c")
+    if pre_aggregate:
+        src = tokens.groupBy("doc_id", "tok").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        weight, total = " * c", "sum(c)"
+    else:
+        src = tokens
+        weight, total = "", "count(1)"
+    h = src.selectExpr(
+        "doc_id",
+        f"({_token_hash_sql(hash_family)}) AS h",
+        *(["c"] if pre_aggregate else []),
     )
-    h = tok_counts.withColumn("h", _token_hash(hash_family))
-    # Packed vote aggregation: the per-bit signed vote sum(±c) equals
-    # 2·S_i − T where S_i = sum(c·bit_i) ≥ 0 and T = sum(c), so only
-    # the NON-NEGATIVE S_i lanes need aggregating. Three 21-bit lanes
-    # per long pack 60 bits into 20 agg columns (3× fewer than the
-    # naive 60 SUM(CASE…) columns, and pure shift/mask arithmetic —
-    # no branches). Lane capacity 2^21 tokens/doc is runtime-guarded
-    # below with assert_true, not silently wrapped.
-    packed = [
-        F.sum(
-            sum(
-                F.shiftleft(
-                    F.shiftright(F.col("h"), k * _LANES + j)
-                    .bitwiseAND(F.lit(1))
-                    * F.col("c"),
-                    _LANE_BITS * j,
-                )
-                for j in range(_LANES)
-            )
-        ).alias(f"p{k}")
+    aggs = [f"{total} AS t"] + [
+        "sum("
+        + " + ".join(
+            f"shiftleft((shiftright(h, {k * _LANES + j}) & 1){weight},"
+            f" {_LANE_BITS * j})"
+            for j in range(_LANES)
+        )
+        + f") AS p{k}"
         for k in range(SIMHASH_BITS // _LANES)
     ]
-    votes = h.groupBy("doc_id").agg(F.sum("c").alias("t"), *packed)
-    lane = lambda i: F.shiftright(  # noqa: E731 — S_i from its lane
-        F.col(f"p{i // _LANES}"), _LANE_BITS * (i % _LANES)
-    ).bitwiseAND(F.lit((1 << _LANE_BITS) - 1))
-    sim_val = sum(
-        [
-            # vote_i > 0  ⇔  2·S_i > T   (exactly sum(±c) > 0)
-            F.when(lane(i) * 2 > F.col("t"), F.lit(1 << i).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-            for i in range(SIMHASH_BITS)
-        ]
+    votes = h.groupBy("doc_id").agg(*[F.expr(a) for a in aggs])
+    # vote_i > 0  ⇔  2·S_i > T   (exactly sum(±c) > 0)
+    sim_val = " + ".join(
+        f"(cast(((shiftright(p{i // _LANES}, {_LANE_BITS * (i % _LANES)})"
+        f" & {(1 << _LANE_BITS) - 1}) * 2 > t) as long) * {1 << i})"
+        for i in range(SIMHASH_BITS)
     )
     # guard folded INTO the value expression (a separate dropped column
     # would be pruned by Catalyst and never evaluated): assert_true
     # yields NULL when the condition holds, throws at runtime otherwise
-    guard = F.assert_true(
-        F.col("t") < F.lit(1 << _LANE_BITS),
-        F.lit("simhash vote lane overflow: document exceeds 2^21 tokens"),
+    guard = (
+        f"assert_true(t < {1 << _LANE_BITS}, 'simhash vote lane overflow: "
+        "document exceeds 2^21 tokens')"
     )
-    return votes.select(
-        "doc_id", F.when(guard.isNull(), sim_val).alias("simhash")
+    return votes.selectExpr(
+        "doc_id", f"if(isnull({guard}), cast({sim_val} as long), null) AS simhash"
     )
 
 
@@ -341,7 +353,7 @@ def q_dedup_simhash(
     construction; the md5 oracle mirrors the banding exactly so that
     check is still exact). ``hash_family`` selects the token hash:
     xxhash64 is the production default (one JVM call per token), md5 is
-    kept for the DuckDB oracle run (see _token_hash). The vote
+    kept for the DuckDB oracle run (see _token_hash_sql). The vote
     aggregation packs three 21-bit non-negative lanes per long (20 agg
     columns for 60 bits, map-side combined) — see the in-body notes.
     """
