@@ -646,21 +646,29 @@ FROM k, UNNEST(range(n_chunks)) AS r(i)
 """
 
 
-def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pack_sequences(
+    spark: SparkSession, sf_dir: str, chunk: int = _PACK_CHUNK
+) -> DataFrame:
     """Concat-and-chunk sequence packing (the GPT-style pretraining
     layout): documents are concatenated in doc_id order into one token
     stream cut into fixed 512-token sequences; each document reports
     its global token offset, the first/last sequence it lands in, and
     how many sequences it touches.
 
-    Scale shape — NO global window: a single unpartitioned
-    ``row_number/sum over (order by doc_id)`` would funnel the corpus
-    through one task. Instead the classic two-level prefix sum:exact
-    per-chunk cumsum inside doc_id-range chunks (window partitioned by
-    chunk — parallel), then chunk totals (one tiny row per chunk)
-    carry a running offset whose window is thousands of rows at any
-    corpus size. The DuckDB oracle computes the plain global cumsum —
-    identical results, different plan."""
+    Scale shape — NO corpus-sized window: a single unpartitioned
+    ``sum over (order by doc_id)`` would funnel the corpus through one
+    task. Three-level distributed prefix sum instead:
+    1. exact cumsum inside doc_id-range chunks of ``chunk`` docs
+       (window PARTITIONED by chunk — fully parallel);
+    2. chunk totals (n_docs/chunk rows) cumsum inside SUPERCHUNKS of
+       ``chunk`` chunks (again a partitioned window);
+    3. superchunk totals (n_docs/chunk² rows) carry the only
+       unpartitioned window — at chunk=1000 that is 10 rows for a
+       10¹⁰-doc corpus and 10⁴ rows at 10¹³ docs, a bounded
+       single-task input at any realistic corpus size.
+    The DuckDB oracle computes the plain global cumsum — identical
+    results, different plan. ``chunk`` is parameterized so tests can
+    exercise all three levels on the 500-doc corpus."""
     d = _docs(spark, sf_dir)
     txt = F.trim(F.col("text"))
     n_tok = (
@@ -669,7 +677,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
     )
     base = d.select(
-        "doc_id", n_tok.alias("n_tokens"), (F.col("doc_id") / _PACK_CHUNK)
+        "doc_id", n_tok.alias("n_tokens"), (F.col("doc_id") / chunk)
         .cast("long")
         .alias("chunk"),
     )
@@ -682,19 +690,45 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk_totals = base.groupBy("chunk").agg(
         F.sum("n_tokens").alias("chunk_tok")
     )
-    chunk_offsets = chunk_totals.withColumn(
-        "chunk_off",
-        F.coalesce(
-            F.sum("chunk_tok").over(
-                Window.orderBy("chunk").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
+    # level 2: cumsum of chunk totals within superchunks (partitioned)
+    in_super = Window.partitionBy("super").orderBy("chunk")
+    chunk_local = chunk_totals.withColumn(
+        "super", (F.col("chunk") / chunk).cast("long")
+    ).withColumn("local_chunk_end", F.sum("chunk_tok").over(in_super))
+    # level 3: the ONLY unpartitioned window, over superchunk totals
+    # (n_docs/chunk² rows — see docstring bound)
+    super_offsets = (
+        chunk_local.groupBy("super")
+        .agg(F.sum("chunk_tok").alias("super_tok"))
+        .withColumn(
+            "super_off",
+            F.coalesce(
+                F.sum("super_tok").over(
+                    Window.orderBy("super").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
             ),
-            F.lit(0),
-        ),
-    ).select("chunk", "chunk_off")
+        )
+        .select("super", "super_off")
+    )
+    chunk_offsets = (
+        chunk_local.join(F.broadcast(super_offsets), "super")
+        .select(
+            "chunk",
+            (
+                F.col("super_off")
+                + F.col("local_chunk_end")
+                - F.col("chunk_tok")
+            ).alias("chunk_off"),
+        )
+    )
+    # no broadcast hint here: chunk_offsets has n_docs/chunk rows (10⁷
+    # at 10¹⁰ docs) — too big to force-broadcast; AQE picks broadcast
+    # when it actually fits (it does at test scale)
     return (
-        with_local.join(F.broadcast(chunk_offsets), "chunk")
+        with_local.join(chunk_offsets, "chunk")
         .select(
             "doc_id",
             "n_tokens",

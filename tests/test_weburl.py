@@ -85,7 +85,7 @@ def test_stratified_sample_exact_quotas(spark):
 def test_pack_sequences_offsets_are_contiguous(spark):
     """Offsets must reproduce the exact global concatenation order:
     doc N's offset = doc N-1's offset + its token count, starting at
-    0 — across chunk boundaries of the two-level prefix sum."""
+    0 — across chunk boundaries of the three-level prefix sum."""
     from ragflow_ocr_spark.ops.textstats import q_pack_sequences
 
     rows = sorted(
@@ -100,6 +100,29 @@ def test_pack_sequences_offsets_are_contiguous(spark):
         assert r["first_seq"] == r["tok_offset"] // 512
         if r["n_tokens"]:
             assert r["last_seq"] == (r["tok_offset"] + r["n_tokens"] - 1) // 512
+
+
+def test_pack_sequences_three_levels_exercised_and_bounded(spark):
+    """With chunk=3 the 500-doc corpus forces MANY chunks (167) and
+    MANY superchunks (56), so every level of the distributed prefix
+    sum carries real work — and the result must be byte-identical to
+    the default-chunk run. Also pins the top-level bound: the only
+    unpartitioned window runs over n_docs/chunk² rows, so at the
+    production chunk (1000) a 10¹⁰-doc corpus feeds it 10 rows."""
+    from ragflow_ocr_spark.ops.textstats import _PACK_CHUNK, q_pack_sequences
+
+    sf = "/root/testdata/sf0.001"
+    small = {
+        r["doc_id"]: tuple(r)
+        for r in q_pack_sequences(spark, sf, chunk=3).collect()
+    }
+    default = {
+        r["doc_id"]: tuple(r) for r in q_pack_sequences(spark, sf).collect()
+    }
+    assert small == default
+    n_docs = 500
+    assert -(-n_docs // 3) >= 3 * 3  # chunk=3 really has >1 superchunk
+    assert 10**10 / _PACK_CHUNK**2 <= 1e4  # top-level single-task bound
 
 
 def test_chunk_documents_cover_every_token_with_overlap(spark):

@@ -72,8 +72,8 @@ CHECKS = {
         (r"!SortMergeJoin", "no join: the only exchange is the documented test-corpus fan-out (read_fanout)"),
     ],
     "pack_sequences": [
-        (r"BroadcastHashJoin", "chunk running-offsets (one tiny row per chunk) broadcast back onto the corpus"),
-        (r"!CartesianProduct", "two-level prefix sum: the only global window runs over chunk totals, not rows"),
+        (r"BroadcastHashJoin", "superchunk running-offsets (n_docs/chunk² rows) broadcast onto chunk totals; AQE broadcasts the chunk-offsets join when it fits"),
+        (r"!CartesianProduct", "three-level prefix sum: the only unpartitioned window runs over superchunk totals (n_docs/chunk² rows), never corpus rows"),
     ],
     "gopher_filter": [
         (r"HashAggregate", "bigram-mass agg with map-side combine (the one shuffle)"),
