@@ -139,7 +139,8 @@ SELECT id_a, id_b, lbl, cos FROM (
 WHERE cos >= 0.3
 """
 
-N_PLANES = 8  # 256 buckets — sized so the test corpus (500-2000 vecs) collides
+N_LSH_BANDS = 4  # independent hash tables (recall knob)
+PLANES_PER_BAND = 8  # r: bucket-granularity knob — scale with log2(n)
 _DIM = 64
 
 
@@ -149,77 +150,129 @@ def _plane(p: int) -> list[float]:
     return [math.sin(p * 1000003 + j * 7919) for j in range(_DIM)]
 
 
-def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN — the scale path.
+def planes_per_band_for(n_vectors: int, target_bucket: int = 256) -> int:
+    """Scale rule for r = planes per band: expected bucket occupancy is
+    ~n/2^r per band (sign bits are near-balanced for mean-zero data),
+    so r = log2(n / target_bucket) keeps in-bucket pair volume
+    ~target²/2 per bucket — BOUNDED as n grows, with the band count
+    (not r) carrying recall. At n=10⁹ and target 256 → r = 22; the
+    corpus-sized constant the round-3 version used (a single 8-plane
+    table) would put ~4M vectors per bucket and go quadratic."""
+    import math
 
-    Signature = sign pattern of dot products against N_PLANES fixed
-    pseudo-random hyperplanes (deterministic: plane p component j =
-    sin(p·1000003 + j·7919), materialized as double literals on BOTH
-    engines — so the oracle replicates the banding exactly and the
-    check is exact even though bucket recall < 1 by construction).
-    Same-bucket pairs are scored exactly. The sign decisions tolerate
-    summation-order differences: a flip needs |dot| ≲ 1e-13, and dot
-    magnitudes here are ~1e-1.
+    return max(PLANES_PER_BAND, math.ceil(math.log2(max(2, n_vectors) / target_bucket)))
+
+
+def q_ann_lsh_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    n_bands: int = N_LSH_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+) -> DataFrame:
+    """Banded random-hyperplane LSH ANN — the scale path (B independent
+    hash tables of r planes each, the minhash-banding shape).
+
+    Per band b, signature = sign pattern of dot products against r
+    fixed pseudo-random hyperplanes (deterministic: plane p component
+    j = sin(p·1000003 + j·7919), materialized as double literals on
+    BOTH engines — the oracle replicates the banding exactly, so the
+    check is exact even though recall < 1 by construction). Candidate
+    pairs share a bucket in ≥1 band; each is scored exactly once, with
+    n_bands_hit reported. Recall for cosine s is 1−(1−(1−θ/π)^r)^B —
+    the BAND COUNT carries recall, so r can grow with log2(n) to keep
+    per-bucket occupancy bounded (``planes_per_band_for``) without
+    collapsing recall the way a single deeper table would.
+
+    Plan shape: one pass over the vectors computes all B signatures
+    (map-side), one explode to (band, key) rows, one groupBy collects
+    each bucket's members (bucket lists are occupancy-bounded by the r
+    rule), in-row pair expansion, then one (id_a, id_b) groupBy that
+    dedupes across bands BEFORE the exact scoring — cosine runs once
+    per candidate pair, not once per band hit. Carrying the embedding
+    through the bucket shuffle costs B× vector traffic; the
+    alternative (candidates by id + two joins back to the vector
+    table) trades that for two corpus-wide shuffles — the carry wins
+    at B=4. The sign decisions tolerate summation-order differences: a
+    flip needs |dot| ≲ 1e-13, and dot magnitudes here are ~1e-1.
     """
     e = _emb(spark, sf_dir)
-    plane = _plane
 
-    sig = None
-    for p in range(N_PLANES):
-        arr = F.array(*[F.lit(v) for v in plane(p)])
-        bit = (_dot(F.col("embedding"), arr) > 0).cast("long")
-        sig = bit if sig is None else sig * 2 + bit
-    buck = e.select("vec_id", "label", "embedding", sig.alias("bucket"))
-    a = buck.alias("a")
-    b = buck.alias("b")
+    band_structs = []
+    for b in range(n_bands):
+        sig = None
+        for p in range(planes_per_band):
+            arr = F.array(*[F.lit(v) for v in _plane(b * planes_per_band + p)])
+            bit = (_dot(F.col("embedding"), arr) > 0).cast("long")
+            sig = bit if sig is None else sig * 2 + bit
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), sig.alias("key"))
+        )
+    bands = e.select(
+        "vec_id", "embedding", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vec_id", "embedding", "bb.band", "bb.key")
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
+    cand = (
+        buckets.select(F.col("band"), F.explode("ds").alias("a"), "ds")
+        .select("band", "a", F.explode("ds").alias("b"))
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .groupBy(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bands_hit"),
+            F.first(F.col("a.embedding")).alias("ea"),
+            F.first(F.col("b.embedding")).alias("eb"),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .withColumn(
-            "cos", F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
-        )
+        cand.withColumn("cos", F.round(cosine(F.col("ea"), F.col("eb")), 6))
         .where(F.col("cos") >= 0.25)
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.col("a.bucket").alias("bucket"),
-            F.col("cos"),
-        )
+        .select("id_a", "id_b", "n_bands_hit", "cos")
     )
 
 
 def _oracle_lsh() -> str:
-    planes = [
-        "[" + ", ".join(repr(v) for v in _plane(p)) + "]::DOUBLE[]"
-        for p in range(N_PLANES)
-    ]
-    # bucket bit weights mirror the Spark fold: sig = ((b0·2+b1)·2+…)
-    bits = " + ".join(
-        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {planes[p]}) > 0 "
-        f"THEN {1 << (N_PLANES - 1 - p)} ELSE 0 END)"
-        for p in range(N_PLANES)
+    def band_bits(b: int) -> str:
+        planes = [
+            "[" + ", ".join(repr(v) for v in _plane(b * PLANES_PER_BAND + p)) + "]::DOUBLE[]"
+            for p in range(PLANES_PER_BAND)
+        ]
+        # bit weights mirror the Spark fold: sig = ((b0·2+b1)·2+…)
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {planes[p]}) > 0 "
+            f"THEN {1 << (PLANES_PER_BAND - 1 - p)} ELSE 0 END)"
+            for p in range(PLANES_PER_BAND)
+        )
+
+    sigs = "\nUNION ALL\n".join(
+        f"SELECT vec_id, embedding, {b} AS band, CAST(({band_bits(b)}) AS BIGINT) AS key FROM embeddings"
+        for b in range(N_LSH_BANDS)
     )
     return f"""
 WITH sigs AS (
-  SELECT vec_id, embedding, CAST(({bits}) AS BIGINT) AS bucket FROM embeddings
-), pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
-         a.embedding AS ea, b.embedding AS eb
-  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  {sigs}
+), cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_bands_hit,
+         ANY_VALUE(a.embedding) AS ea, ANY_VALUE(b.embedding) AS eb
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
 ), dots AS (
-  SELECT id_a, id_b, bucket,
+  SELECT id_a, id_b, n_bands_hit,
          SUM(ax * bx) AS dot, SUM(ax * ax) AS na, SUM(bx * bx) AS nb
   FROM (
-    SELECT id_a, id_b, bucket,
+    SELECT id_a, id_b, n_bands_hit,
            CAST(UNNEST(ea) AS DOUBLE) AS ax, CAST(UNNEST(eb) AS DOUBLE) AS bx
-    FROM pairs)
+    FROM cand)
   GROUP BY 1, 2, 3
 )
-SELECT id_a, id_b, bucket, cos FROM (
-  SELECT id_a, id_b, bucket, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cos
+SELECT id_a, id_b, n_bands_hit, cos FROM (
+  SELECT id_a, id_b, n_bands_hit, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cos
   FROM dots)
 WHERE cos >= 0.25
 """

@@ -86,6 +86,11 @@ CHECKS = {
     "decontaminate": [
         (r"BroadcastHashJoin", "benchmark n-gram set broadcast (train side never shuffles for the probe)"),
     ],
+    "ann_lsh_bucketed": [
+        (r"!CartesianProduct", "banded LSH: candidates come from bucket groupBys, never an all-pairs join"),
+        (r"!SortMergeJoin", "no joins at all: buckets collect in one groupBy, pairs expand in-row, a second groupBy dedupes across bands before scoring"),
+        (r"HashAggregate", "bucket collect + cross-band pair dedupe are map-side-combined aggregates"),
+    ],
     "dedup_incremental": [
         (r"BroadcastHashJoin", "the new-snapshot band table broadcasts; the corpus side streams map-side (no corpus-wide candidate shuffle)"),
         (r"!CartesianProduct", "bucketed candidates only"),
