@@ -1191,6 +1191,25 @@ def decode_vp8(data: bytes) -> np.ndarray:
         skips[:] = 0
     ycoef, y2coef, ucoef, vcoef, has_y2, mb_has = _decode_residuals(
         parts, hdr, mb_rows, mb_cols, ymodes, skips, segments)
+    # Post-decode desync sanity gate (the probability tables above are
+    # partly best-effort reconstructions — see module docstring): a
+    # bool-decoder desync on a wild stream usually consumes a wrong
+    # number of tokens, leaving a partition with a large unread tail
+    # (an overrun already raises in BoolDecoder). Real encoders —
+    # including ours — end each partition within the bool coder's
+    # ~4-byte flush slack, so >8 unread bytes means the symbol stream
+    # went off the rails: fail LOUDLY (per-row error upstream) instead
+    # of silently emitting plausible-looking garbage pixels. Heuristic,
+    # not proof — a desync can land inside the slack by luck — but it
+    # converts the common silent-garbage case into an explicit error.
+    for i, p in enumerate([bd] + parts):
+        unread = len(p.data) - p.pos
+        if unread > 8:
+            raise ValueError(
+                f"VP8 bitstream desync suspected: partition {i} left "
+                f"{unread} bytes unread (best-effort probability tables; "
+                "see kernels/vp8.py provenance note)"
+            )
     Y, U, V = _reconstruct(hdr, mb_rows, mb_cols, ymodes, uvmodes, bmodes,
                            ycoef, y2coef, ucoef, vcoef, has_y2)
     _loop_filter(hdr, Y, U, V, mb_rows, mb_cols, segments, ymodes, mb_has)
@@ -1482,11 +1501,17 @@ def wrap_webp(vp8_payload: bytes) -> bytes:
     return b"RIFF" + _struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
 
 
-def encode_webp_lossy_flat(w: int, h: int, yuv=(128, 128, 128)) -> bytes:
-    """Flat-color lossy WebP whose decode is EXACTLY lossless (the
-    oracle construction): only MB (0,0) carries DC levels that
-    reconstruct the target value with zero rounding error at
-    q_index=0; every other MB skips and inherits via DC prediction."""
+def encode_vp8_flat_payload(w: int, h: int, yuv=(128, 128, 128)) -> bytes:
+    """Raw ``VP8 `` chunk payload of a flat-color keyframe whose decode
+    is EXACTLY lossless — the building block for still
+    (encode_webp_lossy_flat) and animated (webp.encode_webp_animated)
+    closed-form fixtures. See encode_webp_lossy_flat for the analytic
+    construction and the built-in reconstruction assert."""
+    payload, _ = _encode_flat(w, h, yuv)
+    return payload
+
+
+def _encode_flat(w: int, h: int, yuv) -> tuple[bytes, np.ndarray]:
     yv, uv, vv = yuv
     mb_cols = (w + 15) // 16
     mb_rows = (h + 15) // 16
@@ -1512,4 +1537,13 @@ def encode_webp_lossy_flat(w: int, h: int, yuv=(128, 128, 128)) -> bytes:
     else:
         assert ((rgb[..., 0] == exp_r).all() and (rgb[..., 1] == exp_g).all()
                 and (rgb[..., 2] == exp_b).all())
+    return payload, rgb
+
+
+def encode_webp_lossy_flat(w: int, h: int, yuv=(128, 128, 128)) -> bytes:
+    """Flat-color lossy WebP whose decode is EXACTLY lossless (the
+    oracle construction): only MB (0,0) carries DC levels that
+    reconstruct the target value with zero rounding error at
+    q_index=0; every other MB skips and inherits via DC prediction."""
+    payload, _rgb = _encode_flat(w, h, yuv)
     return wrap_webp(payload)

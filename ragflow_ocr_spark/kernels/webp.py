@@ -717,27 +717,178 @@ def decode_vp8l(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(rgb)
 
 
-@_codec_errors
-def decode_webp(data: bytes) -> np.ndarray:
-    """RIFF/WEBP container → image. VP8L (lossless) and VP8 (lossy,
-    intra-frame) both decode for real (kernels/vp8.py)."""
-    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
-        raise ValueError("not a WebP")
-    pos = 12
-    while pos + 8 <= len(data):
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """(tag, payload) iterator over a RIFF chunk run; truncated chunks
+    raise (malformed container, per-row error upstream)."""
+    while pos + 8 <= end:
         tag = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
         payload = data[pos + 8 : pos + 8 + size]
-        if tag in (b"VP8L", b"VP8 ") and len(payload) < size:
+        if len(payload) < size:
             raise ValueError("truncated WebP chunk")
+        yield tag, payload
+        pos += 8 + size + (size & 1)
+
+
+@_codec_errors
+def decode_webp(data: bytes) -> np.ndarray:
+    """RIFF/WEBP container → image. VP8L (lossless) and VP8 (lossy,
+    intra-frame) both decode for real (kernels/vp8.py); an ANIMATED
+    container returns its FIRST composited frame (the cv2.imdecode
+    still-image convention — full frame access is decode_webp_frames)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP")
+    for tag, payload in _riff_chunks(data, 12, len(data)):
+        if tag == b"ANMF":
+            return decode_webp_frames(data)[0]
         if tag == b"VP8L":
             return decode_vp8l(payload)
         if tag == b"VP8 ":
             from ragflow_ocr_spark.kernels import vp8 as vp8mod
 
             return vp8mod.decode_vp8(payload)
-        pos += 8 + size + (size & 1)
-    raise ValueError("WebP container has no VP8L/VP8 chunk")
+    raise ValueError("WebP container has no VP8L/VP8/ANMF chunk")
+
+
+_VP8X_ANIM_FLAG = 0x02
+
+
+@_codec_errors
+def decode_webp_frames(data: bytes) -> list[np.ndarray]:
+    """Animated RIFF/WEBP (VP8X + ANIM + ANMF chunks) → list of fully
+    COMPOSITED canvas frames, HxW gray / HxWx3 RGB per the module's
+    decode convention. A still WebP returns a one-frame list.
+
+    Per the container spec, every ANMF frame embeds a complete VP8
+    keyframe or VP8L bitstream (temporal compression is frame rects +
+    blend/dispose, not inter prediction), so the still decoders carry
+    all pixel work. Compositing: the canvas starts as the ANIM
+    background color; each frame pastes its rect (the in-repo frames
+    are alpha-less, where both blend modes reduce to overwrite; ALPH
+    subchunks raise the unbundled-alpha NotImplementedError seam);
+    dispose-to-background restores the rect after the frame is
+    emitted. Reference analogue: cv2.imdecode accepts animated WebP
+    and surfaces the first frame (/root/reference/ocr/operators.py:
+    41-46); the frame list feeds multimodal frame sampling."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP")
+    vp8x = anim = None
+    anmfs: list[bytes] = []
+    for tag, payload in _riff_chunks(data, 12, len(data)):
+        if tag == b"VP8X":
+            vp8x = payload
+        elif tag == b"ANIM":
+            anim = payload
+        elif tag == b"ANMF":
+            anmfs.append(payload)
+    if not anmfs:
+        return [decode_webp(data)]
+    if vp8x is None or len(vp8x) < 10 or not vp8x[0] & _VP8X_ANIM_FLAG:
+        raise ValueError("ANMF frames without a VP8X animation flag")
+    if anim is None or len(anim) < 6:
+        raise ValueError("ANMF frames without an ANIM chunk")
+    cw = 1 + int.from_bytes(vp8x[4:7], "little")
+    ch = 1 + int.from_bytes(vp8x[7:10], "little")
+    if cw * ch > VP8L_MAX_PIXELS:
+        raise ValueError("animated WebP canvas too large for the pure-Python decoder")
+    # ANIM background color is [B, G, R, A] byte order
+    bg = np.array([anim[2], anim[1], anim[0]], dtype=np.uint8)
+    canvas = np.empty((ch, cw, 3), dtype=np.uint8)
+    canvas[:] = bg
+    from ragflow_ocr_spark.kernels import vp8 as vp8mod
+
+    frames: list[np.ndarray] = []
+    for anmf in anmfs:
+        if len(anmf) < 16:
+            raise ValueError("truncated ANMF header")
+        fx = 2 * int.from_bytes(anmf[0:3], "little")
+        fy = 2 * int.from_bytes(anmf[3:6], "little")
+        fw = 1 + int.from_bytes(anmf[6:9], "little")
+        fh = 1 + int.from_bytes(anmf[9:12], "little")
+        flags = anmf[15]  # bit 0: dispose-to-background, bit 1: no-blend
+        img = None
+        for tag, payload in _riff_chunks(anmf, 16, len(anmf)):
+            if tag == b"ALPH":
+                raise NotImplementedError(
+                    "animated WebP alpha plane not bundled offline"
+                )
+            if tag == b"VP8 ":
+                img = vp8mod.decode_vp8(payload)
+                break
+            if tag == b"VP8L":
+                img = decode_vp8l(payload)
+                break
+        if img is None:
+            raise ValueError("ANMF frame without VP8/VP8L data")
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        if img.shape[:2] != (fh, fw):
+            raise ValueError("ANMF frame size mismatch vs decoded bitstream")
+        if fx + fw > cw or fy + fh > ch:
+            raise ValueError("ANMF frame rect outside the canvas")
+        # alpha-less frames: blend (flags bit 1 = 0) and no-blend agree
+        canvas[fy : fy + fh, fx : fx + fw] = img
+        out = canvas.copy()
+        r, g, b = out[..., 0], out[..., 1], out[..., 2]
+        frames.append(
+            np.ascontiguousarray(r) if (r == g).all() and (g == b).all() else out
+        )
+        if flags & 0x01:  # dispose to background
+            canvas[fy : fy + fh, fx : fx + fw] = bg
+    return frames
+
+
+def _riff_chunk_bytes(tag: bytes, payload: bytes) -> bytes:
+    out = tag + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        out += b"\x00"
+    return out
+
+
+def encode_webp_animated(
+    frames: list[dict],
+    canvas_w: int,
+    canvas_h: int,
+    bg_rgba: tuple = (255, 255, 255, 255),
+    loops: int = 0,
+) -> bytes:
+    """Animated WebP container writer (fixtures/tests — mirror of
+    decode_webp_frames). Each frame dict: ``tag`` (b"VP8 "/b"VP8L"),
+    ``data`` (raw bitstream, e.g. vp8.encode_vp8_flat_payload or the
+    VP8L encoder's chunk payload), ``x``/``y`` (even canvas offsets),
+    ``w``/``h`` (must match the bitstream), optional ``duration`` ms,
+    ``dispose`` (to background), ``blend``."""
+    body = _riff_chunk_bytes(
+        b"VP8X",
+        bytes([_VP8X_ANIM_FLAG, 0, 0, 0])
+        + (canvas_w - 1).to_bytes(3, "little")
+        + (canvas_h - 1).to_bytes(3, "little"),
+    )
+    r, g, b, a = bg_rgba
+    body += _riff_chunk_bytes(
+        b"ANIM", bytes([b, g, r, a]) + struct.pack("<H", loops)
+    )
+    for f in frames:
+        x, y = f.get("x", 0), f.get("y", 0)
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets must be even (stored /2)")
+        hdr = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (f["w"] - 1).to_bytes(3, "little")
+            + (f["h"] - 1).to_bytes(3, "little")
+            + int(f.get("duration", 40)).to_bytes(3, "little")
+            + bytes(
+                [
+                    (0x02 if not f.get("blend", True) else 0)
+                    | (0x01 if f.get("dispose", False) else 0)
+                ]
+            )
+        )
+        body += _riff_chunk_bytes(
+            b"ANMF", hdr + _riff_chunk_bytes(f["tag"], f["data"])
+        )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
 
 
 # ---------------------------------------------------------------- encoder

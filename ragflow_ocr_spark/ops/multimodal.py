@@ -450,6 +450,15 @@ def iter_video_frames(payload: bytes) -> Iterator[bytes]:
         for frame in imgcodecs.decode_gif_frames(payload):
             yield pngcodec.encode_png(frame)
         return
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # animated (lossy or lossless) WebP as a video: ANMF frames
+        # composited by the real container/VP8/VP8L decoders, then
+        # re-encoded PNG like the GIF route
+        from ragflow_ocr_spark.kernels import webp as webpmod
+
+        for frame in webpmod.decode_webp_frames(payload):
+            yield pngcodec.encode_png(frame)
+        return
     if not payload.startswith(VIDEO_MAGIC):
         raise ValueError("not a MOCKV1/AVI/mp4/webm/GIF container")
     (n,) = struct.unpack_from("<I", payload, len(VIDEO_MAGIC))
@@ -798,13 +807,17 @@ FROM documents WHERE doc_id < {_AUD_LIMIT}
 
 
 def _synth_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Container mix with identical closed-form frame lumas: MOCKV1
-    (PNG frames) for even ids; for odd ids, MJPEG samples in an
-    ISO-BMFF mp4 (id % 4 == 1) or a webm/Matroska (id % 4 == 3) —
-    constant-value JPEG frames are LOSSLESS at quality 95 (the luma DC
-    quantizer is 2, and 8·(v−128) is always even), so the DuckDB
-    oracle stays exact while the real demuxers + JPEG decode run."""
-    from ragflow_ocr_spark.kernels import imgcodecs
+    """Container mix with closed-form frame lumas: MOCKV1 (PNG frames)
+    for even ids; for odd ids, MJPEG samples in an ISO-BMFF mp4
+    (id % 4 == 1) or a webm/Matroska (id % 8 == 3) — constant-value
+    JPEG frames are LOSSLESS at quality 95 (the luma DC quantizer is
+    2, and 8·(v−128) is always even) — or an ANIMATED LOSSY WebP
+    (id % 8 == 7): full-canvas flat VP8 keyframes in ANMF chunks,
+    whose q_index-0 DC construction reconstructs y exactly, so the
+    decoded gray is the closed BT.601 form (298·(y−16)+128)>>8 and
+    the DuckDB oracle stays exact while the real container parse +
+    VP8 decode + compositing run."""
+    from ragflow_ocr_spark.kernels import imgcodecs, vp8 as vp8mod, webp as webpmod
 
     for b in batches:
         rows = []
@@ -822,6 +835,20 @@ def _synth_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     out += struct.pack("<I", len(fr))
                     out += fr
                 rows.append((did, "video", bytes(out), "mockv1", 32, 24, 0))
+            elif did % 8 == 7:
+                frames = [
+                    {
+                        "tag": b"VP8 ",
+                        "data": vp8mod.encode_vp8_flat_payload(
+                            32, 24, (64 + (did * 31 + idx * 7) % 128, 128, 128)
+                        ),
+                        "w": 32,
+                        "h": 24,
+                    }
+                    for idx in range(n_frames)
+                ]
+                payload = webpmod.encode_webp_animated(frames, 32, 24)
+                rows.append((did, "video", payload, "anim_webp", 32, 24, 0))
             else:
                 frames = [
                     imgcodecs.encode_jpeg(
@@ -853,11 +880,19 @@ def q_media_frame_sample(spark, sf_dir: str):
 
 
 ORACLE_FRAME_SAMPLE = f"""
-SELECT doc_id AS media_id,
-       unnest(range(0, CAST(4 + doc_id % 5 AS BIGINT), 2)) AS frame_idx,
-       ROUND(CAST((doc_id * 31 + (unnest(range(0, CAST(4 + doc_id % 5 AS BIGINT), 2))) * 7) % 256 AS DOUBLE), 6) AS mean_luma,
+WITH f AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(4 + doc_id % 5 AS BIGINT), 2)) AS frame_idx
+  FROM documents WHERE doc_id < {_VID_LIMIT}
+)
+SELECT doc_id AS media_id, frame_idx,
+       ROUND(CASE WHEN doc_id % 8 = 7
+             THEN CAST((298 * (64 + (doc_id * 31 + frame_idx * 7) % 128 - 16)
+                        + 128) // 256 AS DOUBLE)
+             ELSE CAST((doc_id * 31 + frame_idx * 7) % 256 AS DOUBLE)
+             END, 6) AS mean_luma,
        'ok' AS status
-FROM documents WHERE doc_id < {_VID_LIMIT}
+FROM f
 """
 
 

@@ -162,7 +162,13 @@ def test_contract_queries_match_analytic_truth(spark):
     assert rows
     for r in rows:
         assert r["frame_idx"] % 2 == 0
-        assert r["mean_luma"] == float((r["media_id"] * 31 + r["frame_idx"] * 7) % 256)
+        if r["media_id"] % 8 == 7:  # animated lossy WebP → BT.601 map
+            y = 64 + (r["media_id"] * 31 + r["frame_idx"] * 7) % 128
+            assert r["mean_luma"] == float((298 * (y - 16) + 128) >> 8)
+        else:
+            assert r["mean_luma"] == float(
+                (r["media_id"] * 31 + r["frame_idx"] * 7) % 256
+            )
 
     rows = mm.q_media_thumbnail(spark, sf).collect()
     assert rows

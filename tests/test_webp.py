@@ -182,3 +182,118 @@ def test_vp8l_decode_throughput_floor():
     assert np.array_equal(out, img)
     rate = 256 * 256 / best
     assert rate >= 450_000, f"{rate/1e6:.2f} Mpx/s below pinned floor"
+
+
+# ------------------------------------------------------- animated WebP
+def _bt601(y: int) -> int:
+    return min(255, max(0, (298 * (y - 16) + 128) >> 8))
+
+
+def _vp8l_payload(img: np.ndarray) -> bytes:
+    """Raw VP8L bitstream extracted from a still container."""
+    import struct
+
+    d = webp.encode_webp(img)
+    assert d[12:16] == b"VP8L"
+    (sz,) = struct.unpack_from("<I", d, 16)
+    return d[20 : 20 + sz]
+
+
+def test_animated_lossy_webp_round_trip():
+    """ANMF frames embedding in-repo VP8 keyframes composite to exact
+    flat canvases; decode_webp returns the FIRST composited frame."""
+    from ragflow_ocr_spark.kernels import vp8
+
+    f1 = vp8.encode_vp8_flat_payload(32, 24, (80, 128, 128))
+    f2 = vp8.encode_vp8_flat_payload(32, 24, (160, 128, 128))
+    anim = webp.encode_webp_animated(
+        [
+            {"tag": b"VP8 ", "data": f1, "w": 32, "h": 24},
+            {"tag": b"VP8 ", "data": f2, "w": 32, "h": 24},
+        ],
+        32,
+        24,
+    )
+    frames = webp.decode_webp_frames(anim)
+    assert [f.shape for f in frames] == [(24, 32), (24, 32)]
+    assert (frames[0] == _bt601(80)).all()
+    assert (frames[1] == _bt601(160)).all()
+    assert (webp.decode_webp(anim) == _bt601(80)).all()
+
+
+def test_animated_webp_subrect_dispose_and_vp8l_mix():
+    """Sub-rect frames paste at (x, y); dispose-to-background restores
+    the rect AFTER the frame is emitted; VP8L and VP8 frames mix."""
+    from ragflow_ocr_spark.kernels import vp8
+
+    base = np.full((24, 32), 50, np.uint8)
+    anim = webp.encode_webp_animated(
+        [
+            {"tag": b"VP8L", "data": _vp8l_payload(base), "w": 32, "h": 24},
+            {
+                "tag": b"VP8 ",
+                "data": vp8.encode_vp8_flat_payload(16, 16, (200, 128, 128)),
+                "w": 16, "h": 16, "x": 8, "y": 4, "dispose": True,
+            },
+            {
+                "tag": b"VP8 ",
+                "data": vp8.encode_vp8_flat_payload(16, 16, (100, 128, 128)),
+                "w": 16, "h": 16, "x": 0, "y": 0,
+            },
+        ],
+        32,
+        24,
+        bg_rgba=(10, 20, 30, 255),
+    )
+    f0, f1, f2 = webp.decode_webp_frames(anim)
+    assert (f0 == 50).all()
+    assert (f1[4:20, 8:24] == _bt601(200)).all() and (f1[0, 0] == 50).all()
+    # frame 2: its own rect painted, disposed area back to bg RGB,
+    # first-frame pixels outside both rects untouched
+    assert (f2[0:16, 0:16, 0] == _bt601(100)).all()
+    assert tuple(f2[10, 20]) == (10, 20, 30)
+    assert (f2[22, 28] == 50).all()
+
+
+def test_animated_webp_malformed_rejected():
+    """Frame rect outside the canvas, size mismatch, and missing VP8X
+    animation flag are container errors (per-row upstream)."""
+    from ragflow_ocr_spark.kernels import vp8
+
+    f = vp8.encode_vp8_flat_payload(16, 16, (90, 128, 128))
+    with pytest.raises(ValueError, match="outside the canvas"):
+        webp.decode_webp_frames(
+            webp.encode_webp_animated(
+                [{"tag": b"VP8 ", "data": f, "w": 16, "h": 16, "x": 20, "y": 20}],
+                24,
+                24,
+            )
+        )
+    with pytest.raises(ValueError, match="size mismatch"):
+        webp.decode_webp_frames(
+            webp.encode_webp_animated(
+                [{"tag": b"VP8 ", "data": f, "w": 8, "h": 8}], 24, 24
+            )
+        )
+    good = webp.encode_webp_animated(
+        [{"tag": b"VP8 ", "data": f, "w": 16, "h": 16}], 16, 16
+    )
+    # clear the VP8X animation flag in place
+    broken = bytearray(good)
+    broken[20] &= ~0x02
+    with pytest.raises(ValueError, match="animation flag"):
+        webp.decode_webp_frames(bytes(broken))
+
+
+def test_vp8_desync_gate_fires_on_padded_partition():
+    """A token partition left with a large unread tail (the common
+    silent-desync signature on wild streams, given the best-effort
+    probability tables) must raise, not decode to garbage."""
+    from ragflow_ocr_spark.kernels import vp8
+
+    payload = vp8.encode_vp8_flat_payload(32, 24, (90, 128, 128))
+    with pytest.raises(ValueError, match="desync"):
+        vp8.decode_vp8(payload + b"\x00" * 64)
+    # the untouched stream still decodes (gate slack covers the bool
+    # coder's flush bytes)
+    assert (vp8.decode_vp8(payload) == _bt601(90)).all()
