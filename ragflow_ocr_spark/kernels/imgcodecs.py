@@ -1218,6 +1218,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[dict] = []
     hmax = vmax = mcus_x = mcus_y = 0
     n_scans = 0
+    adobe_transform = None  # APP14: 0=CMYK/RGB, 1=YCbCr, 2=YCCK
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -1289,6 +1290,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise ValueError("only baseline (SOF0) / progressive (SOF2) JPEG supported")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xEE:  # APP14 (Adobe color-transform tag)
+            if seg[:5] == b"Adobe" and len(seg) >= 12:
+                adobe_transform = seg[11]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -1350,6 +1354,37 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         planes.append(plane[:h, :w])
     if nc == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    if nc == 2:
+        raise ValueError("2-component JPEG unsupported")
+    if nc == 3 and adobe_transform == 0:
+        # Adobe transform 0 on 3 components: planes ARE R, G, B
+        return np.clip(np.round(np.stack(planes, axis=2)), 0, 255).astype(
+            np.uint8
+        )
+    if nc == 4:
+        # Adobe CMYK family. Samples are stored Adobe-INVERTED
+        # (sample = 255 − ink), so paper-white is 255 and full ink 0;
+        # transform 2 (YCCK, the Photoshop default) additionally runs
+        # the inverted CMY through the YCbCr transform. Composite onto
+        # white: channel = cmy_sample · k_sample / 255 — the standard
+        # screen approximation (no ICC profiles offline).
+        t = adobe_transform if adobe_transform is not None else 0
+        if t == 2:  # YCCK → inverted-CMY via the YCC inverse, then ·K
+            y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+            cmy = [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ]
+        elif t == 0:
+            cmy = planes[:3]
+        else:
+            raise ValueError(f"bad Adobe transform {t} for 4-component JPEG")
+        k = np.clip(planes[3], 0.0, 255.0)
+        rgb = np.stack(
+            [np.clip(p, 0.0, 255.0) * k / 255.0 for p in cmy], axis=2
+        )
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
@@ -1538,6 +1573,92 @@ def encode_jpeg(
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_cmyk(
+    img: np.ndarray, quality: int = 95, ycck: bool = False
+) -> bytes:
+    """HxW (gray) or HxWx3 uint8 → 4-component Adobe CMYK baseline
+    JPEG (APP14 transform 0, or 2 for YCCK) — the Photoshop/print
+    payload family crawls hit. Samples follow the Adobe-inverted
+    convention (sample = 255 − ink): C/M/Y planes carry the RGB
+    channels directly with K = 255 (no black plate), so the decoder's
+    white-composite reconstructs the input exactly up to DCT
+    quantization — and EXACTLY for constant-value images at qualities
+    whose luma DC step divides 8 (q95 → q00 = 2), the closed-form
+    oracle construction."""
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    h, w = img.shape[:2]
+    f = img.astype(np.float64)
+    if ycck:
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [f[..., 0], f[..., 1], f[..., 2]]
+    planes.append(np.full((h, w), 255.0))
+    qts = [
+        _quality_scale(_STD_LUMA_Q, quality),
+        _quality_scale(_STD_CHROMA_Q, quality),
+    ]
+    mcus_x = (w + 7) // 8
+    mcus_y = (h + 7) // 8
+    padded = []
+    for p in planes:
+        pp = np.empty((mcus_y * 8, mcus_x * 8))
+        pp[:h, :w] = p
+        pp[h:, :w] = pp[h - 1 : h, :w]
+        pp[:, w:] = pp[:, w - 1 : w]
+        padded.append(pp)
+
+    out = bytearray(b"\xff\xd8")
+    adobe = b"Adobe" + struct.pack(">HHHB", 100, 0, 0, 2 if ycck else 0)
+    out += b"\xff\xee" + struct.pack(">H", 2 + len(adobe)) + adobe
+    for tq, qtab in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
+            int(qtab[z]) for z in _ZIGZAG
+        )
+    tq_of = [0, 1, 1, 0] if ycck else [0, 0, 0, 0]
+    sof = struct.pack(">BHHB", 8, h, w, 4)
+    for ci in range(4):
+        sof += bytes([ci + 1, 0x11, tq_of[ci]])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, th, (bits, vals) in [
+        (0, 0, _DC_LUMA),
+        (1, 0, _AC_LUMA),
+        (0, 1, _DC_CHROMA),
+        (1, 1, _AC_CHROMA),
+    ]:
+        payload = bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    sos = bytes([4])
+    for ci in range(4):
+        t = tq_of[ci]
+        sos += bytes([ci + 1, t << 4 | t])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc_codes = [_build_huff_codes(*_DC_LUMA), _build_huff_codes(*_DC_CHROMA)]
+    ac_codes = [_build_huff_codes(*_AC_LUMA), _build_huff_codes(*_AC_CHROMA)]
+    qt8 = [q.reshape(8, 8) for q in qts]
+    bw = _BitWriter()
+    preds = [0] * 4
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(4):
+                t = tq_of[ci]
+                block = padded[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 128.0
+                preds[ci] = _encode_block(
+                    bw, block, qt8[t], dc_codes[t], ac_codes[t], preds[ci]
+                )
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"
     return bytes(out)
 
 

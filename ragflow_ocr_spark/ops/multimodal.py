@@ -699,10 +699,13 @@ def q_media_image_stats(spark, sf_dir: str):
     Spark side runs the REAL decoders):
     - id % 2 == 0: two-tone PNG (Adam7-interlaced for id % 4 == 0 —
       interlacing is lossless, same closed form);
-    - id % 4 == 1: PROGRESSIVE JPEG (SOF2) of a constant-value image
+    - id % 8 == 1: PROGRESSIVE JPEG (SOF2) of a constant-value image
       whose value is 128 + 3k so the quality-90 luma DC quantizer
       (q00=3) divides the DC coefficient exactly → lossless decode
       through the real multi-scan path;
+    - id % 8 == 5: Adobe CMYK baseline JPEG (4 components, APP14
+      transform 0, q95 — the q00=2 DC step divides 8·(v−128), so the
+      same constant decodes exactly through the white-composite path);
     - id % 8 == 3: two-tone GIF (LZW is lossless);
     - id % 16 == 7: two-tone lossless WebP (VP8L) — same closed form;
     - id % 16 == 15: LOSSY WebP (VP8 keyframe, kernels/vp8) of a flat
@@ -728,7 +731,17 @@ def q_media_image_stats(spark, sf_dir: str):
                 elif did % 4 == 1:
                     v = 128 + 3 * ((did * 5 + 7) % 42 - 21)
                     img = np.full((48, 64), v, dtype=np.uint8)
-                    payload = imgcodecs.encode_jpeg_progressive(img, quality=90)
+                    if did % 8 == 5:
+                        # Adobe CMYK (APP14 transform 0, 4 components,
+                        # q95): constant-value decode is exact — the
+                        # q00=2 luma DC step divides 8·(v−128) — so the
+                        # %4==1 oracle closed form covers this family
+                        # unchanged while the real 4-component path runs
+                        payload = imgcodecs.encode_jpeg_cmyk(img, quality=95)
+                    else:
+                        payload = imgcodecs.encode_jpeg_progressive(
+                            img, quality=90
+                        )
                     rows.append((did, "image", payload, "jpeg", 64, 48, 0))
                 elif did % 16 == 15:
                     from ragflow_ocr_spark.kernels import vp8 as vp8mod

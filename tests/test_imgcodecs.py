@@ -581,3 +581,45 @@ def test_gif_gce_applies_to_one_image_only():
     assert len(frames) == 2
     # frame 2's value-7 pixels drawn (palette entry 7 = gray 7)
     assert (frames[1] == 7).all()
+
+
+# -------------------------------------------------- Adobe CMYK / YCCK JPEG
+def test_cmyk_jpeg_constant_exact_and_tagged():
+    """Adobe transform-0 CMYK: constant images decode EXACTLY at q95
+    (DC step 2 divides 8·(v−128)) through the white-composite path,
+    for any constant value — the closed-form oracle family."""
+    for v in (0, 37, 128, 200, 255):
+        d = ic.encode_jpeg_cmyk(np.full((24, 32), v, np.uint8), quality=95)
+        assert b"Adobe" in d[:64]
+        out = ic.decode_jpeg(d)
+        assert (out == v).all()
+
+
+def test_ycck_jpeg_round_trip():
+    """APP14 transform-2 (YCCK, the Photoshop default): a real image
+    round-trips through the YCC-inverse + K composite within DCT
+    quantization error at q100."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+    out = ic.decode_jpeg(ic.encode_jpeg_cmyk(img, quality=100, ycck=True))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_cmyk_jpeg_rgb_round_trip_q100():
+    img = np.zeros((16, 24, 3), np.uint8)
+    img[:, :12] = (200, 30, 90)
+    img[:, 12:] = (10, 250, 128)
+    out = ic.decode_jpeg(ic.encode_jpeg_cmyk(img, quality=100))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_two_component_jpeg_rejected():
+    """nc=2 has no defined color transform — explicit per-row error,
+    not a crash in the plane stack."""
+    d = bytearray(ic.encode_jpeg(np.full((8, 8), 9, np.uint8)))
+    i = d.find(b"\xff\xc0")
+    assert d[i + 9] == 1  # SOF nc byte
+    d[i + 9] = 2
+    with pytest.raises(ValueError):
+        ic.decode_jpeg(bytes(d))
