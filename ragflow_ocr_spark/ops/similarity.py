@@ -141,6 +141,18 @@ WHERE cos >= 0.3
 
 N_LSH_BANDS = 4  # independent hash tables (recall knob)
 PLANES_PER_BAND = 8  # r: bucket-granularity knob — scale with log2(n)
+# Deterministic per-bucket member cap (smallest vec_ids kept): sign-LSH
+# occupancy is data-dependent, and a corpus whose near-dup clusters are
+# larger than any hash granularity (this synthetic one: 10 tight label
+# clusters; raising r splits buckets only on noise dims) makes the
+# in-bucket pair volume — and the J≥τ pair OUTPUT itself — quadratic in
+# cluster size (measured: true cos≥0.25 pairs grow 44k → 26.8M for 10×
+# rows). The cap is the standard production mitigation (cf. skewed
+# approxSimilarityJoin buckets): Σ min(occ, CAP)² ≤ CAP·n keeps
+# candidate work LINEAR, trading pair recall inside mega-clusters —
+# where transitive grouping (dedup_clusters) is the right consumer
+# anyway: connecting a cluster needs ~occ edges, not occ²/2.
+MAX_BUCKET = 64
 _DIM = 64
 
 
@@ -150,14 +162,19 @@ def _plane(p: int) -> list[float]:
     return [math.sin(p * 1000003 + j * 7919) for j in range(_DIM)]
 
 
-def planes_per_band_for(n_vectors: int, target_bucket: int = 256) -> int:
+def planes_per_band_for(n_vectors: int, target_bucket: int = 8) -> int:
     """Scale rule for r = planes per band: expected bucket occupancy is
     ~n/2^r per band (sign bits are near-balanced for mean-zero data),
-    so r = log2(n / target_bucket) keeps in-bucket pair volume
-    ~target²/2 per bucket — BOUNDED as n grows, with the band count
-    (not r) carrying recall. At n=10⁹ and target 256 → r = 22; the
+    so r = ceil(log2(n / target_bucket)) keeps occupancy ≈ target and
+    in-bucket pair volume ~n·target/2 per band — LINEAR in n, with the
+    band count (not r) carrying recall. At n=10⁹ → r = 27; the
     corpus-sized constant the round-3 version used (a single 8-plane
-    table) would put ~4M vectors per bucket and go quadratic."""
+    table) would put ~4M vectors per bucket and go quadratic. Floor =
+    PLANES_PER_BAND so every corpus ≤ 2^(8+log2 target) vectors — all
+    the oracle-checked test scales — uses exactly the r the static
+    DuckDB oracle mirrors. Measured consequence of the fixed r (round
+    4, sf1 rung): r=8 at 20k vectors read a 5.2× per-row cost ratio
+    (206 s); adaptive r restores sub-linearity."""
     import math
 
     return max(PLANES_PER_BAND, math.ceil(math.log2(max(2, n_vectors) / target_bucket)))
@@ -167,7 +184,8 @@ def q_ann_lsh_bucketed(
     spark: SparkSession,
     sf_dir: str,
     n_bands: int = N_LSH_BANDS,
-    planes_per_band: int = PLANES_PER_BAND,
+    planes_per_band: int | None = None,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Banded random-hyperplane LSH ANN — the scale path (B independent
     hash tables of r planes each, the minhash-banding shape).
@@ -184,17 +202,32 @@ def q_ann_lsh_bucketed(
     collapsing recall the way a single deeper table would.
 
     Plan shape: one pass over the vectors computes all B signatures
-    (map-side), one explode to (band, key) rows, one groupBy collects
-    each bucket's members (bucket lists are occupancy-bounded by the r
-    rule), in-row pair expansion, then one (id_a, id_b) groupBy that
-    dedupes across bands BEFORE the exact scoring — cosine runs once
-    per candidate pair, not once per band hit. Carrying the embedding
+    (map-side), one explode to (band, key) rows, a rank-cap inside
+    each bucket (MAX_BUCKET smallest vec_ids — candidate work stays
+    LINEAR even when the data's near-dup clusters exceed any hash
+    granularity; see the MAX_BUCKET note), one groupBy collects the
+    capped members, in-row pair expansion, then one (id_a, id_b)
+    groupBy that dedupes across bands BEFORE the exact scoring —
+    cosine runs once per candidate pair, not once per band hit. Carrying the embedding
     through the bucket shuffle costs B× vector traffic; the
     alternative (candidates by id + two joins back to the vector
     table) trades that for two corpus-wide shuffles — the carry wins
     at B=4. The sign decisions tolerate summation-order differences: a
     flip needs |dot| ≲ 1e-13, and dot magnitudes here are ~1e-1.
+
+    ``planes_per_band`` defaults to the ``planes_per_band_for`` scale
+    rule applied to the corpus row count (one parquet-metadata count —
+    no data scan), so bucket occupancy stays bounded as the corpus
+    grows. The static DuckDB oracle mirrors r = PLANES_PER_BAND, which
+    the rule returns for every corpus up to 2^8·target vectors — all
+    the sf0.001-sf0.1 scales the driver oracle-checks; larger corpora
+    (the sf1 bench rung and beyond) raise r and trade per-band recall,
+    which production restores by raising the band count alongside
+    (recall 1−(1−(1−θ/π)^r)^B).
     """
+    if planes_per_band is None:
+        n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        planes_per_band = planes_per_band_for(n_vecs)
     e = _emb(spark, sf_dir)
 
     band_structs = []
@@ -210,8 +243,19 @@ def q_ann_lsh_bucketed(
     bands = e.select(
         "vec_id", "embedding", F.explode(F.array(*band_structs)).alias("bb")
     ).select("vec_id", "embedding", "bb.band", "bb.key")
+    # bucket member cap (see MAX_BUCKET), applied BEFORE the list
+    # collect so a degenerate bucket never materializes as one giant
+    # array: rank within (band, key) by vec_id (deterministic — the
+    # smallest ids survive; oracle mirrors with the same ROW_NUMBER),
+    # filter, then collect the ≤max_bucket survivors. The window and
+    # the groupBy share the (band, key) partitioning, so the rank adds
+    # a sort but no second exchange.
+    w_bucket = Window.partitionBy("band", "key").orderBy("vec_id")
+    kept = bands.withColumn("rn", F.row_number().over(w_bucket)).where(
+        F.col("rn") <= max_bucket
+    )
     buckets = (
-        bands.groupBy("band", "key")
+        kept.groupBy("band", "key")
         .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("ds"))
         .where(F.size("ds") > 1)
     )
@@ -255,11 +299,16 @@ def _oracle_lsh() -> str:
     return f"""
 WITH sigs AS (
   {sigs}
+), kept AS (
+  SELECT vec_id, embedding, band, key FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY vec_id)
+              AS rn
+    FROM sigs) WHERE rn <= {MAX_BUCKET}
 ), cand AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          CAST(COUNT(*) AS BIGINT) AS n_bands_hit,
          ANY_VALUE(a.embedding) AS ea, ANY_VALUE(b.embedding) AS eb
-  FROM sigs a JOIN sigs b
+  FROM kept a JOIN kept b
     ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
   GROUP BY 1, 2
 ), dots AS (

@@ -68,12 +68,18 @@ def test_lsh_banded_structure(spark):
 def test_planes_per_band_scaling_rule():
     """r grows with log2(n): expected per-band bucket occupancy
     n / 2^r stays ≤ the target as the corpus grows — the property the
-    round-3 constant-plane formulation lacked."""
+    round-3 constant-plane formulation lacked (and the fixed-r banded
+    version still lacked: the sf1 rung measured a 5.2× per-row cost
+    ratio at 20k vectors before the registered query adopted this
+    rule). The floor keeps r = 8 for every oracle-checked corpus
+    (≤ 2048 vectors), so the static DuckDB mirror stays exact."""
     assert planes_per_band_for(1_000) == PLANES_PER_BAND  # floor
-    for n in (10**6, 10**9, 10**12):
+    assert planes_per_band_for(2_048) == PLANES_PER_BAND  # oracle edge
+    for n in (10**5, 10**6, 10**9, 10**12):
         r = planes_per_band_for(n)
-        assert n / 2**r <= 256
-    assert planes_per_band_for(10**9) >= 22
+        assert n / 2**r <= 8  # occupancy bounded by the target
+    assert planes_per_band_for(20_000) == 12  # the sf1 rung regime
+    assert planes_per_band_for(10**9) == 27
 
 
 def test_lsh_more_bands_only_add_recall(spark):
@@ -92,3 +98,23 @@ def test_lsh_more_bands_only_add_recall(spark):
     assert len(four) > len(one)  # the extra tables do add candidates
     for k, cos in one.items():
         assert four[k] == cos  # scoring independent of band count
+
+
+def test_lsh_bucket_cap_bounds_candidates_and_is_subset(spark):
+    """The deterministic bucket cap keeps candidate work linear on
+    cluster-quadratic corpora: capped output is a subset of uncapped
+    output, and with cap=2 each (band, bucket) contributes at most one
+    pair."""
+    capped = {
+        (r["id_a"], r["id_b"]) for r in
+        q_ann_lsh_bucketed(spark, SF, max_bucket=2).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]) for r in
+        q_ann_lsh_bucketed(spark, SF, max_bucket=1_000_000).collect()
+    }
+    assert capped <= full
+    assert len(capped) < len(full)
+    # ≤ one pair per (band, bucket): at 4 bands × ≤256 buckets that is
+    # a hard ceiling far below the uncapped pair count on this corpus
+    assert len(capped) <= 4 * 256
