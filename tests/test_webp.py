@@ -297,3 +297,37 @@ def test_vp8_desync_gate_fires_on_padded_partition():
     # the untouched stream still decodes (gate slack covers the bool
     # coder's flush bytes)
     assert (vp8.decode_vp8(payload) == _bt601(90)).all()
+
+
+def test_animated_webp_fuzz_never_crashes():
+    """Bit flips and truncations of a valid animated container must
+    surface as the contractual ValueError/NotImplementedError (per-row
+    error upstream), never any other exception type."""
+    from ragflow_ocr_spark.kernels import vp8
+
+    base = webp.encode_webp_animated(
+        [
+            {"tag": b"VP8 ", "data": vp8.encode_vp8_flat_payload(32, 24, (90, 128, 128)), "w": 32, "h": 24},
+            {"tag": b"VP8 ", "data": vp8.encode_vp8_flat_payload(16, 16, (150, 128, 128)), "w": 16, "h": 16, "x": 8, "y": 4, "dispose": True},
+        ],
+        32,
+        24,
+    )
+    rng = np.random.default_rng(99)
+    ok = err = 0
+    for trial in range(200):
+        buf = bytearray(base)
+        if trial % 2:
+            buf = buf[: rng.integers(1, len(buf))]  # truncation
+        else:
+            for _ in range(rng.integers(1, 6)):  # bit flips
+                i = int(rng.integers(0, len(buf)))
+                buf[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            frames = webp.decode_webp_frames(bytes(buf))
+            assert isinstance(frames, list)
+            ok += 1
+        except (ValueError, NotImplementedError):
+            err += 1
+    assert ok + err == 200
+    assert err > 50  # most mutations must fail loudly, not "decode"
