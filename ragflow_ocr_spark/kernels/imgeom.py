@@ -178,6 +178,29 @@ def min_area_rect(points: np.ndarray) -> tuple[np.ndarray, float]:
     (``/root/reference/ocr/postprocess.py:171-192``), which also
     re-orders corners; we apply the same x-sort + y-disambiguation.
     """
+    pts = np.asarray(points, dtype=np.float64)
+    if len(pts):
+        # Axis-aligned fast path (bit-exact): if all four bbox corners
+        # are present in the point set, the convex hull IS the bbox, so
+        # the caliper result — after the canonicalizing corner order
+        # below, which depends only on the corner SET — is exactly the
+        # bbox corners with min side = min(w, h) (norms of axis-aligned
+        # edges are exact: integer-valued coords < 2^26 square and sqrt
+        # without rounding). Region/contour rectangles from binarized
+        # text masks hit this constantly; anything else falls through
+        # to the identical slow path.
+        (x0, y0), (x1, y1) = pts.min(axis=0), pts.max(axis=0)
+        if x1 > x0 and y1 > y0:
+            on_x0, on_x1 = pts[:, 0] == x0, pts[:, 0] == x1
+            on_y0, on_y1 = pts[:, 1] == y0, pts[:, 1] == y1
+            if (
+                (on_x0 & on_y0).any()
+                and (on_x1 & on_y0).any()
+                and (on_x1 & on_y1).any()
+                and (on_x0 & on_y1).any()
+            ):
+                box = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+                return _order_rect_points(box), float(min(x1 - x0, y1 - y0))
     hull = convex_hull(points)
     if len(hull) == 1:
         p = hull[0]
