@@ -428,8 +428,11 @@ def main() -> None:
         "value": full["value"],
         "unit": "sec",
         "sf": full["sf"],
+        # contract shape: "queries" maps query → seconds; bounded to
+        # the slowest 10 here (full map in the BENCH file) so the line
+        # survives the recorder's ~2000-char tail
         "n_queries": len(per_query),
-        "queries_top10": top,
+        "queries": top,
         "extraction": extraction,
         "full": f"BENCH/{ROUND}_full.json",
     }
@@ -445,7 +448,7 @@ def main() -> None:
         compact["extraction"].pop("scaling_efficiency_rounds", None)
         line = json.dumps(compact)
     if len(line) > 1500:
-        compact.pop("queries_top10", None)
+        compact.pop("queries", None)
         line = json.dumps(compact)
     print(line)
 
