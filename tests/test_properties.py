@@ -41,6 +41,10 @@ _MAGICS = [
     b"GIF89a",
     b"GIF87a",
     b"RIFF\x10\x00\x00\x00WEBPVP8L",
+    b"RIFF\x10\x00\x00\x00WEBPVP8 ",  # lossy VP8 route (kernels/vp8)
+    # animated container route (VP8X + ANIM/ANMF compositing)
+    b"RIFF\x40\x00\x00\x00WEBPVP8X\x0a\x00\x00\x00\x02\x00\x00\x00"
+    b"\x1f\x00\x00\x17\x00\x00",
 ]
 
 
