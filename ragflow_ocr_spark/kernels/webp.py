@@ -797,6 +797,11 @@ def decode_webp_frames(data: bytes) -> list[np.ndarray]:
     canvas[:] = bg
     from ragflow_ocr_spark.kernels import vp8 as vp8mod
 
+    # total-output budget, same rule as the GIF animation decoder
+    # (imgcodecs.py): a crafted container with thousands of tiny ANMF
+    # frames must become a per-row error, not a task straggler
+    if len(anmfs) * cw * ch > MAX_DECODE_PIXELS:
+        raise ValueError("animated WebP exceeds the composited-pixel budget")
     frames: list[np.ndarray] = []
     for anmf in anmfs:
         if len(anmf) < 16:

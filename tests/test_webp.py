@@ -331,3 +331,18 @@ def test_animated_webp_fuzz_never_crashes():
             err += 1
     assert ok + err == 200
     assert err > 50  # most mutations must fail loudly, not "decode"
+
+
+def test_animated_webp_frame_budget():
+    """Thousands of tiny frames on a large canvas must be rejected
+    (per-row error), mirroring the GIF composited-pixel budget."""
+    from ragflow_ocr_spark.kernels import vp8
+
+    f = vp8.encode_vp8_flat_payload(16, 16, (90, 128, 128))
+    frames = [{"tag": b"VP8 ", "data": f, "w": 16, "h": 16}] * 5
+    good = webp.encode_webp_animated(frames, 16, 16)
+    assert len(webp.decode_webp_frames(good)) == 5
+    many = [{"tag": b"VP8 ", "data": f, "w": 16, "h": 16}] * 4000
+    big = webp.encode_webp_animated(many, 2000, 2000)
+    with pytest.raises(ValueError, match="budget|too large"):
+        webp.decode_webp_frames(big)
