@@ -13,11 +13,14 @@ Container/codec reality in this sandbox (no PIL/cv2/ffmpeg):
   (kernels/wavcodec) — RMS / zero-crossing / peak features are real.
 - **video**: MOCKV1 (deterministic synth container), real RIFF
   AVI/MJPEG, real ISO-BMFF mp4 (general stsd/stsz/stsc/stco
-  sample-table demux), and real webm/Matroska (EBML walk,
-  SimpleBlock/BlockGroup frames) — frame sampling, JPEG/PNG frame
-  decode, and per-frame features are real for MJPEG-coded tracks;
-  video CODECS beyond MJPEG (VP8/VP9/H.264 bitstreams) are the
-  remaining per-row seam.
+  sample-table demux), real webm/Matroska (EBML walk,
+  SimpleBlock/BlockGroup frames) with MJPEG-coded AND V_VP8-coded
+  tracks (keyframe bitstreams decode via kernels/vp8; inter frames
+  surface that decoder's explicit error), and ANIMATED WebP
+  (VP8X/ANIM/ANMF compositing via kernels/webp) — frame sampling,
+  frame decode, and per-frame features are real for all of these;
+  video codecs beyond MJPEG/VP8-keyframe (VP8 inter prediction,
+  VP9, H.264) are the remaining per-row seam.
 
 Every stage is init-once-per-worker, Arrow-batched, and returns typed
 columns — the schema/partitioning/batch-shape plumbing the 100 TB
@@ -123,11 +126,17 @@ def decode_image(payload: bytes, codec: str) -> np.ndarray:
 
 
 def _decode_frame(frame: bytes) -> "np.ndarray":
-    """Frame bytes → image; frames are PNG (MOCKV1) or JPEG (AVI)."""
+    """Frame bytes → image; frames are PNG (MOCKV1/GIF/animated-WebP
+    re-encodes), JPEG (AVI/mp4/webm MJPEG), or still-WebP-wrapped VP8
+    (webm V_VP8)."""
     if frame.startswith(b"\xff\xd8"):
         from ragflow_ocr_spark.kernels import imgcodecs
 
         return imgcodecs.decode_jpeg(frame)
+    if frame[:4] == b"RIFF" and frame[8:12] == b"WEBP":
+        from ragflow_ocr_spark.kernels import webp as webpmod
+
+        return webpmod.decode_webp(frame)
     return pngcodec.decode_png(frame)
 
 
@@ -354,11 +363,13 @@ def _mkv_el(id_: int, payload: bytes) -> bytes:
     return _ebml_encode_vint(id_, id_=True) + _ebml_encode_vint(len(payload)) + payload
 
 
-def encode_webm_mjpeg(frames_jpeg: list[bytes]) -> bytes:
-    """Minimal Matroska with one V_MJPEG track: EBML header + Segment(
+def encode_webm(frames: list[bytes], codec_id: bytes = b"V_MJPEG") -> bytes:
+    """Minimal Matroska with one video track: EBML header + Segment(
     Tracks(TrackEntry(TrackNumber=1, TrackType=video, CodecID)) +
     Cluster(Timestamp + SimpleBlocks)). Real files carry Info/Cues
-    too — the reader skips unknown elements, so they parse as well."""
+    too — the reader skips unknown elements, so they parse as well.
+    ``codec_id``: V_MJPEG (JPEG frame bytes) or V_VP8 (raw RFC 6386
+    keyframe bitstreams, e.g. vp8.encode_vp8_flat_payload)."""
     ebml = _mkv_el(
         0x1A45DFA3,
         _mkv_el(0x4282, b"matroska")  # DocType
@@ -368,11 +379,11 @@ def encode_webm_mjpeg(frames_jpeg: list[bytes]) -> bytes:
         _MKV_TRACK_ENTRY,
         _mkv_el(0xD7, b"\x01")        # TrackNumber
         + _mkv_el(0x83, b"\x01")      # TrackType: video
-        + _mkv_el(_MKV_CODEC_ID, b"V_MJPEG"),
+        + _mkv_el(_MKV_CODEC_ID, codec_id),
     )
     tracks = _mkv_el(_MKV_TRACKS, track)
     blocks = b""
-    for k, fr in enumerate(frames_jpeg):
+    for k, fr in enumerate(frames):
         # SimpleBlock: track vint(1) + s16 timecode + flags(keyframe)
         blocks += _mkv_el(
             _MKV_SIMPLE_BLOCK,
@@ -382,11 +393,19 @@ def encode_webm_mjpeg(frames_jpeg: list[bytes]) -> bytes:
     return ebml + _mkv_el(_MKV_SEGMENT, tracks + cluster)
 
 
+def encode_webm_mjpeg(frames_jpeg: list[bytes]) -> bytes:
+    return encode_webm(frames_jpeg, b"V_MJPEG")
+
+
 def _iter_webm_frames(payload: bytes) -> Iterator[bytes]:
     """Walk Segment → Tracks (codec check) and Clusters → SimpleBlock/
     BlockGroup frames. Laced blocks and unknown-size elements are
-    rejected (per-row error); non-MJPEG codecs (V_VP8/V_VP9/…) raise
-    the unbundled-codec seam."""
+    rejected (per-row error). V_MJPEG frames yield raw (JPEG bytes are
+    self-describing); V_VP8 frames yield wrapped as still WebP so the
+    downstream frame contract (sniffable, decodable bytes) holds —
+    keyframes decode via kernels/vp8, inter frames surface that
+    decoder's explicit interframe error. Other codecs (V_VP9/V_AV1/…)
+    raise the unbundled-codec seam."""
     codec: bytes | None = None
     frames: list[bytes] = []
 
@@ -422,9 +441,16 @@ def _iter_webm_frames(payload: bytes) -> Iterator[bytes]:
     walk(0, len(payload), 0)
     if codec is None:
         raise ValueError("matroska file has no CodecID")
-    if codec.rstrip(b"\x00") not in (b"V_MJPEG",):
+    cid = codec.rstrip(b"\x00")
+    if cid == b"V_VP8":
+        from ragflow_ocr_spark.kernels import vp8 as vp8mod
+
+        yield from (vp8mod.wrap_webp(fr) for fr in frames)
+        return
+    if cid != b"V_MJPEG":
         raise NotImplementedError(
-            f"matroska codec {codec!r} not bundled offline (V_MJPEG decodes)"
+            f"matroska codec {codec!r} not bundled offline "
+            "(V_MJPEG and V_VP8 decode)"
         )
     yield from frames
 
@@ -822,14 +848,16 @@ FROM documents WHERE doc_id < {_AUD_LIMIT}
 def _synth_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Container mix with closed-form frame lumas: MOCKV1 (PNG frames)
     for even ids; for odd ids, MJPEG samples in an ISO-BMFF mp4
-    (id % 4 == 1) or a webm/Matroska (id % 8 == 3) — constant-value
+    (id % 4 == 1) or an MJPEG webm/Matroska (id % 16 == 3) — constant-value
     JPEG frames are LOSSLESS at quality 95 (the luma DC quantizer is
     2, and 8·(v−128) is always even) — or an ANIMATED LOSSY WebP
     (id % 8 == 7): full-canvas flat VP8 keyframes in ANMF chunks,
     whose q_index-0 DC construction reconstructs y exactly, so the
     decoded gray is the closed BT.601 form (298·(y−16)+128)>>8 and
     the DuckDB oracle stays exact while the real container parse +
-    VP8 decode + compositing run."""
+    VP8 decode + compositing run — or a V_VP8-coded webm
+    (id % 16 == 11): the same flat VP8 keyframes as Matroska
+    SimpleBlocks through the real EBML demux + kernels/vp8."""
     from ragflow_ocr_spark.kernels import imgcodecs, vp8 as vp8mod, webp as webpmod
 
     for b in batches:
@@ -872,6 +900,16 @@ def _synth_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 ]
                 if did % 4 == 1:
                     payload, codec = encode_mp4_mjpeg(frames, 32, 24), "mjpeg_mp4"
+                elif did % 16 == 11:
+                    # V_VP8 webm: flat keyframes, same exact BT.601
+                    # closed form as the animated-WebP family
+                    vp8_frames = [
+                        vp8mod.encode_vp8_flat_payload(
+                            32, 24, (64 + (did * 31 + idx * 7) % 128, 128, 128)
+                        )
+                        for idx in range(n_frames)
+                    ]
+                    payload, codec = encode_webm(vp8_frames, b"V_VP8"), "vp8_webm"
                 else:
                     payload, codec = encode_webm_mjpeg(frames), "mjpeg_webm"
                 rows.append((did, "video", payload, codec, 32, 24, 0))
@@ -899,7 +937,7 @@ WITH f AS (
   FROM documents WHERE doc_id < {_VID_LIMIT}
 )
 SELECT doc_id AS media_id, frame_idx,
-       ROUND(CASE WHEN doc_id % 8 = 7
+       ROUND(CASE WHEN doc_id % 8 = 7 OR doc_id % 16 = 11
              THEN CAST((298 * (64 + (doc_id * 31 + frame_idx * 7) % 128 - 16)
                         + 128) // 256 AS DOUBLE)
              ELSE CAST((doc_id * 31 + frame_idx * 7) % 256 AS DOUBLE)

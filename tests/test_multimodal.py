@@ -162,7 +162,8 @@ def test_contract_queries_match_analytic_truth(spark):
     assert rows
     for r in rows:
         assert r["frame_idx"] % 2 == 0
-        if r["media_id"] % 8 == 7:  # animated lossy WebP → BT.601 map
+        if r["media_id"] % 8 == 7 or r["media_id"] % 16 == 11:
+            # animated lossy WebP / V_VP8 webm → BT.601 map
             y = 64 + (r["media_id"] * 31 + r["frame_idx"] * 7) % 128
             assert r["mean_luma"] == float((298 * (y - 16) + 128) >> 8)
         else:
@@ -333,9 +334,34 @@ def test_webm_mjpeg_mux_demux_roundtrip():
     mkv = mm.encode_webm_mjpeg(frames)
     assert list(mm.iter_video_frames(mkv)) == frames
     with pytest.raises(NotImplementedError, match="codec"):
-        list(mm.iter_video_frames(mkv.replace(b"V_MJPEG", b"V_VP8\x00\x00")))
+        list(mm.iter_video_frames(mkv.replace(b"V_MJPEG", b"V_VP9\x00\x00")))
     with pytest.raises(ValueError):
         list(mm.iter_video_frames(mm._EBML_MAGIC + b"\x00\xff\x13"))
+
+
+def test_webm_vp8_keyframes_decode_for_real():
+    """V_VP8 Matroska tracks route through kernels/vp8: flat keyframes
+    reconstruct their exact BT.601 values through demux + decode; an
+    inter frame (tag LSB set) surfaces the decoder's explicit error
+    when the frame is decoded."""
+    from ragflow_ocr_spark.kernels import vp8, webp
+
+    vals = [70, 140, 200]
+    frames = [
+        vp8.encode_vp8_flat_payload(32, 24, (v, 128, 128)) for v in vals
+    ]
+    mkv = mm.encode_webm(frames, b"V_VP8")
+    out = list(mm.iter_video_frames(mkv))
+    assert len(out) == 3
+    for fr, v in zip(out, vals):
+        img = mm._decode_frame(fr)
+        exp = (298 * (v - 16) + 128) >> 8
+        assert (img == exp).all()
+    # interframe bit set → wrapped frame fails loudly at decode time
+    inter = bytes([frames[0][0] | 1]) + frames[0][1:]
+    wrapped = list(mm.iter_video_frames(mm.encode_webm([inter], b"V_VP8")))[0]
+    with pytest.raises(ValueError, match="interframe"):
+        webp.decode_webp(wrapped)
 
 
 def test_webm_through_frame_sample_stage(spark):
