@@ -155,6 +155,45 @@ N_HASHES = 128
 N_BANDS = 64  # 2 rows/band → recall ≈ 1 − (1−J²)^64; @J=0.5 ≈ 1−1e-8
 
 
+def _minhash_bands(sh: DataFrame) -> DataFrame:
+    """shingles → (doc_id, band, bsig) LSH band table.
+
+    K permutation-free minhashes as K plain agg columns — each min()
+    gets map-side partial aggregation and whole-stage codegen; the
+    array+element_at formulation is ~40× slower (measured). Hash
+    family: one string hash per shingle, then K fixed-width re-hashes
+    h_i = xxhash64(h1, seed=i). Hashing the 8-byte long is far cheaper
+    than re-hashing the variable-length shingle K times, and stays
+    fully independent across i (an additive h1 + i·h2 family was tried
+    and REJECTED: without modular wrap the argmin is dominated by h1,
+    every minhash picks the same shingle, and LSH recall collapses —
+    observed as missing candidate pairs). Candidates are always
+    exact-verified downstream, so the hash family can only affect
+    recall, never output correctness of surfaced pairs.
+
+    Expressions are built as SQL strings (selectExpr/F.expr), not
+    nested Column trees: the 128-agg + 64-band construction was ~1.4 s
+    of py4j plan-build per call (measured round 4), charged to every
+    minhash-based query (lsh, incremental, clusters)."""
+    hashed = sh.selectExpr("doc_id", "xxhash64(shingle) AS h1")
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.expr(f"min(xxhash64(h1, {i})) AS h{i}") for i in range(N_HASHES)]
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    structs = ", ".join(
+        "struct({b} AS band, xxhash64({cols}) AS bsig)".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return sig.selectExpr(
+        "doc_id", f"explode(array({structs})) AS bb"
+    ).selectExpr("doc_id", "bb.band AS band", "bb.bsig AS bsig")
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate generation + exact-Jaccard verification.
 
@@ -165,42 +204,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and band recall at the threshold is ≈1 (miss prob < 1e-8).
     """
     sh = _shingles_df(spark, sf_dir)
-    # K permutation-free minhashes as K plain agg columns — each
-    # min() gets map-side partial aggregation and whole-stage codegen;
-    # the array+element_at formulation is ~40× slower (measured).
-    # Hash family: one string hash per shingle, then K fixed-width
-    # re-hashes h_i = xxhash64(h1, seed=i). Hashing the 8-byte long is
-    # far cheaper than re-hashing the variable-length shingle K times,
-    # and stays fully independent across i (an additive h1 + i·h2
-    # family was tried and REJECTED: without modular wrap the argmin is
-    # dominated by h1, every minhash picks the same shingle, and LSH
-    # recall collapses — observed as missing candidate pairs).
-    # Candidates are exact-verified below, so the hash family can only
-    # affect recall, never output correctness of surfaced pairs.
-    hashed = sh.select("doc_id", F.xxhash64(F.col("shingle")).alias("h1"))
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("h1"), F.lit(i))).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ],
-    )
-    rows_per_band = N_HASHES // N_BANDS
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                        ).alias("bsig"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
+    bands = _minhash_bands(sh)  # see helper for hash-family + expr notes
     # single-pass band buckets (same trick as q_dedup_simhash): a
     # (band,bsig) self-join would evaluate the whole 128-hash
     # signature lineage once per join side; one groupBy +
@@ -524,35 +528,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles and report is_dup=0 in both engines."""
     d = _docs(spark, sf_dir)
     sh = _shingles_df(spark, sf_dir)
-    hashed = sh.select("doc_id", F.xxhash64(F.col("shingle")).alias("h1"))
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("h1"), F.lit(i))).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ],
-    )
-    rows_per_band = N_HASHES // N_BANDS
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"h{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bsig"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig")
-    )
+    bands = _minhash_bands(sh)
     new_bands = bands.where(F.col("doc_id") % 100 == 0)
     old_bands = bands.where(F.col("doc_id") % 100 != 0)
     cand = (
