@@ -230,18 +230,34 @@ def q_ann_lsh_bucketed(
         planes_per_band = planes_per_band_for(n_vecs)
     e = _emb(spark, sf_dir)
 
-    band_structs = []
-    for b in range(n_bands):
-        sig = None
-        for p in range(planes_per_band):
-            arr = F.array(*[F.lit(v) for v in _plane(b * planes_per_band + p)])
-            bit = (_dot(F.col("embedding"), arr) > 0).cast("long")
-            sig = bit if sig is None else sig * 2 + bit
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), sig.alias("key"))
+    # signature expressions as ONE SQL string: the Column-tree version
+    # materialized B·r·64 F.lit plane components (2048 py4j calls at
+    # the default shape — ~2.3 s of plan-build per run, measured).
+    # Literals print as %.17e (exponent form parses as DOUBLE, never
+    # DECIMAL, and 17 significant digits round-trip float64 exactly);
+    # the bit fold Σ bit_p · 2^(r−1−p) is integer-identical to the
+    # (((b0·2)+b1)·2+…) fold the tree version used, and the dot fold
+    # is the same zip_with/aggregate left-to-right DOUBLE sum.
+    def dot_sql(plane: list[float]) -> str:
+        arr = ", ".join(f"{v:.17e}" for v in plane)
+        return (
+            f"aggregate(zip_with(embedding, array({arr}),"
+            " (x, y) -> cast(x as double) * y), 0.0D, (acc, x) -> acc + x)"
         )
-    bands = e.select(
-        "vec_id", "embedding", F.explode(F.array(*band_structs)).alias("bb")
+
+    band_structs = ", ".join(
+        "struct({b} AS band, ({bits}) AS key)".format(
+            b=b,
+            bits=" + ".join(
+                f"(cast({dot_sql(_plane(b * planes_per_band + p))} > 0.0D"
+                f" as bigint) * {1 << (planes_per_band - 1 - p)})"
+                for p in range(planes_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    bands = e.selectExpr(
+        "vec_id", "embedding", f"explode(array({band_structs})) AS bb"
     ).select("vec_id", "embedding", "bb.band", "bb.key")
     # bucket member cap (see MAX_BUCKET), applied BEFORE the list
     # collect so a degenerate bucket never materializes as one giant
