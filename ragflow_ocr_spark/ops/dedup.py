@@ -56,9 +56,9 @@ FROM documents GROUP BY 1
 
 # ------------------------------------------------- word-3-gram shingles
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle table, deliberately NOT ``.cache()``d even though the
-    minhash query scans it 3×: the explode is cheap and fuses into the
-    downstream aggregates under whole-stage codegen, while a cached
+    """Shingle table, deliberately NOT ``.cache()``d even where a
+    query scans it more than once: the explode is cheap and fuses into
+    the downstream aggregates under whole-stage codegen, while a cached
     copy (measured ~2-4× slower end-to-end at sf0.1) costs MORE —
     materialization breaks the codegen fusion, stores ~10× the source
     bytes, and its InMemoryTableScan is slower than recomputing
@@ -221,8 +221,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("id_a") < F.col("id_b"))
         .distinct()  # the same pair can collide in several bands
     )
-    # exact verification of candidates only (shingles recomputed from
-    # lineage — deliberately uncached, see _shingles_df)
+    # exact verification of candidates only. The verify joins scan the
+    # FULL shingle table (3 fused map-only passes) rather than
+    # semi-joining the docs down to candidate ids first: the restricted
+    # shape (localCheckpoint(cand) + left_semi docs + re-shingle
+    # candidates, as q_dedup_incremental does) was tried and REJECTED
+    # here — measured 14.3 s vs 16.7 s at the sf1 rung (interleaved
+    # min-of-3): for a self-join dedup the candidate-doc set is a large
+    # fraction of the corpus whenever duplication is non-trivial, so
+    # the checkpoint barrier + distinct + semi-join cost more than the
+    # shuffle-free fused explode passes they replace. The asymmetric
+    # variant (tiny new-slice candidates) is where the restriction
+    # wins, and q_dedup_incremental keeps it.
     sh_a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
     inter = (
@@ -544,15 +554,29 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sh_n = sh.select(F.col("doc_id").alias("new_id"), "shingle")
-    sh_o = sh.select(F.col("doc_id").alias("old_id"), "shingle")
+    # candidate-restricted verification: checkpoint the tiny pair
+    # table (it is referenced twice), then re-shingle ONLY the
+    # candidate docs — never the full corpus — for the exact verify
+    # joins. Here (unlike q_dedup_minhash_lsh, where the restricted
+    # shape measured slower and was rejected) candidates are bounded
+    # by the 1% new slice, so the full-corpus shingle passes the old
+    # shape paid were almost entirely wasted: measured 8.2 s → 3.9 s
+    # at the sf1 rung. No broadcast hint on the semi-join; AQE picks.
+    cand = cand.localCheckpoint(eager=False)
+    cand_ids = (
+        cand.select(F.explode(F.array("new_id", "old_id")).alias("doc_id"))
+        .distinct()
+    )
+    shc = _shingles(d.join(cand_ids, "doc_id", "left_semi"))
+    sh_n = shc.select(F.col("doc_id").alias("new_id"), "shingle")
+    sh_o = shc.select(F.col("doc_id").alias("old_id"), "shingle")
     inter = (
         cand.join(sh_n, "new_id")
         .join(sh_o, ["old_id", "shingle"])
         .groupBy("new_id", "old_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sn = sizes.select(F.col("doc_id").alias("new_id"), F.col("n_sh").alias("nn"))
     so = sizes.select(F.col("doc_id").alias("old_id"), F.col("n_sh").alias("no"))
     j = inter.join(sn, "new_id").join(so, "old_id").select(
