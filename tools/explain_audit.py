@@ -94,6 +94,8 @@ CHECKS = {
     "dedup_incremental": [
         (r"BroadcastHashJoin", "the new-snapshot band table broadcasts; the corpus side streams map-side (no corpus-wide candidate shuffle)"),
         (r"!CartesianProduct", "bucketed candidates only"),
+        (r"LeftSemi", "exact verification re-shingles CANDIDATE docs only: source docs semi-joined to the checkpointed pair ids before the shingle explode"),
+        (r"Scan ExistingRDD|LogicalRDD", "candidate pair table served from a localCheckpoint-truncated lineage (band pipeline runs once, not once per reference)"),
     ],
     "dedup_clusters": [
         (r"Scan ExistingRDD|LogicalRDD", "fixpoint star edges served from a localCheckpoint-truncated lineage (no iteration replay)"),
