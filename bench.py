@@ -180,14 +180,18 @@ def run_sf1_rung(queries: dict) -> dict:
     spark = get_spark(app_name="bench-sf1", master=f"local[{CPUS}]")
     spark.range(1000).selectExpr("sum(id)").collect()
     out: dict[str, dict] = {}
-    # warm+1 timed per scale: the rung's budget must fit the per-round
-    # driver (3 passes × 20 queries × 2 scales measured ~27 min; the
-    # ratio's 10× margin below the 1.5× bar tolerates single-run noise,
-    # and same-session adjacency still cancels host drift per pair)
+    # warm + min-of-2 timed per scale. The rung ran warm+1 until round
+    # 4: a single timed pass let one slow host phase land as the
+    # recorded number (dedup_minhash_lsh's sf1 leg read 24.0 s in the
+    # closing r04 run vs 14.3-16.7 s min-of-3 standalone). With the
+    # py4j plan-build converted to SQL strings the extra pass costs
+    # ~100 s across the whole rung, well inside the driver budget;
+    # min-of-k applies to BOTH legs of each pair, so the ratio is not
+    # one-sidedly biased (cf. the retired ladder retry, ADVICE r03).
     for name in SF1_QUERIES:
         fn = queries[name]
-        t01 = _time_query(spark, fn, SF_DIR, passes=2)
-        t1 = _time_query(spark, fn, sf1_dir, passes=2)
+        t01 = _time_query(spark, fn, SF_DIR, passes=3)
+        t1 = _time_query(spark, fn, sf1_dir, passes=3)
         out[name] = {
             "sf0.1_sec": round(t01, 3),
             "sf1_sec": round(t1, 3),
