@@ -19,7 +19,8 @@ Scope (documented substitution, like the PNG codec):
 - TIFF: compression none/LZW (MSB-first, EarlyChange)/PackBits with
   the horizontal-differencing predictor, little- or big-endian, gray
   or RGB, chunky, any strip layout.
-- JPEG: baseline sequential DCT (SOF0) AND progressive DCT (SOF2 —
+- JPEG: baseline sequential DCT (SOF0), extended sequential Huffman
+  (SOF1 — identical scan syntax at 8-bit) AND progressive DCT (SOF2 —
   spectral selection + successive approximation, EOBn runs, DC/AC
   refinement scans; the most common real-crawl payload after
   baseline), 8-bit, grayscale or YCbCr with arbitrary sampling
@@ -1248,7 +1249,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 tbl = _build_huff_decoder(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
                 i += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        # SOF0 baseline / SOF1 extended sequential / SOF2 progressive.
+        # SOF1 differs from SOF0 only in the limits it relaxes (12-bit
+        # precision, Huffman table ids 2-3); at 8-bit its scan syntax
+        # is byte-identical to baseline, and the table dicts here key
+        # by id so 2-3 already work — cv2/libjpeg accept it the same
+        # way (reference route: /root/reference/ocr/operators.py:41-46).
+        elif marker in (0xC0, 0xC1, 0xC2):
             progressive = marker == 0xC2
             prec, h, w, nc = seg[0], struct.unpack_from(">H", seg, 1)[0], struct.unpack_from(">H", seg, 3)[0], seg[5]
             if prec != 8:
@@ -1286,8 +1293,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32
                 )
                 c["pred"] = 0
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline (SOF0) / progressive (SOF2) JPEG supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only Huffman sequential (SOF0/SOF1) / progressive (SOF2) "
+                "JPEG supported (lossless and arithmetic-coded variants are not)"
+            )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xEE:  # APP14 (Adobe color-transform tag)

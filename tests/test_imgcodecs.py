@@ -623,3 +623,33 @@ def test_two_component_jpeg_rejected():
     d[i + 9] = 2
     with pytest.raises(ValueError):
         ic.decode_jpeg(bytes(d))
+
+
+def test_sof1_extended_sequential_decodes_identical_to_baseline():
+    """SOF1 (extended sequential, Huffman) at 8-bit has byte-identical
+    scan syntax to SOF0 — patching the frame marker of a baseline
+    stream produces a valid SOF1 file that must decode to the SAME
+    pixels (cv2/libjpeg accept SOF1 the same way)."""
+    x = np.linspace(0, 255, 48)
+    base = np.clip(np.add.outer(x, x[:40] * 0.8), 0, 255).astype(np.uint8)
+    rgb = np.stack([base, base[::-1], 255 - base], axis=2)
+    for img in (base, rgb):
+        d = bytearray(ic.encode_jpeg(img, quality=90))
+        i = d.find(b"\xff\xc0")
+        assert i > 0
+        d[i + 1] = 0xC1
+        assert np.array_equal(
+            ic.decode_jpeg(bytes(d)), ic.decode_jpeg(ic.encode_jpeg(img, quality=90))
+        )
+
+
+def test_arithmetic_and_lossless_jpeg_named_rejection():
+    """SOF9 (arithmetic sequential) and SOF3 (lossless) must fail as a
+    NAMED contractual error, never decode silently."""
+    d = bytearray(ic.encode_jpeg(np.full((8, 8), 9, np.uint8)))
+    i = d.find(b"\xff\xc0")
+    for sof in (0xC9, 0xC3, 0xCA):
+        d2 = bytearray(d)
+        d2[i + 1] = sof
+        with pytest.raises(ValueError, match="SOF0/SOF1"):
+            ic.decode_jpeg(bytes(d2))
