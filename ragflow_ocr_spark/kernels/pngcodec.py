@@ -2,11 +2,14 @@
 
 cv2 is unavailable in this environment, so the reference's
 ``cv2.imdecode``/``cv2.imencode`` (``/root/reference/ocr/operators.py:41-46``)
-is replaced by this codec. Decode scope: 8-bit color types 0 (gray),
-2 (RGB), 3 (palette, PLTE), 4 (gray+alpha) and 6 (RGBA) — alpha is
-dropped like ``cv2.IMREAD_COLOR`` does — sequential or
-Adam7-interlaced, all five scanline filters; the encoder emits types
-0/2. Any conforming encoder's 8-bit output decodes.
+is replaced by this codec. Decode scope: every legal (color, depth)
+combination — color types 0 (gray, depths 1/2/4/8/16), 2 (RGB, 8/16),
+3 (palette via PLTE, 1/2/4/8), 4 (gray+alpha, 8/16) and 6 (RGBA,
+8/16); alpha is dropped like ``cv2.IMREAD_COLOR`` does, sub-byte gray
+scales to the full 8-bit range, 16-bit keeps its high byte (cv2's
+8-bit conversion) — sequential or Adam7-interlaced, all five scanline
+filters; the encoder emits 8-bit types 0/2. Any conforming encoder's
+output decodes.
 """
 
 from __future__ import annotations
@@ -159,7 +162,14 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT")
-    if bit_depth != 8 or color_type not in (0, 2, 3, 4, 6):
+    # legal (color, depth) combos per the PNG spec (§11.2.2): sub-byte
+    # depths exist only for grayscale and palette; 16-bit for all
+    # non-palette types. Sub-byte palette/gray PNGs (icons, simple web
+    # graphics) are common crawl payloads; 16-bit maps to its high byte
+    # (network order), matching cv2.imdecode's 8-bit conversion (>>8).
+    _VALID_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                     4: (8, 16), 6: (8, 16)}
+    if color_type not in _VALID_DEPTHS or bit_depth not in _VALID_DEPTHS[color_type]:
         raise ValueError(f"unsupported PNG (depth={bit_depth}, color={color_type})")
     # raw channel count per color type; alpha is dropped after
     # unfiltering (cv2.IMREAD_COLOR semantics), palette expanded via PLTE
@@ -172,11 +182,34 @@ def decode_png(data: bytes) -> np.ndarray:
     # would otherwise allocate GBs inside zlib before any size check
     if width == 0 or height == 0 or width * height > MAX_DECODE_PIXELS:
         raise ValueError("bad PNG dimensions")
-    stride = width * channels
+
+    def _row_bytes(w: int) -> int:
+        return (w * channels * bit_depth + 7) // 8
+
+    # filter unit (§9.2): the byte offset of the left neighbour —
+    # whole pixels for ≥8-bit, one byte for packed sub-byte rows
+    bpp = max(1, (channels * bit_depth) // 8)
+
+    def _rows_to_pixels(rows: np.ndarray, h: int, w: int) -> np.ndarray:
+        """(h, row_bytes) unfiltered bytes → (h, w, channels) uint8."""
+        if bit_depth == 8:
+            return rows.reshape(h, w, channels)
+        if bit_depth == 16:
+            # big-endian sample pairs; keep the high byte (cv2 >>8)
+            return rows.reshape(h, w, channels, 2)[..., 0].copy()
+        bits = np.unpackbits(np.ascontiguousarray(rows), axis=1)  # MSB-first, per spec
+        vals = bits[:, : w * bit_depth].reshape(h, w, bit_depth)
+        weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint8)
+        v = (vals * weights).sum(axis=2).astype(np.uint8)
+        if color_type == 0:  # gray: scale sample to full 8-bit range
+            v = (v * (255 // ((1 << bit_depth) - 1))).astype(np.uint8)
+        return v.reshape(h, w, 1)
+
+    stride = _row_bytes(width)
     if interlace:
         passes = _adam7_passes(width, height)
         expected = sum(
-            ph * (1 + pw * channels) for _x, _y, _dx, _dy, pw, ph in passes if pw and ph
+            ph * (1 + _row_bytes(pw)) for _x, _y, _dx, _dy, pw, ph in passes if pw and ph
         )
     else:
         expected = height * (stride + 1)
@@ -197,7 +230,7 @@ def decode_png(data: bytes) -> np.ndarray:
         for x0, y0, dx, dy, pw, ph in passes:
             if not pw or not ph:
                 continue
-            sub_stride = pw * channels
+            sub_stride = _row_bytes(pw)
             nbytes = ph * (1 + sub_stride)
             raw = np.frombuffer(inflated, np.uint8, nbytes, off).reshape(
                 ph, 1 + sub_stride
@@ -206,8 +239,8 @@ def decode_png(data: bytes) -> np.ndarray:
             if not raw[:, 0].any():
                 sub = raw[:, 1:].copy()
             else:
-                sub = _unfilter(raw, ph, sub_stride, channels)
-            img[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+                sub = _unfilter(raw, ph, sub_stride, bpp)
+            img[y0::dy, x0::dx] = _rows_to_pixels(sub, ph, pw)
     else:
         raw = np.frombuffer(inflated, dtype=np.uint8)
         raw = raw.reshape(height, stride + 1)
@@ -215,8 +248,8 @@ def decode_png(data: bytes) -> np.ndarray:
         if not raw[:, 0].any():
             out = raw[:, 1:].copy()
         else:
-            out = _unfilter(raw, height, stride, channels)
-        img = out.reshape(height, width, channels)
+            out = _unfilter(raw, height, stride, bpp)
+        img = _rows_to_pixels(out, height, width)
     if color_type == 3:
         idx = img.reshape(height, width)
         if int(idx.max()) * 3 + 2 >= len(plte):

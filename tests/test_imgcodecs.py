@@ -653,3 +653,98 @@ def test_arithmetic_and_lossless_jpeg_named_rejection():
         d2[i + 1] = sof
         with pytest.raises(ValueError, match="SOF0/SOF1"):
             ic.decode_jpeg(bytes(d2))
+
+
+# ---------------------------------------------------------- PNG depths
+def _png(width, height, bit_depth, color_type, rows, plte=None, interlace=0):
+    """Hand-assemble a PNG from pre-packed (possibly filtered) scanline
+    byte rows: rows is a list of bytes, each 1 filter byte + row data."""
+    import struct
+    import zlib
+
+    def chunk(tag, payload):
+        c = struct.pack(">I", len(payload)) + tag + payload
+        return c + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, interlace)
+    out = pngcodec.PNG_MAGIC + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    out += chunk(b"IDAT", zlib.compress(b"".join(rows)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_png_1bit_gray_scales_to_full_range():
+    # 10 px wide: bits 1010101010 packed MSB-first = 0xAA 0x80
+    rows = [b"\x00\xaa\x80", b"\x00\x55\x40"]
+    img = pngcodec.decode_png(_png(10, 2, 1, 0, rows))
+    assert img.shape == (2, 10)
+    assert list(img[0]) == [255, 0] * 5
+    assert list(img[1]) == [0, 255] * 5
+
+
+def test_png_2bit_and_4bit_gray_exact_scaling():
+    # 2-bit: samples 0,1,2,3 → 0,85,170,255; 4 px pack into one byte
+    img2 = pngcodec.decode_png(_png(4, 1, 2, 0, [b"\x00\x1b"]))  # 00 01 10 11
+    assert list(img2[0]) == [0, 85, 170, 255]
+    # 4-bit: samples 0..15 scale by 17; 3 px (odd) leave 4 pad bits
+    img4 = pngcodec.decode_png(_png(3, 1, 4, 0, [b"\x00\x0f\xa0"]))  # 0,15,10
+    assert list(img4[0]) == [0, 255, 170]
+
+
+def test_png_4bit_palette_color_and_gray_collapse():
+    plte = bytes([10, 20, 30, 200, 100, 0])  # two colored entries
+    img = pngcodec.decode_png(_png(2, 1, 4, 3, [b"\x00\x01"], plte=plte))
+    assert img.shape == (2, 1, 3)[1:] or img.shape == (1, 2, 3)
+    assert list(img[0, 0]) == [10, 20, 30] and list(img[0, 1]) == [200, 100, 0]
+    # all-gray palette collapses to HW, same as the 8-bit palette path
+    plteg = bytes([7, 7, 7, 250, 250, 250])
+    g = pngcodec.decode_png(_png(2, 1, 1, 3, [b"\x00\x40"], plte=plteg))
+    assert g.shape == (1, 2) and list(g[0]) == [7, 250]
+
+
+def test_png_16bit_gray_and_rgb_keep_high_byte():
+    # gray 16-bit: samples 0x1234, 0xFF00 → 0x12, 0xFF
+    img = pngcodec.decode_png(_png(2, 1, 16, 0, [b"\x00\x12\x34\xff\x00"]))
+    assert img.shape == (1, 2) and list(img[0]) == [0x12, 0xFF]
+    rgb = pngcodec.decode_png(
+        _png(1, 1, 16, 2, [b"\x00\xab\x01\xcd\x02\xef\x03"])
+    )
+    assert rgb.shape == (1, 1, 3) and list(rgb[0, 0]) == [0xAB, 0xCD, 0xEF]
+
+
+def test_png_subbyte_filtered_rows_unfilter_on_bytes():
+    # Sub (type 1) and Up (type 2) operate on packed BYTES for
+    # sub-byte depths (filter unit = 1 byte, PNG spec 9.2)
+    r0 = b"\x01" + bytes([0xAA, (0x80 - 0xAA) & 0xFF])  # unfilters to AA 80
+    r1 = b"\x02" + bytes([(0x55 - 0xAA) & 0xFF, (0x40 - 0x80) & 0xFF])  # to 55 40
+    img = pngcodec.decode_png(_png(10, 2, 1, 0, [r0, r1]))
+    assert list(img[0]) == [255, 0] * 5
+    assert list(img[1]) == [0, 255] * 5
+
+
+def test_png_1bit_interlaced_matches_sequential():
+    # 9x9 checkerboard, 1-bit gray, Adam7: scatter must agree with the
+    # sequential decode of the same logical image
+    w = h = 9
+    board = ((np.add.outer(np.arange(h), np.arange(w)) % 2) == 0).astype(np.uint8)
+    seq_rows = [
+        b"\x00" + np.packbits(board[y], bitorder="big").tobytes() for y in range(h)
+    ]
+    seq = pngcodec.decode_png(_png(w, h, 1, 0, seq_rows))
+    il_rows = []
+    for x0, y0, dx, dy, pw, ph in pngcodec._adam7_passes(w, h):
+        if not pw or not ph:
+            continue
+        sub = board[y0::dy, x0::dx]
+        for y in range(ph):
+            il_rows.append(b"\x00" + np.packbits(sub[y], bitorder="big").tobytes())
+    il = pngcodec.decode_png(_png(w, h, 1, 0, il_rows, interlace=1))
+    assert np.array_equal(seq, il)
+    assert np.array_equal(seq, board * 255)
+
+
+def test_png_illegal_depth_combos_rejected():
+    for depth, ctype in ((16, 3), (2, 2), (4, 6), (3, 0), (12, 0)):
+        with pytest.raises(ValueError, match="unsupported PNG"):
+            pngcodec.decode_png(_png(1, 1, depth, ctype, [b"\x00\x00\x00\x00\x00"]))
