@@ -11,7 +11,9 @@ HxWx3 uint8 out, ``ValueError`` on malformed input (the Spark stage
 maps that to a per-row error status, never a task failure).
 
 Scope (documented substitution, like the PNG codec):
-- BMP: 8-bit palette / 24-bit / 32-bit uncompressed (BI_RGB), both
+- BMP: 1/4/8-bit palette / 24-bit / 32-bit uncompressed (BI_RGB) plus
+  RLE8/RLE4 (BI_RLE8/BI_RLE4 with encoded, absolute, delta, EOL and
+  EOB ops), both
   row orders.
 - GIF: 87a/89a first frame — LZW, global/local color tables,
   interlacing, extension blocks; the encoder emits single-frame
@@ -89,9 +91,86 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + info + data
 
 
+def _bmp_rle_decode(
+    data: bytes, off: int, w: int, h: int, four_bit: bool
+) -> np.ndarray:
+    """BI_RLE8/BI_RLE4 → (h, w) palette-index matrix, top-down.
+
+    RLE bitmaps are always stored bottom-up; runs past the row width
+    clip (writes bounded, cursor still advances), so a malicious
+    stream can never write outside the declared h×w allocation."""
+    idx = np.zeros((h, w), np.uint8)
+    x = y = 0
+    p, n = off, len(data)
+    while p + 1 < n:
+        c, v = data[p], data[p + 1]
+        p += 2
+        if c:  # encoded run: c pixels of v (RLE4: alternating nibbles)
+            if y >= h:
+                raise ValueError("bad BMP RLE (run past last row)")
+            if four_bit:
+                pair = (v >> 4, v & 0xF)
+                for i in range(c):
+                    if x < w:
+                        idx[y, x] = pair[i & 1]
+                    x += 1
+            else:
+                idx[y, x : min(x + c, w)] = v
+                x += c
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta move
+            if p + 2 > n:
+                raise ValueError("truncated BMP RLE delta")
+            x += data[p]
+            y += data[p + 1]
+            p += 2
+            if y > h or x > w:
+                raise ValueError("bad BMP RLE delta")
+        else:  # absolute mode: v literal pixels, word-aligned
+            cnt = v
+            nbytes = (cnt + 1) // 2 if four_bit else cnt
+            aligned = (nbytes + 1) & ~1
+            if p + aligned > n:
+                raise ValueError("truncated BMP RLE absolute run")
+            if y >= h:
+                raise ValueError("bad BMP RLE (absolute run past last row)")
+            if four_bit:
+                for i in range(cnt):
+                    b = data[p + (i >> 1)]
+                    s = (b >> 4) if i & 1 == 0 else (b & 0xF)
+                    if x < w:
+                        idx[y, x] = s
+                    x += 1
+            else:
+                take = min(cnt, w - x)
+                if take > 0:
+                    idx[y, x : x + take] = np.frombuffer(data, np.uint8, take, p)
+                x += cnt
+            p += aligned
+    return idx[::-1]
+
+
+def _bmp_palette_map(data: bytes, hdr_size: int, bpp: int, idx: np.ndarray) -> np.ndarray:
+    n_colors = struct.unpack_from("<I", data, 46)[0] or (1 << bpp)
+    pal = np.frombuffer(data, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size)
+    pal = pal.reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRA → RGB
+    if int(idx.max()) >= n_colors:
+        raise ValueError("BMP palette index out of range")
+    rgb = pal[idx]
+    if (rgb[..., 0] == rgb[..., 1]).all() and (rgb[..., 1] == rgb[..., 2]).all():
+        return np.ascontiguousarray(rgb[..., 0])
+    return np.ascontiguousarray(rgb)
+
+
 @_codec_errors
 def decode_bmp(data: bytes) -> np.ndarray:
-    """BMP bytes → HxW (if palette is grayscale) or HxWx3 uint8 RGB."""
+    """BMP bytes → HxW (if palette is grayscale) or HxWx3 uint8 RGB.
+
+    BI_RGB at 1/4/8/24/32 bpp plus BI_RLE8 and BI_RLE4 — the cv2
+    format set for the BMPs that actually occur in crawls."""
     if len(data) < 54 or data[:2] != BMP_MAGIC:
         raise ValueError("not a BMP")
     off = struct.unpack_from("<I", data, 10)[0]
@@ -101,13 +180,22 @@ def decode_bmp(data: bytes) -> np.ndarray:
     w, h_signed = struct.unpack_from("<ii", data, 18)
     planes, bpp = struct.unpack_from("<HH", data, 26)
     compression = struct.unpack_from("<I", data, 30)[0]
-    if planes != 1 or compression != 0 or bpp not in (8, 24, 32):
+    rle = (compression, bpp) in ((1, 8), (2, 4))
+    if planes != 1 or not (
+        rle or (compression == 0 and bpp in (1, 4, 8, 24, 32))
+    ):
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
     if w <= 0 or h_signed == 0 or w > 1 << 16 or abs(h_signed) > 1 << 16:
         raise ValueError("bad BMP dimensions")
     h = abs(h_signed)
     top_down = h_signed < 0
-    row_len = (w * bpp // 8 + 3) & ~3
+    if rle:
+        if top_down:
+            raise ValueError("RLE BMP must be bottom-up")
+        return _bmp_palette_map(
+            data, hdr_size, bpp, _bmp_rle_decode(data, off, w, h, bpp == 4)
+        )
+    row_len = ((w * bpp + 31) // 32) * 4
     need = off + row_len * h
     if len(data) < need:
         raise ValueError("truncated BMP")
@@ -115,16 +203,17 @@ def decode_bmp(data: bytes) -> np.ndarray:
     rows = rows.reshape(h, row_len)
     if not top_down:
         rows = rows[::-1]
+    if bpp == 1:
+        idx = np.unpackbits(np.ascontiguousarray(rows), axis=1)[:, :w]
+        return _bmp_palette_map(data, hdr_size, bpp, idx)
+    if bpp == 4:
+        idx = np.zeros((h, w), np.uint8)
+        half = rows[:, : (w + 1) // 2]
+        idx[:, 0::2] = half[:, : (w + 1) // 2] >> 4
+        idx[:, 1::2] = half[:, : w // 2] & 0xF
+        return _bmp_palette_map(data, hdr_size, bpp, idx)
     if bpp == 8:
-        pal_off = 14 + hdr_size
-        n_colors = struct.unpack_from("<I", data, 46)[0] or 256
-        pal = np.frombuffer(data, dtype=np.uint8, count=n_colors * 4, offset=pal_off)
-        pal = pal.reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRA → RGB
-        idx = rows[:, :w]
-        rgb = pal[idx]
-        if (rgb[..., 0] == rgb[..., 1]).all() and (rgb[..., 1] == rgb[..., 2]).all():
-            return np.ascontiguousarray(rgb[..., 0])
-        return np.ascontiguousarray(rgb)
+        return _bmp_palette_map(data, hdr_size, bpp, rows[:, :w])
     step = bpp // 8
     px = rows[:, : w * step].reshape(h, w, step)
     return np.ascontiguousarray(px[:, :, 2::-1])  # BGR(A) → RGB

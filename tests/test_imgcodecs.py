@@ -748,3 +748,78 @@ def test_png_illegal_depth_combos_rejected():
     for depth, ctype in ((16, 3), (2, 2), (4, 6), (3, 0), (12, 0)):
         with pytest.raises(ValueError, match="unsupported PNG"):
             pngcodec.decode_png(_png(1, 1, depth, ctype, [b"\x00\x00\x00\x00\x00"]))
+
+
+# ---------------------------------------------------------- BMP depths/RLE
+def _bmp(w, h, bpp, compression, pixel_data, palette=None):
+    """Hand-assemble a BMP (BITMAPINFOHEADER) with an explicit palette
+    (list of RGB tuples) and raw pixel/RLE byte payload."""
+    import struct
+
+    pal = b"".join(bytes([b, g, r, 0]) for r, g, b in (palette or []))
+    off = 54 + len(pal)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, compression,
+        len(pixel_data), 2835, 2835, len(palette or []), 0,
+    )
+    head = struct.pack("<2sIHHI", b"BM", off + len(pixel_data), 0, 0, off)
+    return head + info + pal + pixel_data
+
+
+_BMP_PAL16 = [(i * 17, 0, 255 - i * 17) for i in range(16)]
+
+
+def test_bmp_rle8_all_ops():
+    # 6x3 (bottom-up): encoded run, absolute run (padded), delta, EOL, EOB
+    rle = bytes(
+        [3, 7]            # row0 (bottom): 7 7 7
+        + [0, 3, 1, 2, 3, 0]  # absolute: 1 2 3 (pad byte)
+        + [0, 0]          # EOL
+        + [0, 2, 2, 1]    # delta: skip to x=2 of row1 → rest zero-filled
+        + [4, 9]          # middle... lands on row2 after delta y+1: 9 9 9 9 at x=2
+        + [0, 1]          # EOB
+    )
+    pal = [(i, i, i) for i in range(16)]  # grayscale palette → HW output
+    img = ic.decode_bmp(_bmp(6, 3, 8, 1, rle, pal))
+    assert img.shape == (3, 6)
+    assert list(img[2]) == [7, 7, 7, 1, 2, 3]      # bottom row
+    assert list(img[1]) == [0, 0, 0, 0, 0, 0]      # skipped by delta
+    assert list(img[0]) == [0, 0, 9, 9, 9, 9]      # top row
+
+
+def test_bmp_rle4_runs_and_absolute():
+    # 5x2 bottom-up: run of 5 alternating nibbles (0xA1 → 10,1,10,1,10),
+    # EOL, then absolute 3 literal nibbles (0x5C 0x30 → 5,12,3) + run 2 of 0xF
+    rle = bytes(
+        [5, 0xA1, 0, 0]          # row0 + EOL
+        + [0, 3, 0x5C, 0x30]     # absolute 3 px, 2 data bytes = word-aligned
+        + [2, 0xFF]              # run: 15 15
+        + [0, 1]                 # EOB
+    )
+    img = ic.decode_bmp(_bmp(5, 2, 4, 2, rle, _BMP_PAL16))
+    assert img.shape == (2, 5, 3)
+    assert [tuple(p) for p in img[1]] == [_BMP_PAL16[i] for i in (10, 1, 10, 1, 10)]
+    assert [tuple(p) for p in img[0]] == [_BMP_PAL16[i] for i in (5, 12, 3, 15, 15)]
+
+
+def test_bmp_uncompressed_1bit_and_4bit():
+    # 1-bit, 10x2, bottom-up; rows pad to 4 bytes
+    pal2 = [(0, 0, 0), (255, 255, 255)]
+    rows = bytes([0xAA, 0x80, 0, 0]) + bytes([0x55, 0x40, 0, 0])
+    img = ic.decode_bmp(_bmp(10, 2, 1, 0, rows, pal2))
+    assert img.shape == (2, 10)
+    assert list(img[1]) == [255, 0] * 5   # first stream row = bottom
+    assert list(img[0]) == [0, 255] * 5
+    # 4-bit, 3x1: nibbles 0,15,10 + pad to 4 bytes
+    img4 = ic.decode_bmp(_bmp(3, 1, 4, 0, bytes([0x0F, 0xA0, 0, 0]), _BMP_PAL16))
+    assert [tuple(p) for p in img4[0]] == [_BMP_PAL16[i] for i in (0, 15, 10)]
+
+
+def test_bmp_rle_malformed_is_contract_error():
+    for bad in (
+        bytes([0, 3, 1, 2]),          # absolute run truncated (no pad byte)
+        bytes([0, 2, 200]),           # delta truncated
+        bytes([0, 2, 0, 200, 1, 1]),  # delta jumps past last row then writes
+    ):
+        with pytest.raises(ValueError):
+            ic.decode_bmp(_bmp(4, 2, 8, 1, bad, [(i, i, i) for i in range(16)]))
