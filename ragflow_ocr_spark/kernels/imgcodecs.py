@@ -18,7 +18,8 @@ Scope (documented substitution, like the PNG codec):
 - GIF: 87a/89a first frame — LZW, global/local color tables,
   interlacing, extension blocks; the encoder emits single-frame
   256-color GIF89a for fixtures.
-- TIFF: compression none/LZW (MSB-first, EarlyChange)/PackBits with
+- TIFF: compression none/LZW (MSB-first, EarlyChange)/Deflate (8 and
+  legacy AdobeDeflate 32946)/PackBits with
   the horizontal-differencing predictor, little- or big-endian, gray
   or RGB, chunky, any strip layout.
 - JPEG: baseline sequential DCT (SOF0), extended sequential Huffman
@@ -35,6 +36,7 @@ from __future__ import annotations
 
 import functools
 import struct
+import zlib
 
 import numpy as np
 
@@ -366,23 +368,25 @@ def encode_tiff(
     img: np.ndarray, compression: str = "none", predictor: bool = False
 ) -> bytes:
     """HxW (gray) or HxWx3 uint8 → little-endian TIFF, single strip,
-    chunky. ``compression``: none / lzw / packbits; ``predictor``
-    applies the horizontal differencing predictor (tag 317=2, LZW
-    only) — the layouts real scanner/exporter TIFFs use."""
+    chunky. ``compression``: none / lzw / deflate / packbits;
+    ``predictor`` applies the horizontal differencing predictor (tag
+    317=2, LZW/Deflate) — the layouts real scanner/exporter TIFFs use."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
     spp = 1 if gray else 3
     raw = img
     if predictor:
-        if compression != "lzw":
-            raise ValueError("predictor is defined for LZW here")
+        if compression not in ("lzw", "deflate"):
+            raise ValueError("predictor is defined for LZW/Deflate here")
         p = img.reshape(h, w, spp).astype(np.int16)
         p[:, 1:] -= img.reshape(h, w, spp)[:, :-1]
         raw = (p & 0xFF).astype(np.uint8)
     data = raw.tobytes()
-    comp_id = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    comp_id = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[compression]
     if compression == "lzw":
         data = _tiff_lzw_encode(data)
+    elif compression == "deflate":
+        data = zlib.compress(data)
     elif compression == "packbits":
         data = _packbits_encode(data)
     # IFD after the 8-byte header; pixel data after the IFD
@@ -465,7 +469,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if w * h > MAX_DECODE_PIXELS:
         raise ValueError(f"TIFF too large ({w}x{h} > {MAX_DECODE_PIXELS} px)")
     comp = vals(259, [1])[0]
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise ValueError(f"unsupported TIFF compression {comp}")
     predictor = vals(317, [1])[0]
     if predictor not in (1, 2):
@@ -491,6 +495,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raw = data[o : o + c]
         if comp == 5:
             raw = _tiff_lzw_decode(raw, strip_need)
+        elif comp in (8, 32946):  # Deflate / legacy AdobeDeflate
+            d = zlib.decompressobj()
+            try:
+                # bounded inflate, same bomb guard as the PNG path
+                raw = d.decompress(raw, strip_need)
+            except zlib.error as e:
+                raise ValueError(f"bad TIFF deflate strip: {e}") from e
         elif comp == 32773:
             raw = _packbits_decode(raw, strip_need)
         buf += raw[: need - len(buf)]

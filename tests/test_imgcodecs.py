@@ -520,7 +520,9 @@ def test_animated_gif_subrect_transparency_composite():
 @pytest.mark.parametrize(
     "kw",
     [{"compression": "lzw"}, {"compression": "packbits"},
-     {"compression": "lzw", "predictor": True}],
+     {"compression": "deflate"},
+     {"compression": "lzw", "predictor": True},
+     {"compression": "deflate", "predictor": True}],
 )
 def test_tiff_compressed_roundtrips(kw):
     """TIFF LZW (MSB-first, EarlyChange), PackBits, and the horizontal
