@@ -130,3 +130,53 @@ def test_render_sanitize_contract(text, scale):
     for line in drawn:
         assert line == font5x7.sanitize(line)  # idempotent
         assert line.strip() == line
+
+
+@given(st.integers(0, 2), st.binary(max_size=512))
+@settings(max_examples=100, deadline=None)
+def test_bmp_rle_and_subbyte_fuzz_value_error_only(comp, tail):
+    """Structured BMP fuzz reaching the RLE and sub-byte paths: a valid
+    54-byte header declaring RLE8/RLE4/1-bit with attacker-controlled
+    stream bytes must decode to uint8 or raise ValueError, never crash
+    or write outside the declared allocation."""
+    import struct
+
+    from ragflow_ocr_spark.kernels import imgcodecs
+
+    bpp = {0: 8, 1: 4, 2: 1}[comp]
+    compression = {0: 1, 1: 2, 2: 0}[comp]  # RLE8, RLE4, uncompressed 1-bit
+    pal = bytes(64)  # 16 entries
+    off = 54 + len(pal)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 9, 5, 1, bpp, compression, len(tail), 0, 0, 16, 0
+    )
+    head = struct.pack("<2sIHHI", b"BM", off + len(tail), 0, 0, off)
+    try:
+        out = imgcodecs.decode_bmp(head + info + pal + tail)
+        assert out.dtype == np.uint8 and out.shape[:2] == (5, 9)
+    except ValueError:
+        pass
+
+
+@given(st.binary(max_size=256), st.integers(1, 4).filter(lambda b: b != 3))
+@settings(max_examples=80, deadline=None)
+def test_png_subbyte_fuzz_value_error_only(tail, depth):
+    """Sub-byte/16-bit PNG fuzz: valid IHDR + arbitrary IDAT bytes must
+    decode or raise ValueError (zlib/size/filter errors), never crash."""
+    import struct
+    import zlib as _z
+
+    d = {1: 1, 2: 2, 4: 4}.get(depth, 16)
+    ihdr = struct.pack(">IIBBBBB", 7, 3, d, 0, 0, 0, 0)
+    def chunk(tag, payload):
+        c = struct.pack(">I", len(payload)) + tag + payload
+        return c + struct.pack(">I", _z.crc32(tag + payload) & 0xFFFFFFFF)
+    data = (
+        pngcodec.PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", tail) + chunk(b"IEND", b"")
+    )
+    try:
+        out = pngcodec.decode_png(data)
+        assert out.dtype == np.uint8
+    except ValueError:
+        pass
