@@ -825,3 +825,31 @@ def test_bmp_rle_malformed_is_contract_error():
     ):
         with pytest.raises(ValueError):
             ic.decode_bmp(_bmp(4, 2, 8, 1, bad, [(i, i, i) for i in range(16)]))
+
+
+def test_rle8_bmp_ocr_identical_to_png_route():
+    """A glyph page RLE8-encoded (runs + EOL + EOB, grayscale palette)
+    must extract byte-identical text to the PNG route."""
+    img, drawn = font5x7.render_page(["RLE BMP ROUTE 123"], 960, 96, 2)
+    want = "\n".join(drawn)
+
+    def rle8(m):
+        out = bytearray()
+        for row in m[::-1]:  # bottom-up
+            x = 0
+            while x < len(row):
+                run = 1
+                while x + run < len(row) and run < 255 and row[x + run] == row[x]:
+                    run += 1
+                out += bytes([run, row[x]])
+                x += run
+            out += b"\x00\x00"  # EOL
+        out += b"\x00\x01"  # EOB
+        return bytes(out)
+
+    pal = [(i, i, i) for i in range(256)]
+    payload = _bmp(img.shape[1], img.shape[0], 8, 1, rle8(img), pal)
+    assert ic.decode_bmp(payload).shape == img.shape
+    assert np.array_equal(ic.decode_bmp(payload), img)
+    r = extract_payload(payload)
+    assert r.status == "ok" and r.text == want
