@@ -11,7 +11,9 @@ fixture format:
   extents honor an integer ``/Length`` and fall back to searching
   ``endstream``;
 - filters: ``/FlateDecode`` (stdlib zlib — the overwhelmingly common
-  real-PDF filter) and ``/DCTDecode`` (the in-repo JPEG codec);
+  real-PDF filter), ``/LZWDecode`` (shared TIFF LZW), ``/ASCIIHexDecode``,
+  ``/RunLengthDecode`` and ``/DCTDecode`` (the in-repo JPEG codec),
+  chained in ``/Filter`` array order;
 - pages: ``/Type /Page`` objects in document order; ``/Contents`` as a
   ref or array of refs, concatenated;
 - content streams: text operators (``BT/ET``, ``Tf`` size, ``Td/TD/
@@ -257,6 +259,37 @@ def _decode_stream(objs, d: dict, raw: bytes) -> bytes:
             )
 
             out = _tiff_lzw_decode(out, MAX_DECODE_PIXELS)
+        elif name == "ASCIIHexDecode":
+            # hex pairs, whitespace-tolerant, '>' EOD; odd final digit
+            # pads with 0 (PDF 32000-1 §7.4.2)
+            body = out.split(b">", 1)[0]
+            hexs = bytes(c for c in body if c not in b" \t\r\n\f\0")
+            if any(c not in b"0123456789abcdefABCDEF" for c in hexs):
+                raise ValueError("bad ASCIIHexDecode stream")
+            if len(hexs) % 2:
+                hexs += b"0"
+            out = bytes.fromhex(hexs.decode("ascii"))
+        elif name == "RunLengthDecode":
+            # PackBits-style: length byte <128 → copy n+1, >128 →
+            # repeat next byte 257-n times, 128 = EOD (§7.4.5)
+            dec = bytearray()
+            i = 0
+            while i < len(out):
+                b = out[i]
+                i += 1
+                if b == 128:
+                    break
+                if b < 128:
+                    if i + b + 1 > len(out):
+                        raise ValueError("truncated RunLengthDecode run")
+                    dec += out[i : i + b + 1]
+                    i += b + 1
+                else:
+                    if i >= len(out):
+                        raise ValueError("truncated RunLengthDecode run")
+                    dec += bytes([out[i]]) * (257 - b)
+                    i += 1
+            out = bytes(dec)
         elif name == "DCTDecode":
             pass  # image data; decoded by the JPEG codec at use site
         else:

@@ -278,3 +278,43 @@ def test_blank_page_with_contents_never_salvages_unreferenced_image():
     r = extract_payload(doc)
     assert r.status == "empty"
     assert r.text == ""
+
+
+def test_asciihex_and_runlength_decode_filters():
+    """ASCIIHexDecode (whitespace + '>' EOD + odd-digit pad) and
+    RunLengthDecode (copy/repeat runs, 128 EOD), including a chained
+    [/ASCIIHexDecode /RunLengthDecode] filter array."""
+    text = b"BT /F1 24 Tf 40 700 Td (HEX RLE PDF) Tj ET"
+    hexed = text.hex().upper().encode()
+    spaced = b" ".join(hexed[i : i + 8] for i in range(0, len(hexed), 8)) + b">"
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >>",
+        b"<< /Filter /ASCIIHexDecode /Length "
+        + str(len(spaced)).encode()
+        + b" >>\nstream\n" + spaced + b"\nendstream",
+    ]
+    r = ocr_image(pdf.pdf_to_image(pdf._assemble(objects)), OCRConfig())
+    assert r.text == "HEX RLE PDF"
+
+    # RunLengthDecode: literal run + repeat run + EOD
+    rle = bytes([len(text) - 1]) + text + bytes([257 - 3, ord(" "), 128])
+    objects[3] = (
+        b"<< /Filter /RunLengthDecode /Length "
+        + str(len(rle)).encode()
+        + b" >>\nstream\n" + rle + b"\nendstream"
+    )
+    r2 = ocr_image(pdf.pdf_to_image(pdf._assemble(objects)), OCRConfig())
+    assert r2.text == "HEX RLE PDF"
+
+    # chained: RunLength output hex-encoded, filters applied in order
+    chained = rle.hex().encode() + b">"
+    objects[3] = (
+        b"<< /Filter [/ASCIIHexDecode /RunLengthDecode] /Length "
+        + str(len(chained)).encode()
+        + b" >>\nstream\n" + chained + b"\nendstream"
+    )
+    r3 = ocr_image(pdf.pdf_to_image(pdf._assemble(objects)), OCRConfig())
+    assert r3.text == "HEX RLE PDF"
