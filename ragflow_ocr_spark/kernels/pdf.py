@@ -24,7 +24,8 @@ fixture format:
   returned directly — the scanned-page PDF shape.
 
 Out of scope (ValueError, handled as per-row errors upstream): real
-font glyph programs, CID text, encryption, object streams, predictors.
+font glyph programs, CID text, encryption, object streams.
+Flate/LZW ``/DecodeParms`` predictors (TIFF 2, PNG 10-15) ARE decoded.
 """
 
 from __future__ import annotations
@@ -239,17 +240,53 @@ def _resolve(objs, v):
     return v
 
 
+def _apply_predictor(objs, out: bytes, parm) -> bytes:
+    """/DecodeParms predictor for Flate/LZW streams: 2 = TIFF
+    horizontal differencing, 10-15 = PNG per-row filters (the layout
+    real generators use for xref streams and flate images)."""
+    if not isinstance(parm, dict):
+        return out
+    pred = _resolve(objs, parm.get("Predictor", 1))
+    if not isinstance(pred, int) or pred <= 1:
+        return out
+    colors = _resolve(objs, parm.get("Colors", 1))
+    bpc = _resolve(objs, parm.get("BitsPerComponent", 8))
+    cols = _resolve(objs, parm.get("Columns", 1))
+    if not all(isinstance(v, int) and v > 0 for v in (colors, bpc, cols)):
+        raise ValueError("bad PDF predictor parms")
+    if bpc != 8:
+        raise ValueError("only 8-bit PDF predictors supported")
+    row = cols * colors
+    if pred == 2:  # TIFF horizontal differencing
+        if len(out) % row:
+            raise ValueError("predictor stream not row-aligned")
+        a = np.frombuffer(out, np.uint8).reshape(-1, cols, colors).astype(np.int32)
+        return (np.cumsum(a, axis=1) & 0xFF).astype(np.uint8).tobytes()
+    if 10 <= pred <= 15:  # PNG filters, one tag byte per row
+        from ragflow_ocr_spark.kernels.pngcodec import _unfilter
+
+        if len(out) % (row + 1):
+            raise ValueError("predictor stream not row-aligned")
+        rows = np.frombuffer(out, np.uint8).reshape(-1, row + 1)
+        return _unfilter(rows, rows.shape[0], row, colors).tobytes()
+    raise ValueError(f"unsupported PDF predictor {pred}")
+
+
 def _decode_stream(objs, d: dict, raw: bytes) -> bytes:
     filt = _resolve(objs, d.get("Filter"))
     filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+    parms = _resolve(objs, d.get("DecodeParms", d.get("DP")))
+    parms_list = parms if isinstance(parms, list) else [parms]
+    parms_list += [None] * (len(filters) - len(parms_list))
     out = raw
-    for f in filters:
+    for f, parm in zip(filters, parms_list):
         name = f[1] if isinstance(f, tuple) else f
         if name == "FlateDecode":
             try:
                 out = zlib.decompress(out)
             except zlib.error as e:
                 raise ValueError(f"bad FlateDecode stream: {e}") from e
+            out = _apply_predictor(objs, out, _resolve(objs, parm))
         elif name == "LZWDecode":
             # same LZW variant as TIFF (MSB-first, EarlyChange) —
             # bounded by the shared untrusted-payload pixel ceiling
@@ -259,6 +296,7 @@ def _decode_stream(objs, d: dict, raw: bytes) -> bytes:
             )
 
             out = _tiff_lzw_decode(out, MAX_DECODE_PIXELS)
+            out = _apply_predictor(objs, out, _resolve(objs, parm))
         elif name == "ASCIIHexDecode":
             # hex pairs, whitespace-tolerant, '>' EOD; odd final digit
             # pads with 0 (PDF 32000-1 §7.4.2)

@@ -318,3 +318,80 @@ def test_asciihex_and_runlength_decode_filters():
     )
     r3 = ocr_image(pdf.pdf_to_image(pdf._assemble(objects)), OCRConfig())
     assert r3.text == "HEX RLE PDF"
+
+
+def test_flate_png_predictor_content_stream():
+    """PNG /DecodeParms predictor (10-15) on a Flate content stream:
+    per-row filter tags (None/Up/Sub mixed) unfilter before parsing."""
+    text = b"BT /F1 24 Tf 40 700 Td (PRED PDF TEXT) Tj ET"
+    cols = 16
+    data = text + b" " * ((-len(text)) % cols)
+    rows = [data[i : i + cols] for i in range(0, len(data), cols)]
+    filtered = bytearray()
+    prev = bytes(cols)
+    for r_i, row in enumerate(rows):
+        if r_i % 3 == 0:  # None
+            filtered += b"\x00" + row
+        elif r_i % 3 == 1:  # Up
+            filtered += b"\x02" + bytes(
+                (row[j] - prev[j]) & 0xFF for j in range(cols)
+            )
+        else:  # Sub (bpp=1)
+            filtered += b"\x01" + bytes(
+                (row[j] - (row[j - 1] if j else 0)) & 0xFF for j in range(cols)
+            )
+        prev = row
+    comp = zlib.compress(bytes(filtered))
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >>",
+        b"<< /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 16 >>"
+        b" /Length " + str(len(comp)).encode()
+        + b" >>\nstream\n" + comp + b"\nendstream",
+    ]
+    r = ocr_image(pdf.pdf_to_image(pdf._assemble(objects)), OCRConfig())
+    assert r.text == "PRED PDF TEXT"
+
+
+def test_flate_tiff_predictor_image_xobject_exact():
+    """TIFF predictor 2 (/Colors 3) on a Flate image XObject decodes
+    back to the exact pixels."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (6, 4, 3)).astype(np.uint8)
+    diff = img.astype(np.int16).copy()
+    diff[:, 1:] -= img.astype(np.int16)[:, :-1]
+    comp = zlib.compress((diff & 0xFF).astype(np.uint8).tobytes())
+    h, w = img.shape[:2]
+    content = f"q {w} 0 0 {h} 0 0 cm /Im1 Do Q".encode()
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
+            "/Contents 4 0 R /Resources << /XObject << /Im1 5 0 R >> >> >>"
+        ).encode(),
+        b"<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream",
+        (
+            f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+            f"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode "
+            f"/DecodeParms << /Predictor 2 /Colors 3 /Columns {w} >> "
+            f"/Length {len(comp)} >>"
+        ).encode() + b"\nstream\n" + comp + b"\nendstream",
+    ]
+    out = pdf.pdf_to_image(pdf._assemble(objects))
+    assert np.array_equal(out, img)
+
+
+def test_bad_predictor_is_contract_error():
+    comp = zlib.compress(b"\x00" * 7)  # not row-aligned for cols=16
+    objects = [
+        b"<< /Type /Page /Contents 2 0 R >>",
+        b"<< /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 16 >>"
+        b" /Length " + str(len(comp)).encode()
+        + b" >>\nstream\n" + comp + b"\nendstream",
+    ]
+    with pytest.raises(ValueError, match="row-aligned"):
+        pdf.pdf_to_image(pdf._assemble(objects))
