@@ -24,8 +24,9 @@ fixture format:
   returned directly — the scanned-page PDF shape.
 
 Out of scope (ValueError, handled as per-row errors upstream): real
-font glyph programs, CID text, encryption, object streams.
-Flate/LZW ``/DecodeParms`` predictors (TIFF 2, PNG 10-15) ARE decoded.
+font glyph programs, CID text, encryption.
+Flate/LZW ``/DecodeParms`` predictors (TIFF 2, PNG 10-15) and PDF 1.5
+object streams (``/Type /ObjStm``) ARE decoded.
 """
 
 from __future__ import annotations
@@ -227,6 +228,37 @@ def parse_objects(data: bytes) -> dict[int, tuple[object, bytes | None]]:
         pos = (j + 6) if j >= 0 else i
     if not objs:
         raise ValueError("no PDF objects")
+    # PDF 1.5+ object streams (/Type /ObjStm): most real modern PDFs
+    # store their page/catalog dicts INSIDE a compressed stream — the
+    # sequential scan above only sees the container. Expand each one:
+    # the decoded body starts with N (objnum, offset) integer pairs,
+    # values begin at /First. A damaged ObjStm is skipped (tolerant-
+    # reader behavior: salvage what the direct scan already found).
+    for _num, (val, stream) in list(objs.items()):
+        if not (
+            isinstance(val, dict)
+            and stream is not None
+            and val.get("Type") == ("name", "ObjStm")
+        ):
+            continue
+        try:
+            body = _decode_stream(objs, val, stream)
+            n_obj = _resolve(objs, val.get("N"))
+            first = _resolve(objs, val.get("First"))
+            if not (isinstance(n_obj, int) and isinstance(first, int)
+                    and 0 < n_obj <= 10_000 and 0 <= first <= len(body)):
+                raise ValueError("bad ObjStm header")
+            header = body[:first].split()
+            if len(header) < 2 * n_obj:
+                raise ValueError("short ObjStm header")
+            for k in range(n_obj):
+                onum, ooff = int(header[2 * k]), int(header[2 * k + 1])
+                if onum in objs:  # direct objects win (spec forbids dupes)
+                    continue
+                v, _end = _parse_value(body, first + ooff)
+                objs[onum] = (v, None)
+        except ValueError:
+            continue
     return objs
 
 

@@ -395,3 +395,49 @@ def test_bad_predictor_is_contract_error():
     ]
     with pytest.raises(ValueError, match="row-aligned"):
         pdf.pdf_to_image(pdf._assemble(objects))
+
+
+def test_object_stream_pages_extract():
+    """PDF 1.5 object streams: the page and catalog dicts live inside
+    a Flate-compressed /ObjStm (the modern-generator layout); only the
+    content stream is a direct object."""
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 5 0 R >>"),
+    ]
+    offsets, body = [], b""
+    for num, val in inner:
+        offsets.append((num, len(body)))
+        body += val + b" "
+    header = b" ".join(f"{n} {o}".encode() for n, o in offsets) + b" "
+    payload = zlib.compress(header + body)
+    content = b"BT /F1 24 Tf 40 700 Td (OBJSTM PAGE TEXT) Tj ET"
+    objects_raw = (
+        b"%PDF-1.5\n"
+        b"4 0 obj\n<< /Type /ObjStm /N 3 /First " + str(len(header)).encode()
+        + b" /Filter /FlateDecode /Length " + str(len(payload)).encode()
+        + b" >>\nstream\n" + payload + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+    r = ocr_image(pdf.pdf_to_image(objects_raw), OCRConfig())
+    assert r.text == "OBJSTM PAGE TEXT"
+
+
+def test_damaged_object_stream_salvages_direct_objects():
+    """A corrupt ObjStm must not kill the document: direct objects
+    still parse (tolerant-reader behavior)."""
+    content = b"BT /F1 24 Tf 40 700 Td (DIRECT SURVIVES) Tj ET"
+    data = (
+        b"%PDF-1.5\n"
+        b"4 0 obj\n<< /Type /ObjStm /N 2 /First 8 /Filter /FlateDecode "
+        b"/Length 9 >>\nstream\nnotzlib!!\nendstream\nendobj\n"
+        b"1 0 obj\n<< /Type /Page /Contents 5 0 R >>\nendobj\n"
+        b"5 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+    )
+    r = ocr_image(pdf.pdf_to_image(data), OCRConfig())
+    assert r.text == "DIRECT SURVIVES"
