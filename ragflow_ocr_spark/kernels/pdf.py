@@ -413,6 +413,22 @@ def _content_tokens(content: bytes):
         elif content.startswith(b"<<", i):
             d, i = _parse_value(content, i)
             yield ("dict", d)
+        elif content.startswith(b"<", i):
+            # hex show string (<48..> Tj) — without this branch the
+            # digits tokenize as stray numbers and the text silently
+            # vanishes from the page
+            j = content.find(b">", i)
+            if j < 0:
+                i += 1
+                continue
+            hx = re.sub(rb"\s", b"", content[i + 1 : j])
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                yield ("str", bytes.fromhex(hx.decode("ascii")))
+            except (ValueError, UnicodeDecodeError):
+                pass  # malformed hex: tolerate like stray delimiters
+            i = j + 1
         elif content.startswith(b"/", i):
             m = _NAME_RE.match(content, i)
             yield ("name", m.group(1).decode("latin-1"))

@@ -441,3 +441,25 @@ def test_damaged_object_stream_salvages_direct_objects():
     )
     r = ocr_image(pdf.pdf_to_image(data), OCRConfig())
     assert r.text == "DIRECT SURVIVES"
+
+
+def test_hex_show_strings_render():
+    """<hex> show strings (bare Tj operand and inside TJ arrays) must
+    render — previously the digits tokenized as stray numbers and the
+    text vanished."""
+    hex_text = b"HEX SHOW 42".hex().upper().encode()
+    content = (
+        b"BT /F1 24 Tf 40 700 Td <" + hex_text + b"> Tj "
+        b"0 -40 Td [<" + b"TJ ARR".hex().encode() + b"> -120 (MIX)] TJ ET"
+    )
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >>",
+        b"<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream",
+    ]
+    r = ocr_image(pdf.pdf_to_image(pdf._assemble(objects)), OCRConfig())
+    assert "HEX SHOW 42" in r.text
+    assert "TJ ARRMIX" in r.text.replace("\n", " ")
