@@ -582,6 +582,12 @@ def _page_image(objs, page: dict) -> np.ndarray:
     size = 12.0
     leading = 0.0
     tx = ty = 0.0
+    # graphics-state translation: real generators wrap text in
+    # `q 1 0 0 1 dx dy cm … Q` blocks; only the translation components
+    # (e, f) are honored — rotation/shear stay out of scope like the
+    # rest of the deliberately small interpreter
+    gx = gy = 0.0
+    gstack: list[tuple[float, float]] = []
     stack: list = []
     for kind, tok in _content_tokens(content):
         if kind in ("str", "num", "name", "arr", "dict"):
@@ -617,11 +623,21 @@ def _page_image(objs, page: dict) -> np.ndarray:
             ty -= leading
         elif op == b"BT":
             tx = ty = 0.0
+        elif op == b"cm":
+            v = _nums(6)
+            if v:
+                gx += v[4]
+                gy += v[5]
+        elif op == b"q":
+            gstack.append((gx, gy))
+        elif op == b"Q":
+            if gstack:
+                gx, gy = gstack.pop()
         elif op in _SHOW_OPS:
             if op == b"'":
                 ty -= leading
             if stack and stack[-1][0] == "str":
-                spans.append((tx, ty, size, stack[-1][1].decode("latin-1")))
+                spans.append((gx + tx, gy + ty, size, stack[-1][1].decode("latin-1")))
         elif op == b"TJ":
             if stack and stack[-1][0] == "arr":
                 parts = [
@@ -629,7 +645,7 @@ def _page_image(objs, page: dict) -> np.ndarray:
                     for p in stack[-1][1]
                     if isinstance(p, bytes)
                 ]
-                spans.append((tx, ty, size, "".join(parts)))
+                spans.append((gx + tx, gy + ty, size, "".join(parts)))
         elif op == b"Do":
             if stack and stack[-1][0] == "name":
                 xo = stack[-1][1]

@@ -463,3 +463,23 @@ def test_hex_show_strings_render():
     r = ocr_image(pdf.pdf_to_image(pdf._assemble(objects)), OCRConfig())
     assert "HEX SHOW 42" in r.text
     assert "TJ ARRMIX" in r.text.replace("\n", " ")
+
+
+def test_cm_translation_positions_text():
+    """`q 1 0 0 1 dx dy cm … Q` translation blocks position the text;
+    after Q the state restores (the second span lands at its own Td)."""
+    content = (
+        b"q 1 0 0 1 30 650 cm BT /F1 24 Tf 10 50 Td (CM MOVED TEXT) Tj ET Q "
+        b"BT /F1 24 Tf 40 600 Td (AFTER RESTORE) Tj ET"
+    )
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >>",
+        b"<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream",
+    ]
+    r = ocr_image(pdf.pdf_to_image(pdf._assemble(objects)), OCRConfig())
+    joined = r.text.replace("\n", " ")
+    assert "CM MOVED TEXT" in joined and "AFTER RESTORE" in joined
