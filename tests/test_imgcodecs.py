@@ -193,17 +193,43 @@ def test_spark_extract_stage_routes_new_codecs(spark):
     img, drawn = font5x7.render_page(["SPARK STAGE CODEC ROW"], 960, 96, 2)
     want = "\n".join(drawn)
     ts = datetime.datetime(2025, 10, 17)
+    # rle_bmp / sof1_jpeg / deflate_tiff exercise the round-4 format
+    # additions through the SAME Spark stage (byte-identical text)
+    def rle8(m):
+        o = bytearray()
+        for row in m[::-1]:
+            x = 0
+            while x < len(row):
+                run = 1
+                while x + run < len(row) and run < 255 and row[x + run] == row[x]:
+                    run += 1
+                o += bytes([run, row[x]])
+                x += run
+            o += b"\x00\x00"
+        return bytes(o + b"\x00\x01")
+
+    sof1 = bytearray(ic.encode_jpeg(img, quality=90))
+    sof1[sof1.find(b"\xff\xc0") + 1] = 0xC1
     rows = [
         ("png", ts, bytearray(pngcodec.encode_png(img)), None, "en"),
         ("bmp", ts, bytearray(ic.encode_bmp(img)), None, "en"),
+        ("rle_bmp", ts, bytearray(_bmp(
+            img.shape[1], img.shape[0], 8, 1, rle8(img),
+            [(i, i, i) for i in range(256)])), None, "en"),
         ("tiff", ts, bytearray(ic.encode_tiff(img)), None, "en"),
+        ("deflate_tiff", ts, bytearray(
+            ic.encode_tiff(img, compression="deflate")), None, "en"),
         ("jpeg", ts, bytearray(ic.encode_jpeg(img, quality=90)), None, "en"),
+        ("sof1_jpeg", ts, bytearray(sof1), None, "en"),
     ]
     pages = spark.createDataFrame(
         rows, "url string, warc_ts timestamp, html binary, text string, lang string"
     )
     out = {r.url: (r.status, r.extracted_text) for r in extract(pages).collect()}
-    assert out == {k: ("ok", want) for k in ("png", "bmp", "tiff", "jpeg")}
+    assert out == {
+        k: ("ok", want)
+        for k in ("png", "bmp", "rle_bmp", "tiff", "deflate_tiff", "jpeg", "sof1_jpeg")
+    }
 
 
 def test_corrupt_payload_yields_error_row_not_exception():
