@@ -314,10 +314,22 @@ def _decode_stream(objs, d: dict, raw: bytes) -> bytes:
     for f, parm in zip(filters, parms_list):
         name = f[1] if isinstance(f, tuple) else f
         if name == "FlateDecode":
+            # bounded inflate (decompression-bomb guard for untrusted
+            # crawl payloads, same shape as the PNG path): a ~1 KB
+            # stream declaring GBs must fail as a per-row error before
+            # zlib allocates. 3x the pixel ceiling covers the largest
+            # legitimate stream this parser renders (RGB image at
+            # MAX_DECODE_PIXELS); content streams are far smaller.
+            from ragflow_ocr_spark.kernels.imgcodecs import MAX_DECODE_PIXELS
+
+            cap = 3 * MAX_DECODE_PIXELS
+            dec = zlib.decompressobj()
             try:
-                out = zlib.decompress(out)
+                out = dec.decompress(out, cap)
             except zlib.error as e:
                 raise ValueError(f"bad FlateDecode stream: {e}") from e
+            if dec.unconsumed_tail:
+                raise ValueError("PDF flate stream exceeds decode cap")
             out = _apply_predictor(objs, out, _resolve(objs, parm))
         elif name == "LZWDecode":
             # same LZW variant as TIFF (MSB-first, EarlyChange) —

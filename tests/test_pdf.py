@@ -483,3 +483,18 @@ def test_cm_translation_positions_text():
     r = ocr_image(pdf.pdf_to_image(pdf._assemble(objects)), OCRConfig())
     joined = r.text.replace("\n", " ")
     assert "CM MOVED TEXT" in joined and "AFTER RESTORE" in joined
+
+
+def test_flate_bomb_is_contract_error():
+    """A small flate stream declaring an enormous inflation must fail
+    as a per-row ValueError before allocation, not OOM."""
+    from ragflow_ocr_spark.kernels.imgcodecs import MAX_DECODE_PIXELS
+
+    bomb = zlib.compress(b"\x00" * (3 * MAX_DECODE_PIXELS + 4096), 9)
+    objects = [
+        b"<< /Type /Page /Contents 2 0 R >>",
+        b"<< /Filter /FlateDecode /Length " + str(len(bomb)).encode()
+        + b" >>\nstream\n" + bomb + b"\nendstream",
+    ]
+    with pytest.raises(ValueError, match="decode cap"):
+        pdf.pdf_to_image(pdf._assemble(objects))
