@@ -353,10 +353,16 @@ def _decode_stream(objs, d: dict, raw: bytes) -> bytes:
             out = bytes.fromhex(hexs.decode("ascii"))
         elif name == "RunLengthDecode":
             # PackBits-style: length byte <128 → copy n+1, >128 →
-            # repeat next byte 257-n times, 128 = EOD (§7.4.5)
+            # repeat next byte 257-n times, 128 = EOD (§7.4.5);
+            # repeat runs amplify ~128× so the flate cap applies here too
+            from ragflow_ocr_spark.kernels.imgcodecs import MAX_DECODE_PIXELS
+
+            cap = 3 * MAX_DECODE_PIXELS
             dec = bytearray()
             i = 0
             while i < len(out):
+                if len(dec) > cap:
+                    raise ValueError("PDF RunLength stream exceeds decode cap")
                 b = out[i]
                 i += 1
                 if b == 128:
