@@ -190,6 +190,12 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if w <= 0 or h_signed == 0 or w > 1 << 16 or abs(h_signed) > 1 << 16:
         raise ValueError("bad BMP dimensions")
     h = abs(h_signed)
+    # decompression-bomb guard BEFORE any allocation: the RLE path
+    # otherwise allocates h×w from header dims alone (a ~70-byte file
+    # declaring 65536×65536 is a 4 GiB index array), and MemoryError is
+    # a task failure, not a per-row error
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError(f"BMP too large ({w}x{h} > {MAX_DECODE_PIXELS} px)")
     top_down = h_signed < 0
     if rle:
         if top_down:
@@ -211,7 +217,7 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if bpp == 4:
         idx = np.zeros((h, w), np.uint8)
         half = rows[:, : (w + 1) // 2]
-        idx[:, 0::2] = half[:, : (w + 1) // 2] >> 4
+        idx[:, 0::2] = half >> 4
         idx[:, 1::2] = half[:, : w // 2] & 0xF
         return _bmp_palette_map(data, hdr_size, bpp, idx)
     if bpp == 8:
@@ -317,6 +323,13 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
     return bytes(out)
+
+
+def _tiff_predictor_undo(a: np.ndarray) -> np.ndarray:
+    """Undo TIFF tag-317=2 horizontal differencing on (h, w, channels)
+    uint8 samples (shared by decode_tiff and the PDF /DecodeParms
+    predictor so a fix to one reaches the other)."""
+    return (np.cumsum(a.astype(np.int32), axis=1) & 0xFF).astype(np.uint8)
 
 
 def _packbits_decode(data: bytes, max_out: int) -> bytes:
@@ -510,9 +523,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
     px = np.frombuffer(bytes(buf[:need]), dtype=np.uint8)
     px = px.reshape(h, w) if spp == 1 else px.reshape(h, w, 3)
     if predictor == 2:  # undo horizontal differencing (per row, per channel)
-        p = px.reshape(h, w, spp).astype(np.int32)
-        p = np.cumsum(p, axis=1) & 0xFF
-        px = p.astype(np.uint8).reshape(px.shape)
+        px = _tiff_predictor_undo(px.reshape(h, w, spp)).reshape(px.shape)
     return px
 
 

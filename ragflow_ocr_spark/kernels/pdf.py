@@ -290,10 +290,12 @@ def _apply_predictor(objs, out: bytes, parm) -> bytes:
         raise ValueError("only 8-bit PDF predictors supported")
     row = cols * colors
     if pred == 2:  # TIFF horizontal differencing
+        from ragflow_ocr_spark.kernels.imgcodecs import _tiff_predictor_undo
+
         if len(out) % row:
             raise ValueError("predictor stream not row-aligned")
-        a = np.frombuffer(out, np.uint8).reshape(-1, cols, colors).astype(np.int32)
-        return (np.cumsum(a, axis=1) & 0xFF).astype(np.uint8).tobytes()
+        a = np.frombuffer(out, np.uint8).reshape(-1, cols, colors)
+        return _tiff_predictor_undo(a).tobytes()
     if 10 <= pred <= 15:  # PNG filters, one tag byte per row
         from ragflow_ocr_spark.kernels.pngcodec import _unfilter
 
@@ -330,6 +332,11 @@ def _decode_stream(objs, d: dict, raw: bytes) -> bytes:
                 raise ValueError(f"bad FlateDecode stream: {e}") from e
             if dec.unconsumed_tail:
                 raise ValueError("PDF flate stream exceeds decode cap")
+            if not dec.eof:
+                # truncated deflate data silently yields a partial
+                # prefix from decompressobj (unlike zlib.decompress,
+                # which raised) — keep the loud per-row error
+                raise ValueError("truncated PDF flate stream")
             out = _apply_predictor(objs, out, _resolve(objs, parm))
         elif name == "LZWDecode":
             # same LZW variant as TIFF (MSB-first, EarlyChange) —
@@ -434,18 +441,19 @@ def _content_tokens(content: bytes):
         elif content.startswith(b"<", i):
             # hex show string (<48..> Tj) — without this branch the
             # digits tokenize as stray numbers and the text silently
-            # vanishes from the page
+            # vanishes from the page. Consume through '>' ONLY when the
+            # span is actually hex + whitespace: a lone 0x3C inside
+            # malformed/binary content must stay a single stray byte,
+            # or every operator up to some distant '>' is swallowed.
             j = content.find(b">", i)
-            if j < 0:
-                i += 1
+            span = content[i + 1 : j] if j >= 0 else b""
+            hx = re.sub(rb"[\s\x00]", b"", span)
+            if j < 0 or not re.fullmatch(rb"[0-9a-fA-F]*", hx):
+                i += 1  # stray delimiter, not a hex string
                 continue
-            hx = re.sub(rb"\s", b"", content[i + 1 : j])
             if len(hx) % 2:
                 hx += b"0"
-            try:
-                yield ("str", bytes.fromhex(hx.decode("ascii")))
-            except (ValueError, UnicodeDecodeError):
-                pass  # malformed hex: tolerate like stray delimiters
+            yield ("str", bytes.fromhex(hx.decode("ascii")))
             i = j + 1
         elif content.startswith(b"/", i):
             m = _NAME_RE.match(content, i)

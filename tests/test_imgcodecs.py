@@ -195,26 +195,13 @@ def test_spark_extract_stage_routes_new_codecs(spark):
     ts = datetime.datetime(2025, 10, 17)
     # rle_bmp / sof1_jpeg / deflate_tiff exercise the round-4 format
     # additions through the SAME Spark stage (byte-identical text)
-    def rle8(m):
-        o = bytearray()
-        for row in m[::-1]:
-            x = 0
-            while x < len(row):
-                run = 1
-                while x + run < len(row) and run < 255 and row[x + run] == row[x]:
-                    run += 1
-                o += bytes([run, row[x]])
-                x += run
-            o += b"\x00\x00"
-        return bytes(o + b"\x00\x01")
-
     sof1 = bytearray(ic.encode_jpeg(img, quality=90))
     sof1[sof1.find(b"\xff\xc0") + 1] = 0xC1
     rows = [
         ("png", ts, bytearray(pngcodec.encode_png(img)), None, "en"),
         ("bmp", ts, bytearray(ic.encode_bmp(img)), None, "en"),
         ("rle_bmp", ts, bytearray(_bmp(
-            img.shape[1], img.shape[0], 8, 1, rle8(img),
+            img.shape[1], img.shape[0], 8, 1, _rle8_encode(img),
             [(i, i, i) for i in range(256)])), None, "en"),
         ("tiff", ts, bytearray(ic.encode_tiff(img)), None, "en"),
         ("deflate_tiff", ts, bytearray(
@@ -797,6 +784,22 @@ def _bmp(w, h, bpp, compression, pixel_data, palette=None):
 _BMP_PAL16 = [(i * 17, 0, 255 - i * 17) for i in range(16)]
 
 
+def _rle8_encode(m):
+    """Minimal BI_RLE8 encoder (encoded runs + EOL + EOB, bottom-up)
+    shared by the decode and Spark-stage tests."""
+    out = bytearray()
+    for row in m[::-1]:
+        x = 0
+        while x < len(row):
+            run = 1
+            while x + run < len(row) and run < 255 and row[x + run] == row[x]:
+                run += 1
+            out += bytes([run, row[x]])
+            x += run
+        out += b"\x00\x00"  # EOL
+    return bytes(out + b"\x00\x01")  # EOB
+
+
 def test_bmp_rle8_all_ops():
     # 6x3 (bottom-up): encoded run, absolute run (padded), delta, EOL, EOB
     rle = bytes(
@@ -859,23 +862,23 @@ def test_rle8_bmp_ocr_identical_to_png_route():
     img, drawn = font5x7.render_page(["RLE BMP ROUTE 123"], 960, 96, 2)
     want = "\n".join(drawn)
 
-    def rle8(m):
-        out = bytearray()
-        for row in m[::-1]:  # bottom-up
-            x = 0
-            while x < len(row):
-                run = 1
-                while x + run < len(row) and run < 255 and row[x + run] == row[x]:
-                    run += 1
-                out += bytes([run, row[x]])
-                x += run
-            out += b"\x00\x00"  # EOL
-        out += b"\x00\x01"  # EOB
-        return bytes(out)
-
     pal = [(i, i, i) for i in range(256)]
-    payload = _bmp(img.shape[1], img.shape[0], 8, 1, rle8(img), pal)
+    payload = _bmp(img.shape[1], img.shape[0], 8, 1, _rle8_encode(img), pal)
     assert ic.decode_bmp(payload).shape == img.shape
     assert np.array_equal(ic.decode_bmp(payload), img)
     r = extract_payload(payload)
     assert r.status == "ok" and r.text == want
+
+
+def test_rle_bmp_header_bomb_rejected_before_allocation():
+    """A ~70-byte RLE BMP declaring 65536x4096 must fail as a contract
+    error before the h x w index allocation (review-found: ~1 GiB
+    allocated from header dims alone, MemoryError killing the task)."""
+    import struct
+
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 65536, 4096, 1, 8, 1, 4, 0, 0, 16, 0
+    )
+    head = struct.pack("<2sIHHI", b"BM", 54 + 64 + 4, 0, 0, 54 + 64)
+    with pytest.raises(ValueError, match="too large"):
+        ic.decode_bmp(head + info + bytes(64) + bytes([4, 7, 0, 1]))

@@ -498,3 +498,46 @@ def test_flate_bomb_is_contract_error():
     ]
     with pytest.raises(ValueError, match="decode cap"):
         pdf.pdf_to_image(pdf._assemble(objects))
+
+
+def test_truncated_flate_stream_is_loud():
+    """Truncated deflate data must stay a per-row error: decompressobj
+    returns a silent partial prefix where zlib.decompress raised
+    (review-found regression of the bomb-guard change)."""
+    content = zlib.compress(b"BT /F1 24 Tf 40 700 Td (GONE) Tj ET" * 20)
+    cut = content[: len(content) // 2]
+    objects = [
+        b"<< /Type /Page /Contents 2 0 R >>",
+        b"<< /Filter /FlateDecode /Length " + str(len(cut)).encode()
+        + b" >>\nstream\n" + cut + b"\nendstream",
+    ]
+    with pytest.raises(ValueError, match="truncated PDF flate"):
+        pdf.pdf_to_image(pdf._assemble(objects))
+
+
+def test_stray_angle_bracket_does_not_swallow_operators():
+    """A lone '<' inside content must stay a single stray byte: with
+    the find('>')-jump it swallowed every operator up to a distant '>'
+    (review-found), silently dropping extractable text."""
+    content = (
+        b"BT /F1 24 Tf 40 700 Td < (KEPT TEXT) Tj ET"  # stray <, no >
+    )
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >>",
+        b"<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream",
+    ]
+    r = ocr_image(pdf.pdf_to_image(pdf._assemble(objects)), OCRConfig())
+    assert "KEPT TEXT" in r.text
+    # and with a distant '>' later: the non-hex span between must not
+    # be consumed as a (failed) hex string
+    content2 = b"BT /F1 24 Tf 40 700 Td < (STILL HERE) Tj 1 2 > ET"
+    objects[3] = (
+        b"<< /Length " + str(len(content2)).encode()
+        + b" >>\nstream\n" + content2 + b"\nendstream"
+    )
+    r2 = ocr_image(pdf.pdf_to_image(pdf._assemble(objects)), OCRConfig())
+    assert "STILL HERE" in r2.text
