@@ -882,3 +882,24 @@ def test_rle_bmp_header_bomb_rejected_before_allocation():
     head = struct.pack("<2sIHHI", b"BM", 54 + 64 + 4, 0, 0, 54 + 64)
     with pytest.raises(ValueError, match="too large"):
         ic.decode_bmp(head + info + bytes(64) + bytes([4, 7, 0, 1]))
+
+
+def test_png_16bit_interlaced_matches_sequential():
+    """16-bit gray Adam7: per-pass row bytes are 2w; scatter must agree
+    with the sequential decode (high-byte conversion on both)."""
+    import struct as _s
+
+    w = h = 6
+    vals = (np.add.outer(np.arange(h), np.arange(w)) * 1000 + 257).astype(">u2")
+    seq_rows = [b"\x00" + vals[y].tobytes() for y in range(h)]
+    seq = pngcodec.decode_png(_png(w, h, 16, 0, seq_rows))
+    il_rows = []
+    for x0, y0, dx, dy, pw, ph in pngcodec._adam7_passes(w, h):
+        if not pw or not ph:
+            continue
+        sub = vals[y0::dy, x0::dx]
+        for y in range(ph):
+            il_rows.append(b"\x00" + np.ascontiguousarray(sub[y]).tobytes())
+    il = pngcodec.decode_png(_png(w, h, 16, 0, il_rows, interlace=1))
+    assert np.array_equal(seq, il)
+    assert np.array_equal(seq, (vals.astype(np.uint16) >> 8).astype(np.uint8))
