@@ -180,6 +180,21 @@ def planes_per_band_for(n_vectors: int, target_bucket: int = 8) -> int:
     return max(PLANES_PER_BAND, math.ceil(math.log2(max(2, n_vectors) / target_bucket)))
 
 
+_N_VECS_CACHE: dict[str, int] = {}
+
+
+def _corpus_size(spark: SparkSession, sf_dir: str) -> int:
+    """Embedding-corpus row count, one parquet-metadata probe per
+    sf_dir per process (the count is footer metadata — no data scan —
+    but the session/plan round-trip still cost ~0.1 s per invocation)."""
+    n = _N_VECS_CACHE.get(sf_dir)
+    if n is None:
+        n = _N_VECS_CACHE[sf_dir] = spark.read.parquet(
+            f"{sf_dir}/embeddings.parquet"
+        ).count()
+    return n
+
+
 def q_ann_lsh_bucketed(
     spark: SparkSession,
     sf_dir: str,
@@ -226,8 +241,22 @@ def q_ann_lsh_bucketed(
     (recall 1−(1−(1−θ/π)^r)^B).
     """
     if planes_per_band is None:
-        n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
-        planes_per_band = planes_per_band_for(n_vecs)
+        planes_per_band = planes_per_band_for(_corpus_size(spark, sf_dir))
+        if planes_per_band > PLANES_PER_BAND:
+            # The static driver oracle mirrors r = PLANES_PER_BAND; a
+            # corpus big enough to raise r would red that row with no
+            # obvious cause. Surface the regime switch loudly (the
+            # adaptive regime itself is value-checked by
+            # tests/test_lsh_adaptive_oracle.py with an r-parameterized
+            # oracle).
+            import warnings
+
+            warnings.warn(
+                f"ann_lsh_bucketed: adaptive r={planes_per_band} exceeds the "
+                f"static-oracle r={PLANES_PER_BAND} for {sf_dir}; the driver "
+                "oracle (if run on this corpus) would mismatch by design",
+                stacklevel=2,
+            )
     e = _emb(spark, sf_dir)
 
     # signature expressions as ONE SQL string: the Column-tree version
@@ -295,17 +324,23 @@ def q_ann_lsh_bucketed(
     )
 
 
-def _oracle_lsh() -> str:
+def _oracle_lsh(planes_per_band: int = PLANES_PER_BAND) -> str:
+    """DuckDB mirror of ``q_ann_lsh_bucketed``, parameterized by r so the
+    adaptive-r regime (r > PLANES_PER_BAND on large corpora) is
+    value-checkable too — tests/test_lsh_adaptive_oracle.py runs this at
+    r = floor+1. The registry entry keeps the default r, which the
+    scale rule returns for every driver-checked corpus."""
+
     def band_bits(b: int) -> str:
         planes = [
-            "[" + ", ".join(repr(v) for v in _plane(b * PLANES_PER_BAND + p)) + "]::DOUBLE[]"
-            for p in range(PLANES_PER_BAND)
+            "[" + ", ".join(repr(v) for v in _plane(b * planes_per_band + p)) + "]::DOUBLE[]"
+            for p in range(planes_per_band)
         ]
         # bit weights mirror the Spark fold: sig = ((b0·2+b1)·2+…)
         return " + ".join(
             f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {planes[p]}) > 0 "
-            f"THEN {1 << (PLANES_PER_BAND - 1 - p)} ELSE 0 END)"
-            for p in range(PLANES_PER_BAND)
+            f"THEN {1 << (planes_per_band - 1 - p)} ELSE 0 END)"
+            for p in range(planes_per_band)
         )
 
     sigs = "\nUNION ALL\n".join(
