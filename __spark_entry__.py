@@ -257,51 +257,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry positions in CORRECTNESS_r{N}.json (confirmed: round 3
     # recorded exactly 50 of 57 and silently dropped positions 51-57,
     # losing the previously-green domain_profile / sample_split rows).
-    # All 57 positions are therefore curated explicitly:
+    # All 57 positions are therefore curated explicitly, and the drop
+    # set ROTATES each round (VERDICT r04 #7) so no oracle query relies
+    # permanently on the in-repo parity test for its green record:
     #   1-3   the flagship byte-identity extraction queries;
-    #   4-49  every other ORACLE-bearing query, with the entries that
-    #         have never had a green row yet (domain_profile,
-    #         sample_split, gopher_filter, pii_scrub,
-    #         stratified_sample) and the ops changed this round
-    #         (pack_sequences, ann_lsh_bucketed, dedup_incremental,
-    #         media_frame_sample) placed before the long-stable rest;
+    #   4-7   rotated BACK IN from the r04 drop set (each was last
+    #         driver-recorded in round 3);
+    #   8-49  the other ORACLE-bearing queries, the ops changed this
+    #         round (ann_lsh_bucketed adaptive-r, the media suite with
+    #         the VP8/WebP/MP3 codec work) placed before the rest;
     #   50    extract_synthetic_pages — ROWS-ONLY (payload synthesis is
     #         Python-side; byte-identity pytest-pinned) so it records a
     #         spark_rows>0 witness;
-    #   51-57 the DELIBERATE drop set, chosen because each is either
-    #         rows-only with its semantics ★-pinned elsewhere
-    #         (dedup_simhash_fast ⇔ ★dedup_simhash + cross-family
-    #         pytest) or a pure-relational query oracle-green in ALL of
-    #         rounds 1-3 and untouched since:
-    #         [dedup_simhash_fast, latest_event_per_user,
-    #          exists_high_qty, percentile_price,
-    #          tumbling_window_events, range_join_error_clicks,
-    #          moving_avg_revenue].
+    #   51-57 this round's drop set: dedup_simhash_fast (rows-only by
+    #         design, semantics ⇔ ★dedup_simhash + cross-family pytest)
+    #         plus six pure-relational queries oracle-green in every
+    #         round they were recorded and untouched since — ALL six
+    #         stay verified by tests/test_dropped_oracle_parity.py,
+    #         the driver-identical in-repo comparison.
     front = [
         "html_extract_docs",
         "ocr_extract_docs",
         "pdf_extract_docs",
-        # never-yet-recorded oracle entries + this round's changed ops
-        "domain_profile",
-        "sample_split",
-        "gopher_filter",
-        "pii_scrub",
-        "stratified_sample",
-        "pack_sequences",
+        # rotated back in from the r04 drop set
+        "latest_event_per_user",
+        "exists_high_qty",
+        "percentile_price",
+        "tumbling_window_events",
+        # ops changed this round
         "ann_lsh_bucketed",
-        "dedup_incremental",
+        "media_image_stats",
         "media_frame_sample",
+        "media_audio_features",
     ]
     back = [
         "extract_synthetic_pages",  # position 50: rows-only witness
         # ---- dropped beyond the 50-row cap (see ordering note) ----
         "dedup_simhash_fast",
-        "latest_event_per_user",
-        "exists_high_qty",
-        "percentile_price",
-        "tumbling_window_events",
         "range_join_error_clicks",
         "moving_avg_revenue",
+        "sessionize_events",
+        "source_stats",
+        "asof_last_error",
+        "regional_revenue",
     ]
     ordered = {name: out.pop(name) for name in front}
     tail = {name: out.pop(name) for name in back}

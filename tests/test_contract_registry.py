@@ -34,14 +34,19 @@ def test_registry_recording_order():
     recorded, dropped = qs[:50], qs[50:]
     assert qs[49] == "extract_synthetic_pages"
     assert set(recorded[:49]) <= oracles
+    # round-5 rotation (VERDICT r04 #7): latest_event_per_user /
+    # exists_high_qty / percentile_price / tumbling_window_events moved
+    # back inside the cap; four long-stable relational queries took
+    # their place in the drop set (all parity-tested in
+    # tests/test_dropped_oracle_parity.py).
     assert set(dropped) == {
         "dedup_simhash_fast",
-        "latest_event_per_user",
-        "exists_high_qty",
-        "percentile_price",
-        "tumbling_window_events",
         "range_join_error_clicks",
         "moving_avg_revenue",
+        "sessionize_events",
+        "source_stats",
+        "asof_last_error",
+        "regional_revenue",
     }
 
 

@@ -22,14 +22,17 @@ TABLES = (
     "events documents embeddings"
 ).split()
 
-# the oracle-bearing slice of the documented drop set
+# the oracle-bearing slice of the documented drop set (round-5
+# rotation: latest_event_per_user / exists_high_qty / percentile_price
+# / tumbling_window_events went back inside the driver cap; these six
+# are this round's dropped tail)
 DROPPED_ORACLE_QUERIES = [
-    "latest_event_per_user",
-    "exists_high_qty",
-    "percentile_price",
-    "tumbling_window_events",
     "range_join_error_clicks",
     "moving_avg_revenue",
+    "sessionize_events",
+    "source_stats",
+    "asof_last_error",
+    "regional_revenue",
 ]
 
 
