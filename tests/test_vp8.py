@@ -309,3 +309,52 @@ def test_media_image_stats_lossy_family_closed_form():
         g = (298 * (y - 16) + 128) >> 8
         assert float(img.mean()) == float(g)
         assert float(img.std()) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Real-encoder golden: tests/fixtures/python_logo.webp is the CPython
+# test-suite `python.webp` (Lib/test/imghdrdata, PSF-licensed), a
+# libwebp-encoded VP8X still: ALPH + lossy VP8 keyframe, 16x16. It is
+# the live proof that the RFC 6386 probability tables are exact — the
+# round-4 reconstructed tables desynced on it (partition 0, then
+# partition 1), and any wrong entry on the stream's path desyncs the
+# bool decoder. Every frame header reads ALL 1056 COEFF_UPDATE_PROBS
+# entries, so that table is covered in full; the mode/token path
+# covers the DEFAULT_COEFF_PROBS / KF_BMODE_PROB rows it touches.
+# ---------------------------------------------------------------------------
+
+FIXTURES = __file__.rsplit("/", 1)[0] + "/fixtures"
+
+
+def test_real_libwebp_golden_decodes_bit_exact():
+    import hashlib
+
+    data = open(f"{FIXTURES}/python_logo.webp", "rb").read()
+    img = webp.decode_webp(data)
+    assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+    # pinned reconstruction (dequant + IDCT + prediction + loop filter
+    # are all integer-exact, so this hash is deterministic)
+    assert (
+        hashlib.sha256(img.tobytes()).hexdigest()
+        == "3019cd5bc085a9be489550c574a0f8e3a161ff8e9db140b9e888459745a08628"
+    )
+    # structural sanity: the Python logo — blue top-left, yellow
+    # bottom-right (guards the hash against "stable garbage")
+    tl = img[:8, :8].reshape(-1, 3).mean(axis=0)
+    br = img[8:, 8:].reshape(-1, 3).mean(axis=0)
+    assert tl[2] > tl[0] + 40   # TL: blue dominant
+    assert br[0] > br[2] + 60   # BR: red+green (yellow) dominant
+
+
+def test_real_golden_mutations_fail_loudly():
+    # bit flips inside the VP8 payload must either decode (flips can
+    # land in pixel data) or raise ValueError — never crash, never hang
+    base = open(f"{FIXTURES}/python_logo.webp", "rb").read()
+    for pos in (60, 90, 130, 200, 300, 420):
+        mutated = bytearray(base)
+        mutated[pos % len(base)] ^= 0x41
+        try:
+            img = webp.decode_webp(bytes(mutated))
+            assert img.shape[-1] in (3, 16)
+        except ValueError:
+            pass
