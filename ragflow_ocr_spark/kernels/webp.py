@@ -658,7 +658,36 @@ def decode_vp8l(data: bytes) -> np.ndarray:
         raise ValueError("bad VP8L version")
     if w * h > VP8L_MAX_PIXELS:
         raise ValueError("VP8L too large for the pure-Python decoder")
+    px = _decode_vp8l_body(br, w, h)
+    rgb = px[..., 1:4][..., [0, 1, 2]]  # r, g, b
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    if (r == g).all() and (g == b).all():
+        return np.ascontiguousarray(r)
+    return np.ascontiguousarray(rgb)
 
+
+def _decode_vp8l_rgba(data: bytes) -> np.ndarray:
+    """Signatured VP8L payload → (h, w, 4) [a, r, g, b] — the
+    alpha-keeping variant the animated compositor uses."""
+    br = _Bits(data)
+    if br.read(8) != 0x2F:
+        raise ValueError("bad VP8L signature")
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("bad VP8L version")
+    if w * h > VP8L_MAX_PIXELS:
+        raise ValueError("VP8L too large for the pure-Python decoder")
+    return _decode_vp8l_body(br, w, h)
+
+
+def _decode_vp8l_body(br: _Bits, w: int, h: int) -> np.ndarray:
+    """Headerless VP8L image-stream (transforms + entropy-coded pixels
+    + inverse transforms) → (h, w, 4) [a, r, g, b]. Shared by the
+    signatured still path (decode_vp8l) and the ALPH lossless path,
+    whose stream has IMPLICIT dimensions and no signature/size header
+    (container spec "Alpha", compression method 1)."""
     transforms: list[tuple] = []
     seen = set()
     xsize = w  # color-indexing shrinks the coded width
@@ -709,12 +738,105 @@ def decode_vp8l(data: bytes) -> np.ndarray:
             _inv_color_transform(px, t[1], t[2])
     if px.shape[1] != w:
         px = px[:, :w]
+    return px
 
-    rgb = px[..., 1:4][..., [0, 1, 2]]  # r, g, b
-    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-    if (r == g).all() and (g == b).all():
-        return np.ascontiguousarray(r)
-    return np.ascontiguousarray(rgb)
+
+def _unfilter_alpha(plane: np.ndarray, method: int) -> np.ndarray:
+    """Inverse of the ALPH per-pixel prediction filters (container spec
+    "Alpha filtering method"): 0 none, 1 horizontal (left), 2 vertical
+    (above), 3 gradient clamp(left+above−above_left). Border rule
+    (mirrors libwebp dsp/filters.c): row 0 unfilters horizontally with
+    predictor 0; later rows seed their first pixel from the pixel
+    ABOVE it."""
+    if method == 0:
+        return plane
+    h, w = plane.shape
+    out = plane.astype(np.int32)
+    if method == 1:  # horizontal: per-row cumsum, rows seeded from above
+        out[0] = np.cumsum(out[0]) & 0xFF
+        for y in range(1, h):
+            out[y] = (np.cumsum(out[y]) + out[y - 1, 0]) & 0xFF
+    elif method == 2:  # vertical: row 0 horizontal, then column deltas
+        out[0] = np.cumsum(out[0]) & 0xFF
+        out = np.cumsum(out, axis=0) & 0xFF
+    elif method == 3:  # gradient: sequential in x — small planes only
+        out[0] = np.cumsum(out[0]) & 0xFF
+        for y in range(1, h):
+            row = out[y]
+            prev = out[y - 1]
+            left = prev[0]
+            for x in range(w):
+                top = int(prev[x])
+                top_left = int(prev[x - 1]) if x else int(prev[0])
+                if x == 0:
+                    top_left = top
+                grad = min(255, max(0, left + top - top_left))
+                left = (row[x] + grad) & 0xFF
+                row[x] = left
+    else:
+        raise ValueError("bad ALPH filtering method")
+    return out.astype(np.uint8)
+
+
+def decode_alph(payload: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk payload → (h, w) uint8 alpha plane. Header byte
+    (LSB-first): bits 0-1 compression (0 raw, 1 lossless), 2-3
+    filtering, 4-5 pre-processing (encode-side level reduction — no
+    decoder action). The lossless body is a HEADERLESS VP8L
+    image-stream of implicit dimension w×h with the alpha values in
+    the GREEN channel (container spec; validated against the real
+    libwebp ALPH stream in tests/fixtures/python_logo.webp)."""
+    if not payload:
+        raise ValueError("empty ALPH chunk")
+    if w * h > VP8L_MAX_PIXELS:
+        raise ValueError("ALPH plane too large for the pure-Python decoder")
+    head = payload[0]
+    if head & 0xC0:
+        raise ValueError("reserved ALPH header bits set")
+    compression = head & 0x03
+    filtering = (head >> 2) & 0x03
+    body = payload[1:]
+    if compression == 0:
+        if len(body) < w * h:
+            raise ValueError("truncated raw ALPH plane")
+        plane = np.frombuffer(body[: w * h], dtype=np.uint8).reshape(h, w)
+    elif compression == 1:
+        px = _decode_vp8l_body(_Bits(body), w, h)
+        plane = np.ascontiguousarray(px[..., 2])  # green channel
+    else:
+        raise ValueError("bad ALPH compression method")
+    return _unfilter_alpha(plane, filtering)
+
+
+def encode_alph(plane: np.ndarray, filtering: int = 0) -> bytes:
+    """Fixture/test writer: raw-method ALPH payload (compression 0)
+    with an optional forward prediction filter — the exact inverse of
+    ``_unfilter_alpha``, so decode(encode(p)) == p by construction."""
+    plane = np.asarray(plane, dtype=np.uint8)
+    h, w = plane.shape
+    if filtering == 0:
+        body = plane.tobytes()
+    else:
+        ref = plane.astype(np.int32)
+        res = np.empty_like(ref)
+        for y in range(h):
+            for x in range(w):
+                if y == 0:
+                    pred = int(ref[0, x - 1]) if x else 0
+                elif filtering == 1:
+                    pred = int(ref[y, x - 1]) if x else int(ref[y - 1, 0])
+                elif filtering == 2:
+                    pred = int(ref[y - 1, x])
+                else:  # gradient
+                    if x == 0:
+                        pred = int(ref[y - 1, 0])
+                    else:
+                        left, top = int(ref[y, x - 1]), int(ref[y - 1, x])
+                        tl = int(ref[y - 1, x - 1])
+                        pred = min(255, max(0, left + top - tl))
+                res[y, x] = (int(ref[y, x]) - pred) & 0xFF
+        body = res.astype(np.uint8).tobytes()
+    return bytes([(filtering & 3) << 2]) + body
 
 
 def _riff_chunks(data: bytes, pos: int, end: int):
@@ -762,14 +884,20 @@ def decode_webp_frames(data: bytes) -> list[np.ndarray]:
     Per the container spec, every ANMF frame embeds a complete VP8
     keyframe or VP8L bitstream (temporal compression is frame rects +
     blend/dispose, not inter prediction), so the still decoders carry
-    all pixel work. Compositing: the canvas starts as the ANIM
-    background color; each frame pastes its rect (the in-repo frames
-    are alpha-less, where both blend modes reduce to overwrite; ALPH
-    subchunks raise the unbundled-alpha NotImplementedError seam);
+    all pixel work. Compositing: the canvas is RGBA (alpha tracked
+    internally), starting as the ANIM background color; each frame
+    pastes or alpha-blends its rect (ANMF blend flag; ALPH subchunks
+    decode for real — decode_alph; a lossy frame's alpha rides ALPH,
+    a VP8L frame's alpha rides its own A channel), and
     dispose-to-background restores the rect after the frame is
-    emitted. Reference analogue: cv2.imdecode accepts animated WebP
-    and surfaces the first frame (/root/reference/ocr/operators.py:
-    41-46); the frame list feeds multimodal frame sampling."""
+    emitted. Emitted frames follow the module's RGB convention:
+    canvas composited over the ANIM background by canvas alpha, in
+    float64 with round-half-even — documented, deterministic
+    semantics (libwebp itself blends in fixed-point; sub-LSB
+    differences possible on wild files). Reference analogue:
+    cv2.imdecode accepts animated WebP and surfaces the first frame
+    (/root/reference/ocr/operators.py:41-46); the frame list feeds
+    multimodal frame sampling."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP")
     vp8x = anim = None
@@ -793,8 +921,10 @@ def decode_webp_frames(data: bytes) -> list[np.ndarray]:
         raise ValueError("animated WebP canvas too large for the pure-Python decoder")
     # ANIM background color is [B, G, R, A] byte order
     bg = np.array([anim[2], anim[1], anim[0]], dtype=np.uint8)
+    bg_a = anim[3]
     canvas = np.empty((ch, cw, 3), dtype=np.uint8)
     canvas[:] = bg
+    canvas_a = np.full((ch, cw), bg_a, dtype=np.uint8)
     from ragflow_ocr_spark.kernels import vp8 as vp8mod
 
     # total-output budget, same rule as the GIF animation decoder
@@ -812,16 +942,22 @@ def decode_webp_frames(data: bytes) -> list[np.ndarray]:
         fh = 1 + int.from_bytes(anmf[9:12], "little")
         flags = anmf[15]  # bit 0: dispose-to-background, bit 1: no-blend
         img = None
+        alpha = None
+        alph_payload = None
         for tag, payload in _riff_chunks(anmf, 16, len(anmf)):
             if tag == b"ALPH":
-                raise NotImplementedError(
-                    "animated WebP alpha plane not bundled offline"
-                )
-            if tag == b"VP8 ":
+                # spec: ALPH precedes the VP8 chunk it augments
+                alph_payload = payload
+            elif tag == b"VP8 ":
                 img = vp8mod.decode_vp8(payload)
                 break
-            if tag == b"VP8L":
-                img = decode_vp8l(payload)
+            elif tag == b"VP8L":
+                # a VP8L frame carries alpha in its own A channel;
+                # an ALPH chunk alongside it is ignored per spec
+                px = _decode_vp8l_rgba(payload)
+                img = np.ascontiguousarray(px[..., 1:4])
+                alpha = np.ascontiguousarray(px[..., 0])
+                alph_payload = None
                 break
         if img is None:
             raise ValueError("ANMF frame without VP8/VP8L data")
@@ -831,15 +967,39 @@ def decode_webp_frames(data: bytes) -> list[np.ndarray]:
             raise ValueError("ANMF frame size mismatch vs decoded bitstream")
         if fx + fw > cw or fy + fh > ch:
             raise ValueError("ANMF frame rect outside the canvas")
-        # alpha-less frames: blend (flags bit 1 = 0) and no-blend agree
-        canvas[fy : fy + fh, fx : fx + fw] = img
-        out = canvas.copy()
+        if alph_payload is not None:
+            alpha = decode_alph(alph_payload, fw, fh)
+        if alpha is None:
+            alpha = np.full((fh, fw), 255, dtype=np.uint8)
+        dst = canvas[fy : fy + fh, fx : fx + fw]
+        dst_a = canvas_a[fy : fy + fh, fx : fx + fw]
+        if flags & 0x02 or (alpha == 255).all():  # no-blend / opaque: overwrite
+            dst[:] = img
+            dst_a[:] = alpha
+        else:
+            # container-spec alpha blending, float64 + round-half-even:
+            #   out.a   = src.a + dst.a·(1−src.a/255)
+            #   out.rgb = (src.rgb·src.a + dst.rgb·dst.a·(1−src.a/255)) / out.a
+            sa = alpha.astype(np.float64) / 255.0
+            da = dst_a.astype(np.float64) / 255.0
+            oa = sa + da * (1.0 - sa)
+            num = (img.astype(np.float64) * sa[..., None]
+                   + dst.astype(np.float64) * (da * (1.0 - sa))[..., None])
+            safe = np.maximum(oa, 1e-12)
+            dst[:] = np.rint(num / safe[..., None]).astype(np.uint8)
+            dst_a[:] = np.rint(oa * 255.0).astype(np.uint8)
+        # emit: canvas over the ANIM background by canvas alpha (RGB
+        # output convention — see docstring)
+        ca = canvas_a.astype(np.float64)[..., None] / 255.0
+        out = np.rint(canvas.astype(np.float64) * ca
+                      + bg.astype(np.float64) * (1.0 - ca)).astype(np.uint8)
         r, g, b = out[..., 0], out[..., 1], out[..., 2]
         frames.append(
             np.ascontiguousarray(r) if (r == g).all() and (g == b).all() else out
         )
         if flags & 0x01:  # dispose to background
             canvas[fy : fy + fh, fx : fx + fw] = bg
+            canvas_a[fy : fy + fh, fx : fx + fw] = bg_a
     return frames
 
 
@@ -862,7 +1022,10 @@ def encode_webp_animated(
     ``data`` (raw bitstream, e.g. vp8.encode_vp8_flat_payload or the
     VP8L encoder's chunk payload), ``x``/``y`` (even canvas offsets),
     ``w``/``h`` (must match the bitstream), optional ``duration`` ms,
-    ``dispose`` (to background), ``blend``."""
+    ``dispose`` (to background), ``blend``, and optional ``alpha`` —
+    an (h, w) uint8 plane emitted as a raw-method ALPH subchunk
+    before the VP8 chunk (``alpha_filter`` selects its prediction
+    filter, default 0)."""
     body = _riff_chunk_bytes(
         b"VP8X",
         bytes([_VP8X_ANIM_FLAG, 0, 0, 0])
@@ -890,9 +1053,15 @@ def encode_webp_animated(
                 ]
             )
         )
-        body += _riff_chunk_bytes(
-            b"ANMF", hdr + _riff_chunk_bytes(f["tag"], f["data"])
-        )
+        inner = b""
+        if f.get("alpha") is not None:
+            if f["tag"] != b"VP8 ":
+                raise ValueError("ALPH subchunks only augment lossy VP8 frames")
+            inner += _riff_chunk_bytes(
+                b"ALPH", encode_alph(f["alpha"], f.get("alpha_filter", 0))
+            )
+        inner += _riff_chunk_bytes(f["tag"], f["data"])
+        body += _riff_chunk_bytes(b"ANMF", hdr + inner)
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
 
 

@@ -877,6 +877,12 @@ def _synth_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     out += fr
                 rows.append((did, "video", bytes(out), "mockv1", 32, 24, 0))
             elif did % 8 == 7:
+                # every frame carries an OPAQUE ALPH subchunk cycling
+                # through all four prediction filters: the composited
+                # output is bit-identical to the alpha-less form (the
+                # oracle's closed form is untouched) while the real
+                # ALPH decode + unfilter path runs inside this
+                # driver-oracle-checked query
                 frames = [
                     {
                         "tag": b"VP8 ",
@@ -885,6 +891,8 @@ def _synth_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         ),
                         "w": 32,
                         "h": 24,
+                        "alpha": np.full((24, 32), 255, np.uint8),
+                        "alpha_filter": idx % 4,
                     }
                     for idx in range(n_frames)
                 ]

@@ -346,3 +346,146 @@ def test_animated_webp_frame_budget():
     big = webp.encode_webp_animated(many, 2000, 2000)
     with pytest.raises(ValueError, match="budget|too large"):
         webp.decode_webp_frames(big)
+
+
+# ---------------------------------------------------------------------------
+# ALPH alpha planes (round-5: animated alpha compositing + the real
+# libwebp lossless-alpha stream)
+# ---------------------------------------------------------------------------
+
+_FIXTURES = __file__.rsplit("/", 1)[0] + "/fixtures"
+
+
+def _logo_chunks():
+    import struct
+
+    data = open(f"{_FIXTURES}/python_logo.webp", "rb").read()
+    pos, chunks = 12, {}
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        chunks[tag] = data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    return chunks
+
+
+def test_real_libwebp_alph_chunk_decodes():
+    """The golden's ALPH chunk is compression method 1: a HEADERLESS
+    VP8L image-stream with alpha in the green channel — real libwebp
+    output pinning the implicit-dimension lossless path."""
+    import hashlib
+
+    a = webp.decode_alph(_logo_chunks()[b"ALPH"], 16, 16)
+    assert a.shape == (16, 16) and a.dtype == np.uint8
+    assert (
+        hashlib.sha256(a.tobytes()).hexdigest()
+        == "00d64fd72159f0e240eac94eb2a256366dad5e267b45a1920aa72771a8e6ff8c"
+    )
+    # logo mask structure: transparent corners, opaque snake body
+    for y, x in ((0, 0), (0, 15), (15, 0), (15, 15)):
+        assert a[y, x] == 0
+    assert a[5, 5] == 255 and a[10, 10] == 255
+
+
+@pytest.mark.parametrize("filt", [0, 1, 2, 3])
+def test_alph_filter_round_trip(filt):
+    rng = np.random.RandomState(41 + filt)
+    plane = rng.randint(0, 256, size=(13, 17), dtype=np.uint8)
+    payload = webp.encode_alph(plane, filt)
+    assert payload[0] == (filt << 2)
+    out = webp.decode_alph(payload, 17, 13)
+    assert (out == plane).all()
+
+
+def test_alph_error_paths():
+    with pytest.raises(ValueError):
+        webp.decode_alph(b"", 4, 4)
+    with pytest.raises(ValueError):
+        webp.decode_alph(bytes([0x02]) + b"\x00" * 16, 4, 4)  # bad method
+    with pytest.raises(ValueError):
+        webp.decode_alph(bytes([0x40]) + b"\x00" * 16, 4, 4)  # reserved bit
+    with pytest.raises(ValueError):
+        webp.decode_alph(bytes([0x00]) + b"\x00" * 7, 4, 4)  # truncated raw
+
+
+def test_animated_alpha_blend_and_dispose():
+    """ALPH-bearing ANMF frames composite with the documented
+    container-spec blend math; no-blend overwrites; dispose restores
+    the background (including its alpha)."""
+    from ragflow_ocr_spark.kernels import vp8
+
+    w, h = 32, 24
+    base = vp8.encode_vp8_flat_payload(w, h, (200, 128, 128))  # bright
+    over = vp8.encode_vp8_flat_payload(w, h, (50, 128, 128))   # dark
+    half = np.full((h, w), 128, np.uint8)  # ~50% alpha overlay
+    anim = webp.encode_webp_animated(
+        [
+            {"tag": b"VP8 ", "data": base, "w": w, "h": h},
+            {"tag": b"VP8 ", "data": over, "w": w, "h": h, "alpha": half,
+             "alpha_filter": 2},
+            {"tag": b"VP8 ", "data": over, "w": w, "h": h, "alpha": half,
+             "blend": False},
+        ],
+        w,
+        h,
+        bg_rgba=(0, 0, 0, 255),
+    )
+    f0, f1, f2 = webp.decode_webp_frames(anim)
+    y_base = float(_bt601(200))
+    y_over = float(_bt601(50))
+    assert (f0 == y_base).all()
+    # frame 1: alpha blend over an opaque canvas ->
+    #   out = (over*128 + base*255*(1-128/255)) / (128 + 255*(1-128/255))
+    sa = 128.0 / 255.0
+    oa = sa + 1.0 * (1.0 - sa)
+    expect = np.rint((y_over * sa + y_base * (1.0 - sa)) / oa)
+    assert (f1.astype(float) == expect).all(), (f1[0, 0], expect)
+    # frame 2: no-blend overwrites rect AND its alpha (half) -> emitted
+    # over black bg: rint(over * 128/255)
+    expect2 = np.rint(y_over * sa)
+    assert (f2.astype(float) == expect2).all(), (f2[0, 0], expect2)
+
+
+def test_animated_alpha_subrect_over_background():
+    """A transparent-alpha sub-rect frame lets the ANIM background
+    show through in the emitted RGB frame."""
+    from ragflow_ocr_spark.kernels import vp8
+
+    sub = vp8.encode_vp8_flat_payload(16, 8, (120, 128, 128))
+    clear = np.zeros((8, 16), np.uint8)  # fully transparent
+    anim = webp.encode_webp_animated(
+        [{"tag": b"VP8 ", "data": sub, "w": 16, "h": 8, "x": 4, "y": 2,
+          "alpha": clear}],
+        32,
+        16,
+        bg_rgba=(10, 20, 30, 255),
+    )
+    (f0,) = webp.decode_webp_frames(anim)
+    assert f0.shape == (16, 32, 3)
+    # everything — including the frame rect — shows the background
+    assert (f0[..., 0] == 10).all() and (f0[..., 2] == 30).all()
+
+
+def test_alph_mutation_fails_contractually():
+    """Bit flips in an ALPH-bearing animation either decode or raise
+    ValueError — never crash."""
+    from ragflow_ocr_spark.kernels import vp8
+
+    alpha = (np.arange(24 * 32, dtype=np.uint8).reshape(24, 32) * 7) % 256
+    anim = webp.encode_webp_animated(
+        [{"tag": b"VP8 ", "data":
+          vp8.encode_vp8_flat_payload(32, 24, (90, 128, 128)),
+          "w": 32, "h": 24, "alpha": alpha, "alpha_filter": 3}],
+        32,
+        24,
+    )
+    # unmutated round trip first
+    (f0,) = webp.decode_webp_frames(anim)
+    assert f0.shape[:2] == (24, 32)
+    for pos in (40, 60, 90, 150, 300):
+        broken = bytearray(anim)
+        broken[pos % len(anim)] ^= 0x55
+        try:
+            webp.decode_webp_frames(bytes(broken))
+        except ValueError:
+            pass
