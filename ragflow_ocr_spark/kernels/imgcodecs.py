@@ -100,25 +100,36 @@ def _bmp_rle_decode(
 
     RLE bitmaps are always stored bottom-up; runs past the row width
     clip (writes bounded, cursor still advances), so a malicious
-    stream can never write outside the declared h×w allocation."""
+    stream can never write outside the declared h×w allocation. A
+    pixel-data offset outside the file, or a stream that ends without
+    consuming a single op, raises (the loud-error convention of the
+    other truncation paths — ADVICE r04). RLE4 runs are vectorized
+    like RLE8: a crafted ~500 KB RLE4 near the pixel ceiling must not
+    become a tens-of-millions-iteration task straggler (ADVICE r04)."""
+    n = len(data)
+    if off >= n:
+        raise ValueError("BMP pixel-data offset outside the file")
     idx = np.zeros((h, w), np.uint8)
     x = y = 0
-    p, n = off, len(data)
+    p = off
+    saw_op = False
     while p + 1 < n:
+        saw_op = True
         c, v = data[p], data[p + 1]
         p += 2
         if c:  # encoded run: c pixels of v (RLE4: alternating nibbles)
             if y >= h:
                 raise ValueError("bad BMP RLE (run past last row)")
-            if four_bit:
-                pair = (v >> 4, v & 0xF)
-                for i in range(c):
-                    if x < w:
-                        idx[y, x] = pair[i & 1]
-                    x += 1
-            else:
-                idx[y, x : min(x + c, w)] = v
-                x += c
+            take = min(c, w - x)
+            if take > 0:
+                if four_bit:
+                    pat = np.empty(take, np.uint8)
+                    pat[0::2] = v >> 4
+                    pat[1::2] = v & 0xF
+                    idx[y, x : x + take] = pat
+                else:
+                    idx[y, x : x + take] = v
+            x += c
         elif v == 0:  # end of line
             x, y = 0, y + 1
         elif v == 1:  # end of bitmap
@@ -139,19 +150,20 @@ def _bmp_rle_decode(
                 raise ValueError("truncated BMP RLE absolute run")
             if y >= h:
                 raise ValueError("bad BMP RLE (absolute run past last row)")
-            if four_bit:
-                for i in range(cnt):
-                    b = data[p + (i >> 1)]
-                    s = (b >> 4) if i & 1 == 0 else (b & 0xF)
-                    if x < w:
-                        idx[y, x] = s
-                    x += 1
-            else:
-                take = min(cnt, w - x)
-                if take > 0:
+            take = min(cnt, w - x)
+            if take > 0:
+                if four_bit:
+                    raw = np.frombuffer(data, np.uint8, (take + 1) // 2, p)
+                    nibs = np.empty(2 * len(raw), np.uint8)
+                    nibs[0::2] = raw >> 4
+                    nibs[1::2] = raw & 0xF
+                    idx[y, x : x + take] = nibs[:take]
+                else:
                     idx[y, x : x + take] = np.frombuffer(data, np.uint8, take, p)
-                x += cnt
+            x += cnt
             p += aligned
+    if not saw_op:
+        raise ValueError("empty BMP RLE stream")
     return idx[::-1]
 
 

@@ -445,7 +445,11 @@ def _content_tokens(content: bytes):
             # span is actually hex + whitespace: a lone 0x3C inside
             # malformed/binary content must stay a single stray byte,
             # or every operator up to some distant '>' is swallowed.
-            j = content.find(b">", i)
+            # The scan is BOUNDED (ADVICE r04): a terminator more than
+            # 4 KiB away means this is not a show string (real ones are
+            # tens of bytes), and the cap also keeps a '<'-riddled
+            # binary stream from going quadratic.
+            j = content.find(b">", i, i + 4097)
             span = content[i + 1 : j] if j >= 0 else b""
             hx = re.sub(rb"[\s\x00]", b"", span)
             if j < 0 or not re.fullmatch(rb"[0-9a-fA-F]*", hx):

@@ -903,3 +903,50 @@ def test_png_16bit_interlaced_matches_sequential():
     il = pngcodec.decode_png(_png(w, h, 16, 0, il_rows, interlace=1))
     assert np.array_equal(seq, il)
     assert np.array_equal(seq, (vals.astype(np.uint16) >> 8).astype(np.uint8))
+
+
+def test_bmp_rle_offset_and_empty_stream_raise():
+    """ADVICE r04: bfOffBits past EOF and op-less streams must raise,
+    not silently decode to an all-palette[0] image."""
+    pal = [(i, i, i) for i in range(16)]
+    good = _bmp(4, 2, 8, 1, _rle8_encode([[1, 2, 3, 4], [5, 6, 7, 8]]), pal)
+    # push the stored pixel-data offset past EOF
+    import struct
+
+    broken = bytearray(good)
+    struct.pack_into("<I", broken, 10, len(good) + 100)
+    with pytest.raises(ValueError):
+        ic.decode_bmp(bytes(broken))
+    # RLE payload of zero ops
+    with pytest.raises(ValueError):
+        ic.decode_bmp(_bmp(4, 2, 8, 1, b"", pal))
+
+
+def test_bmp_rle4_long_runs_vectorized_and_exact():
+    """ADVICE r04: RLE4 encoded/absolute runs decode via numpy nibble
+    tiling. A wide image of max-length runs decodes fast and matches
+    the per-pixel semantics (phase restarts at each run)."""
+    import time
+
+    w, h = 5000, 40
+    rle = bytearray()
+    for _ in range(h):
+        x = 0
+        while x < w:
+            n = min(255, w - x)
+            rle += bytes([n, 0xA1])
+            x += n
+        rle += b"\x00\x00"
+    rle += b"\x00\x01"
+    t0 = time.perf_counter()
+    img = ic.decode_bmp(_bmp(w, h, 4, 2, bytes(rle), _BMP_PAL16))
+    dt = time.perf_counter() - t0
+    assert img.shape == (h, w, 3)
+    # phase restarts every 255 pixels: positions 0..254 alternate
+    # 10,1,...; position 255 starts at 10 again
+    row = img[0]
+    assert tuple(row[0]) == _BMP_PAL16[10]
+    assert tuple(row[1]) == _BMP_PAL16[1]
+    assert tuple(row[254]) == _BMP_PAL16[10]
+    assert tuple(row[255]) == _BMP_PAL16[10]
+    assert dt < 1.0, f"RLE4 decode too slow: {dt:.2f}s"

@@ -541,3 +541,21 @@ def test_stray_angle_bracket_does_not_swallow_operators():
     )
     r2 = ocr_image(pdf.pdf_to_image(pdf._assemble(objects)), OCRConfig())
     assert "STILL HERE" in r2.text
+
+
+def test_hex_string_scan_is_bounded():
+    """ADVICE r04: a lone '<' whose matching '>' sits kilobytes away in
+    binary-ish content must degrade to a stray byte, not swallow the
+    intervening operators."""
+    from ragflow_ocr_spark.kernels.pdf import _content_tokens
+
+    # '<' then >4 KiB of hex-looking bytes before the terminator: the
+    # bounded scan must NOT treat it as one huge show string, so the
+    # embedded Tj operator survives
+    blob = b"< " + b"ab " * 2000 + b"> (real) Tj"
+    toks = list(_content_tokens(blob))
+    assert ("op", b"Tj") in toks
+    assert ("str", b"real") in toks
+    # a normal-sized hex string still decodes
+    toks2 = list(_content_tokens(b"<48 65 6C 6C 6F> Tj"))
+    assert ("str", b"Hello") in toks2
