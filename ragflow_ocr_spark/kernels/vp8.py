@@ -828,6 +828,7 @@ class _FrameHeader:
         "q_index", "y1dc_delta", "y2dc_delta", "y2ac_delta",
         "uvdc_delta", "uvac_delta",
         "coeff_probs", "mb_no_coeff_skip", "prob_skip_false",
+        "refresh_entropy",
     )
 
 
@@ -1564,7 +1565,18 @@ def _decode_residuals(parts, hdr, mb_rows, mb_cols, ymodes, skips,
 
 def decode_vp8(data: bytes) -> np.ndarray:
     """Raw ``VP8 `` chunk payload (RFC 6386 keyframe) → HxW gray /
-    HxWx3 RGB, same return convention as decode_vp8l."""
+    HxWx3 RGB, same return convention as decode_vp8l. Interframes need
+    reference state — decode them through
+    ``vp8_inter.Vp8SequenceDecoder``."""
+    _hdr, Y, U, V, w, h, _r, _c2 = _decode_keyframe(data)
+    return _yuv_to_rgb(Y, U, V, w, h)
+
+
+def _decode_keyframe(data: bytes):
+    """Keyframe decode core: returns (hdr, Y, U, V, w, h, mb_rows,
+    mb_cols) with the loop-filtered padded planes — the state an
+    interframe sequence decoder (kernels/vp8_inter.py) carries
+    forward as LAST/GOLDEN/ALTREF."""
     if len(data) < 10:
         raise ValueError("truncated VP8 frame")
     tag = data[0] | (data[1] << 8) | (data[2] << 16)
@@ -1590,7 +1602,7 @@ def decode_vp8(data: bytes) -> np.ndarray:
     _parse_header(bd, hdr)
     nparts = 1 << bd.read_literal(2)
     _parse_quant(bd, hdr)
-    bd.read_literal(1)  # refresh_entropy_probs (keyframe: no effect here)
+    hdr.refresh_entropy = bd.read_literal(1)
     _parse_coeff_probs(bd, hdr)
     hdr.mb_no_coeff_skip = bd.read_literal(1)
     hdr.prob_skip_false = bd.read_literal(8) if hdr.mb_no_coeff_skip else 0
@@ -1636,7 +1648,7 @@ def decode_vp8(data: bytes) -> np.ndarray:
     Y, U, V = _reconstruct(hdr, mb_rows, mb_cols, ymodes, uvmodes, bmodes,
                            ycoef, y2coef, ucoef, vcoef, has_y2)
     _loop_filter(hdr, Y, U, V, mb_rows, mb_cols, segments, ymodes, mb_has)
-    return _yuv_to_rgb(Y, U, V, w, h)
+    return hdr, Y, U, V, w, h, mb_rows, mb_cols
 
 
 # ---------------------------------------------------------------------------

@@ -15,12 +15,13 @@ Container/codec reality in this sandbox (no PIL/cv2/ffmpeg):
   AVI/MJPEG, real ISO-BMFF mp4 (general stsd/stsz/stsc/stco
   sample-table demux), real webm/Matroska (EBML walk,
   SimpleBlock/BlockGroup frames) with MJPEG-coded AND V_VP8-coded
-  tracks (keyframe bitstreams decode via kernels/vp8; inter frames
-  surface that decoder's explicit error), and ANIMATED WebP
-  (VP8X/ANIM/ANMF compositing via kernels/webp) — frame sampling,
-  frame decode, and per-frame features are real for all of these;
-  video codecs beyond MJPEG/VP8-keyframe (VP8 inter prediction,
-  VP9, H.264) are the remaining per-row seam.
+  tracks (keyframes via kernels/vp8 AND inter frames via the stateful
+  kernels/vp8_inter sequence decoder — motion compensation, near-MV
+  prediction, SPLITMV, golden/altref), and ANIMATED WebP
+  (VP8X/ANIM/ANMF compositing incl. ALPH alpha via kernels/webp) —
+  frame sampling, frame decode, and per-frame features are real for
+  all of these; video codecs beyond MJPEG/VP8 (VP9, H.264) are the
+  remaining per-row seam.
 
 Every stage is init-once-per-worker, Arrow-batched, and returns typed
 columns — the schema/partitioning/batch-shape plumbing the 100 TB
@@ -401,11 +402,13 @@ def _iter_webm_frames(payload: bytes) -> Iterator[bytes]:
     """Walk Segment → Tracks (codec check) and Clusters → SimpleBlock/
     BlockGroup frames. Laced blocks and unknown-size elements are
     rejected (per-row error). V_MJPEG frames yield raw (JPEG bytes are
-    self-describing); V_VP8 frames yield wrapped as still WebP so the
-    downstream frame contract (sniffable, decodable bytes) holds —
-    keyframes decode via kernels/vp8, inter frames surface that
-    decoder's explicit interframe error. Other codecs (V_VP9/V_AV1/…)
-    raise the unbundled-codec seam."""
+    self-describing); V_VP8 tracks decode STATEFULLY through
+    kernels/vp8_inter.Vp8SequenceDecoder (keyframes AND inter frames —
+    the round-4 keyframe-only seam is closed) and re-emit as lossless
+    PNG so the downstream frame contract (sniffable, independently
+    decodable bytes) holds — the same convention the GIF video path
+    uses. Other codecs (V_VP9/V_AV1/…) raise the unbundled-codec
+    seam."""
     codec: bytes | None = None
     frames: list[bytes] = []
 
@@ -443,9 +446,11 @@ def _iter_webm_frames(payload: bytes) -> Iterator[bytes]:
         raise ValueError("matroska file has no CodecID")
     cid = codec.rstrip(b"\x00")
     if cid == b"V_VP8":
-        from ragflow_ocr_spark.kernels import vp8 as vp8mod
+        from ragflow_ocr_spark.kernels import vp8_inter
 
-        yield from (vp8mod.wrap_webp(fr) for fr in frames)
+        dec = vp8_inter.Vp8SequenceDecoder()
+        yield from (pngcodec.encode_png(dec.decode_frame(fr))
+                    for fr in frames)
         return
     if cid != b"V_MJPEG":
         raise NotImplementedError(
@@ -909,14 +914,29 @@ def _synth_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 if did % 4 == 1:
                     payload, codec = encode_mp4_mjpeg(frames, 32, 24), "mjpeg_mp4"
                 elif did % 16 == 11:
-                    # V_VP8 webm: flat keyframes, same exact BT.601
-                    # closed form as the animated-WebP family
-                    vp8_frames = [
-                        vp8mod.encode_vp8_flat_payload(
-                            32, 24, (64 + (did * 31 + idx * 7) % 128, 128, 128)
-                        )
-                        for idx in range(n_frames)
-                    ]
+                    # V_VP8 webm with a REAL GOP: flat keyframes at the
+                    # SAMPLED (even) indices keep the exact BT.601
+                    # closed form, while every odd index is a genuine
+                    # inter frame (alternating fractional-MV NEWMV and
+                    # ZEROMV over the flat reference — both reproduce
+                    # the previous frame exactly on flat content), so
+                    # the stateful keyframe→P→keyframe decode chain
+                    # runs inside this driver-oracle-checked query
+                    # without touching the oracle's closed form
+                    from ragflow_ocr_spark.kernels import vp8_inter
+
+                    vp8_frames = []
+                    for idx in range(n_frames):
+                        if idx % 2 == 0:
+                            vp8_frames.append(vp8mod.encode_vp8_flat_payload(
+                                32, 24,
+                                (64 + (did * 31 + idx * 7) % 128, 128, 128)))
+                        else:
+                            spec = ({"mode": "new", "mv": (2, 6)}
+                                    if idx % 4 == 1 else {"mode": "zero"})
+                            vp8_frames.append(
+                                vp8_inter.encode_vp8_inter_frame(
+                                    32, 24, [dict(spec) for _ in range(4)]))
                     payload, codec = encode_webm(vp8_frames, b"V_VP8"), "vp8_webm"
                 else:
                     payload, codec = encode_webm_mjpeg(frames), "mjpeg_webm"

@@ -339,29 +339,33 @@ def test_webm_mjpeg_mux_demux_roundtrip():
         list(mm.iter_video_frames(mm._EBML_MAGIC + b"\x00\xff\x13"))
 
 
-def test_webm_vp8_keyframes_decode_for_real():
-    """V_VP8 Matroska tracks route through kernels/vp8: flat keyframes
-    reconstruct their exact BT.601 values through demux + decode; an
-    inter frame (tag LSB set) surfaces the decoder's explicit error
-    when the frame is decoded."""
-    from ragflow_ocr_spark.kernels import vp8, webp
+def test_webm_vp8_sequence_decodes_keyframes_and_inter_frames():
+    """V_VP8 Matroska tracks route through the STATEFUL
+    kernels/vp8_inter sequence decoder: flat keyframes reconstruct
+    their exact BT.601 values through demux + decode, and genuine
+    inter frames (fractional-MV NEWMV / ZEROMV over the flat
+    reference) reproduce the prior frame exactly (round-4 seam
+    closed). An inter frame FIRST in the stream still fails loudly."""
+    from ragflow_ocr_spark.kernels import vp8, vp8_inter
 
     vals = [70, 140, 200]
-    frames = [
-        vp8.encode_vp8_flat_payload(32, 24, (v, 128, 128)) for v in vals
-    ]
+    frames = []
+    for v in vals:
+        frames.append(vp8.encode_vp8_flat_payload(32, 24, (v, 128, 128)))
+        frames.append(vp8_inter.encode_vp8_inter_frame(
+            32, 24, [{"mode": "new", "mv": (2, 6)} for _ in range(4)]))
     mkv = mm.encode_webm(frames, b"V_VP8")
     out = list(mm.iter_video_frames(mkv))
-    assert len(out) == 3
-    for fr, v in zip(out, vals):
+    assert len(out) == 6
+    for i, fr in enumerate(out):
         img = mm._decode_frame(fr)
-        exp = (298 * (v - 16) + 128) >> 8
-        assert (img == exp).all()
-    # interframe bit set → wrapped frame fails loudly at decode time
-    inter = bytes([frames[0][0] | 1]) + frames[0][1:]
-    wrapped = list(mm.iter_video_frames(mm.encode_webm([inter], b"V_VP8")))[0]
-    with pytest.raises(ValueError, match="interframe"):
-        webp.decode_webp(wrapped)
+        exp = (298 * (vals[i // 2] - 16) + 128) >> 8
+        assert (img == exp).all(), (i, np.unique(img), exp)
+    # an inter frame with no prior keyframe fails loudly at demux-decode
+    p_only = vp8_inter.encode_vp8_inter_frame(
+        32, 24, [{"mode": "zero"} for _ in range(4)])
+    with pytest.raises(ValueError, match="keyframe"):
+        list(mm.iter_video_frames(mm.encode_webm([p_only], b"V_VP8")))
 
 
 def test_webm_through_frame_sample_stage(spark):
