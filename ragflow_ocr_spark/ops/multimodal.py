@@ -9,8 +9,11 @@ Container/codec reality in this sandbox (no PIL/cv2/ffmpeg):
   provenance seam) all decode for real (kernels/pngcodec +
   kernels/imgcodecs); exotic stills (JPEG 2000, CMYK JPEG) remain
   per-row ``error:unsupported_codec``.
-- **audio**: raw PCM s16le payloads AND real RIFF/WAV PCM16 containers
-  (kernels/wavcodec) — RMS / zero-crossing / peak features are real.
+- **audio**: raw PCM s16le payloads, real RIFF/WAV PCM16 containers
+  (kernels/wavcodec), AND real MPEG-1/2 Layer III MP3 (kernels/mp3 —
+  the dominant real-crawl audio payload) — RMS / zero-crossing / peak
+  features are real; MP3 oracle rows use silence frames (exact closed
+  form through the whole lossy chain).
 - **video**: MOCKV1 (deterministic synth container), real RIFF
   AVI/MJPEG, real ISO-BMFF mp4 (general stsd/stsz/stsc/stco
   sample-table demux), real webm/Matroska (EBML walk,
@@ -582,7 +585,15 @@ AUDIO_FEATURES_SCHEMA = (
 
 def audio_features_stage():
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ragflow_ocr_spark.kernels import wavcodec
+        from ragflow_ocr_spark.kernels import mp3 as mp3codec, wavcodec
+
+        def _is_mp3(raw: bytes) -> bool:
+            if raw[:3] == b"ID3":
+                return True
+            # frame sync + Layer III; a raw little-endian PCM payload
+            # can never match (it would need sample ≥ 0xE0FF)
+            return (len(raw) >= 4 and raw[0] == 0xFF
+                    and (raw[1] & 0xE0) == 0xE0 and ((raw[1] >> 1) & 3) == 1)
 
         for b in batches:
             rows = []
@@ -595,10 +606,14 @@ def audio_features_stage():
                         samples, _sr = wavcodec.decode_wav(raw)
                         if samples.ndim == 2:
                             samples = samples.mean(axis=1)
-                        pcm = samples.astype(np.float64)
+                        pcm = samples.astype(np.float64) / 32768.0
+                    elif _is_mp3(raw):
+                        # real lossy route: MPEG-1/2 Layer III
+                        # (kernels/mp3, mono mixdown, already in [-1, 1])
+                        pcm, _sr = mp3codec.decode_mp3(raw)
                     else:
-                        pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64)
-                    pcm /= 32768.0
+                        pcm = (np.frombuffer(raw, dtype="<i2")
+                               .astype(np.float64) / 32768.0)
                     zc = int(np.count_nonzero(np.diff(np.signbit(pcm))))
                     rows.append(
                         (
@@ -822,10 +837,26 @@ FROM documents WHERE doc_id < {_IMG_LIMIT}
 
 def q_media_audio_features(spark, sf_dir: str):
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ragflow_ocr_spark.kernels import mp3 as mp3codec
+
         for b in batches:
             rows = []
             for did in b["doc_id"]:
                 did = int(did)
+                if did % 4 == 3:
+                    # real MP3 route: Layer III silence frames (exact
+                    # closed form: every conformant decoder reconstructs
+                    # digital zero, so rms = peak = zc = 0 while the
+                    # full header/side-info/reservoir/IMDCT/synthesis
+                    # chain runs). did%8==3 → MPEG-1 (1152 spf),
+                    # did%8==7 → MPEG-2 LSF (576 spf, the real-golden
+                    # shape).
+                    n_frames = 2 + did % 3
+                    payload = mp3codec.encode_mp3_silence(
+                        n_frames, mpeg1=did % 8 == 3)
+                    rows.append((did, "audio", payload, "mp3", 0, 0,
+                                 44100 if did % 8 == 3 else 22050))
+                    continue
                 amp = 2 * (did % 8191) + 1  # odd ⇒ no round-half tie
                 pcm = np.empty(8000, dtype="<i2")
                 pcm[0::2] = amp
@@ -841,10 +872,16 @@ def q_media_audio_features(spark, sf_dir: str):
 
 
 ORACLE_AUDIO_FEATURES = f"""
-SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS n_samples,
-       ROUND((2 * (doc_id % 8191) + 1) / 32768.0, 6) AS rms,
-       ROUND((2 * (doc_id % 8191) + 1) / 32768.0, 6) AS peak,
-       CAST(7999 AS BIGINT) AS zero_crossings,
+SELECT doc_id AS media_id,
+       CAST(CASE WHEN doc_id % 8 = 3 THEN 1152 * (2 + doc_id % 3)
+                 WHEN doc_id % 4 = 3 THEN 576 * (2 + doc_id % 3)
+                 ELSE 8000 END AS BIGINT) AS n_samples,
+       ROUND(CASE WHEN doc_id % 4 = 3 THEN 0.0
+             ELSE (2 * (doc_id % 8191) + 1) / 32768.0 END, 6) AS rms,
+       ROUND(CASE WHEN doc_id % 4 = 3 THEN 0.0
+             ELSE (2 * (doc_id % 8191) + 1) / 32768.0 END, 6) AS peak,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 7999 END AS BIGINT)
+           AS zero_crossings,
        'ok' AS status
 FROM documents WHERE doc_id < {_AUD_LIMIT}
 """

@@ -154,9 +154,16 @@ def test_contract_queries_match_analytic_truth(spark):
 
     rows = {r["media_id"]: r for r in mm.q_media_audio_features(spark, sf).collect()}
     for did, r in rows.items():
-        amp = (2 * (did % 8191) + 1) / 32768.0
-        assert r["rms"] == round(amp, 6) == r["peak"]
-        assert r["zero_crossings"] == 7999 and r["n_samples"] == 8000
+        if did % 4 == 3:  # MP3 silence family (real Layer III decode)
+            spf = 1152 if did % 8 == 3 else 576
+            assert r["n_samples"] == spf * (2 + did % 3)
+            assert r["rms"] == 0.0 == r["peak"]
+            assert r["zero_crossings"] == 0
+        else:
+            amp = (2 * (did % 8191) + 1) / 32768.0
+            assert r["rms"] == round(amp, 6) == r["peak"]
+            assert r["zero_crossings"] == 7999 and r["n_samples"] == 8000
+        assert r["status"] == "ok"
 
     rows = mm.q_media_frame_sample(spark, sf).collect()
     assert rows
