@@ -10,9 +10,10 @@ Container/codec reality in this sandbox (no PIL/cv2/ffmpeg):
   kernels/imgcodecs); exotic stills (JPEG 2000, CMYK JPEG) remain
   per-row ``error:unsupported_codec``.
 - **audio**: raw PCM s16le payloads, real RIFF/WAV PCM16 containers
-  (kernels/wavcodec), AND real MPEG-1/2 Layer III MP3 (kernels/mp3 —
-  the dominant real-crawl audio payload) — RMS / zero-crossing / peak
-  features are real; MP3 oracle rows use silence frames (exact closed
+  (kernels/wavcodec), real MPEG-1/2 Layer III MP3 (kernels/mp3 — the
+  dominant real-crawl audio payload), AND real Ogg Vorbis
+  (kernels/ogg + kernels/vorbis) — RMS / zero-crossing / peak
+  features are real; MP3/Vorbis oracle rows use silence (exact closed
   form through the whole lossy chain).
 - **video**: MOCKV1 (deterministic synth container), real RIFF
   AVI/MJPEG, real ISO-BMFF mp4 (general stsd/stsz/stsc/stco
@@ -585,7 +586,11 @@ AUDIO_FEATURES_SCHEMA = (
 
 def audio_features_stage():
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ragflow_ocr_spark.kernels import mp3 as mp3codec, wavcodec
+        from ragflow_ocr_spark.kernels import (
+            mp3 as mp3codec,
+            vorbis as vorbiscodec,
+            wavcodec,
+        )
 
         def _is_mp3(raw: bytes) -> bool:
             if raw[:3] == b"ID3":
@@ -607,6 +612,11 @@ def audio_features_stage():
                         if samples.ndim == 2:
                             samples = samples.mean(axis=1)
                         pcm = samples.astype(np.float64) / 32768.0
+                    elif raw[:4] == b"OggS":
+                        # real container+codec route: Ogg Vorbis
+                        # (kernels/ogg framing + kernels/vorbis decode,
+                        # mono mixdown, already in [-1, 1])
+                        pcm, _sr = vorbiscodec.decode_vorbis(raw)
                     elif _is_mp3(raw):
                         # real lossy route: MPEG-1/2 Layer III
                         # (kernels/mp3, mono mixdown, already in [-1, 1])
@@ -838,11 +848,32 @@ FROM documents WHERE doc_id < {_IMG_LIMIT}
 def q_media_audio_features(spark, sf_dir: str):
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ragflow_ocr_spark.kernels import mp3 as mp3codec
+        from ragflow_ocr_spark.kernels import vorbis as vorbiscodec
 
         for b in batches:
             rows = []
             for did in b["doc_id"]:
                 did = int(did)
+                if did % 4 == 1:
+                    # real Ogg Vorbis route: digital silence is a fixed
+                    # point of the whole linear decode chain, so the
+                    # oracle stays a closed form while real Ogg framing
+                    # + header/codebook parse + floor/residue decode +
+                    # IMDCT/lap run. did%8==1 → unused-floor packets;
+                    # did%8==5 → coded floor with all-silent residue
+                    # classes (exercises the full floor1 path: books,
+                    # step2 prediction, render_line, dB lookup).
+                    n_pkts = 2 + did % 3
+                    if did % 8 == 1:
+                        payload = vorbiscodec.encode_vorbis_silence(
+                            n_pkts, sample_rate=16000)
+                    else:
+                        payload = vorbiscodec.encode_vorbis(
+                            [((60, 1, 33, 2), [None] * 16)] * n_pkts,
+                            sample_rate=16000)
+                    rows.append((did, "audio", payload, "vorbis",
+                                 0, 0, 16000))
+                    continue
                 if did % 4 == 3:
                     # real MP3 route: Layer III silence frames (exact
                     # closed form: every conformant decoder reconstructs
@@ -875,12 +906,13 @@ ORACLE_AUDIO_FEATURES = f"""
 SELECT doc_id AS media_id,
        CAST(CASE WHEN doc_id % 8 = 3 THEN 1152 * (2 + doc_id % 3)
                  WHEN doc_id % 4 = 3 THEN 576 * (2 + doc_id % 3)
+                 WHEN doc_id % 4 = 1 THEN 128 * (1 + doc_id % 3)
                  ELSE 8000 END AS BIGINT) AS n_samples,
-       ROUND(CASE WHEN doc_id % 4 = 3 THEN 0.0
+       ROUND(CASE WHEN doc_id % 2 = 1 THEN 0.0
              ELSE (2 * (doc_id % 8191) + 1) / 32768.0 END, 6) AS rms,
-       ROUND(CASE WHEN doc_id % 4 = 3 THEN 0.0
+       ROUND(CASE WHEN doc_id % 2 = 1 THEN 0.0
              ELSE (2 * (doc_id % 8191) + 1) / 32768.0 END, 6) AS peak,
-       CAST(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 7999 END AS BIGINT)
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 0 ELSE 7999 END AS BIGINT)
            AS zero_crossings,
        'ok' AS status
 FROM documents WHERE doc_id < {_AUD_LIMIT}

@@ -159,6 +159,10 @@ def test_contract_queries_match_analytic_truth(spark):
             assert r["n_samples"] == spf * (2 + did % 3)
             assert r["rms"] == 0.0 == r["peak"]
             assert r["zero_crossings"] == 0
+        elif did % 4 == 1:  # Ogg Vorbis silence family (real decode)
+            assert r["n_samples"] == 128 * (1 + did % 3)
+            assert r["rms"] == 0.0 == r["peak"]
+            assert r["zero_crossings"] == 0
         else:
             amp = (2 * (did % 8191) + 1) / 32768.0
             assert r["rms"] == round(amp, 6) == r["peak"]
