@@ -847,10 +847,14 @@ def decode_vorbis(data: bytes) -> tuple[np.ndarray, int]:
     packets = parse_ogg_packets(data)
     s = _parse_headers(packets)
     ch = s.channels
-    # timeline overlap-add; block k+1 starts n_k/4 + n_{k+1}/4 later
+    # timeline overlap-add; consecutive window CENTERS are spaced
+    # n_prev/4 + n_cur/4 apart (the spec's returned-data rule), so
+    # start_k = center_k - n_k/2 — a block can begin BEFORE the
+    # previous block's center when it is the larger of the pair (its
+    # window is zero over that span, so clipping loses nothing)
     acc = np.zeros((ch, 0), dtype=np.float64)
     base = 0  # global sample index of acc[:, 0]
-    start = 0
+    center = None
     prev_n = None
     first_n = 0  # first block's size (its left half is lap priming)
     emitted: list[np.ndarray] = []
@@ -861,17 +865,19 @@ def decode_vorbis(data: bytes) -> tuple[np.ndarray, int]:
         block, n = _decode_audio_packet(s, pkt)
         if prev_n is None:
             first_n = n
+            center = n // 2
         else:
-            start += prev_n // 4 + n // 4
+            center += prev_n // 4 + n // 4
         prev_n = n
+        start = center - n // 2
         end = start + n
         if end - base > acc.shape[1]:
             acc = np.concatenate(
                 [acc, np.zeros((ch, end - base - acc.shape[1]))], axis=1
             )
-        acc[:, start - base : end - base] += block
+        lo = max(start, base)  # pre-base span is the window's zero lead-in
+        acc[:, lo - base : end - base] += block[:, lo - start :]
         # samples final up to the center of this block
-        center = start + n // 2
         if center > base:
             if total + (center - base) > MAX_DECODE_SAMPLES:
                 raise ValueError("vorbis sample count exceeds ceiling")
@@ -896,20 +902,31 @@ def decode_vorbis(data: bytes) -> tuple[np.ndarray, int]:
 
 # ------------------------------------------------------------- encoder
 #
-# Minimal-but-legal mono encoder used for round-trip pinning and the
-# multimodal oracle fixtures. Fixed setup: blocksizes 256/256, one
-# mode, floor1 with X = {0,16,48,64} at multiplier 4 (range 64),
-# residue type 2 over [0,128) with partition size 8, two classes
+# Minimal-but-legal encoder used for round-trip pinning and the
+# multimodal oracle fixtures. Base setup: blocksizes 256/256, one
+# mode, mono, floor1 with X = {0,16,48,64} at multiplier 4 (range 64),
+# residue type 2 over [0,1024) with partition size 8, two classes
 # (silent / book-coded) and a 2-dim 16-entry VQ book over
-# {-1.5,-0.5,0.5,1.5}^2. Every structure the decoder parses is
-# exercised end-to-end through real Ogg framing.
+# {-1.5,-0.5,0.5,1.5}^2. encode_vorbis_ex extends the same setup with
+# a second long-block mode (256/1024 with window flags — the shape
+# every real-world Vorbis stream uses) and 2-channel square-polar
+# coupling, so the mixed-size lap rules and the coupling inverse are
+# exercised end-to-end through real Ogg framing, not just unit-pinned.
 
 ENC_BLOCK = 256
+ENC_LONG_BLOCK = 1024
 ENC_N2 = ENC_BLOCK // 2
 ENC_FLOOR_XS = (0, 64, 16, 48)  # header order: [0, 2^rangebits, then read]
 ENC_MULTIPLIER = 4
 ENC_PSIZE = 8
+ENC_RES_END = 1024  # residue header end; actual coding caps at ch*n/2
 ENC_VQ_VALUES = (-1.5, -0.5, 0.5, 1.5)
+
+
+def enc_coded_len(channels: int, n: int) -> int:
+    """Coefficients the type-2 residue codes for one block: the
+    interleaved vector is ch*n/2 long, capped by the header end."""
+    return min(ENC_RES_END, channels * (n // 2))
 
 
 def _enc_codebook_scalar(w: _BitWriter, dims: int, entries: int,
@@ -923,7 +940,7 @@ def _enc_codebook_scalar(w: _BitWriter, dims: int, entries: int,
         w.write(length - 1, 5)
 
 
-def _enc_setup_packet() -> bytes:
+def _enc_setup_packet(channels: int = 1, mixed: bool = False) -> bytes:
     w = _BitWriter()
     for b in b"\x05vorbis":
         w.write(b, 8)
@@ -956,7 +973,7 @@ def _enc_setup_packet() -> bytes:
     w.write(0, 6)   # one residue
     w.write(2, 16)  # residue type 2
     w.write(0, 24)  # begin
-    w.write(ENC_N2, 24)  # end
+    w.write(ENC_RES_END, 24)  # end (decode caps at ch*n/2)
     w.write(ENC_PSIZE - 1, 24)
     w.write(2 - 1, 6)  # two classifications
     w.write(1, 8)   # classbook = book 1
@@ -968,31 +985,43 @@ def _enc_setup_packet() -> bytes:
     w.write(0, 6)   # one mapping
     w.write(0, 16)
     w.write(0, 1)   # default one submap
-    w.write(0, 1)   # no coupling
+    if channels == 2:
+        w.write(1, 1)   # coupling present
+        w.write(0, 8)   # one step
+        w.write(0, 1)   # magnitude channel 0 (ilog(ch-1)=1 bit)
+        w.write(1, 1)   # angle channel 1
+    else:
+        w.write(0, 1)   # no coupling
     w.write(0, 2)   # reserved
     w.write(0, 8)   # time placeholder
     w.write(0, 8)   # floor 0
     w.write(0, 8)   # residue 0
-    w.write(0, 6)   # one mode
-    w.write(0, 1)   # blockflag 0
+    w.write((2 if mixed else 1) - 1, 6)  # mode count
+    w.write(0, 1)   # mode 0: blockflag 0 (short)
     w.write(0, 16)
     w.write(0, 16)
     w.write(0, 8)   # mapping 0
+    if mixed:
+        w.write(1, 1)   # mode 1: blockflag 1 (long)
+        w.write(0, 16)
+        w.write(0, 16)
+        w.write(0, 8)   # mapping 0
     w.write(1, 1)   # framing
     return w.bytes()
 
 
-def _enc_id_packet(sample_rate: int) -> bytes:
+def _enc_id_packet(sample_rate: int, channels: int = 1,
+                   mixed: bool = False) -> bytes:
     w = _BitWriter()
     for b in b"\x01vorbis":
         w.write(b, 8)
     w.write(0, 32)
-    w.write(1, 8)  # mono
+    w.write(channels, 8)
     w.write(sample_rate, 32)
     for _ in range(3):
         w.write(0, 32)
-    w.write(8, 4)  # blocksize_0 = 256
-    w.write(8, 4)  # blocksize_1 = 256
+    w.write(8, 4)   # blocksize_0 = 256
+    w.write(10 if mixed else 8, 4)  # blocksize_1 = 1024 or 256
     w.write(1, 1)
     return w.bytes()
 
@@ -1021,46 +1050,97 @@ def encode_vorbis(
     for X = 0/64/16/48 (header order), partitions is 16 entries, each
     None (silent class) or a list of four VQ entry ids in [0, 16)
     covering that partition's 8 residue samples."""
+    return encode_vorbis_ex(
+        [None if f is None else (0, (f[0],), f[1]) for f in frames],
+        sample_rate=sample_rate,
+    )
+
+
+def encode_vorbis_ex(
+    frames: list[None | tuple[int, tuple, list[None | list[int]]]],
+    sample_rate: int = 16000,
+    channels: int = 1,
+    mixed: bool = False,
+) -> bytes:
+    """General encoder: mixed 256/1024 block sizes with real window
+    flags and optional 2-channel square-polar coupling.
+
+    Each frame is None (all floors unused → exact digital silence,
+    short block) or (blockflag, ch_floors, partitions):
+    - blockflag 0/1 selects 256/1024 (1 requires mixed=True);
+    - ch_floors has one entry per channel: None (unused) or four Y
+      values in [0, 64) for X = 0/64/16/48 (header order);
+    - partitions covers the channel-interleaved type-2 residue vector:
+      enc_coded_len(channels, n)/8 entries, each None (silent class)
+      or four VQ ids in [0, 16) for that partition's 8 coefficients.
+      Omitted entirely when every floor is unused."""
+    if channels not in (1, 2):
+        raise ValueError("encoder supports 1 or 2 channels")
+    bs = (ENC_BLOCK, ENC_LONG_BLOCK if mixed else ENC_BLOCK)
     packets = [
-        _enc_id_packet(sample_rate),
+        _enc_id_packet(sample_rate, channels, mixed),
         _enc_comment_packet(),
-        _enc_setup_packet(),
+        _enc_setup_packet(channels, mixed),
     ]
-    for frame in frames:
+    flags = [0 if f is None else f[0] for f in frames]
+    if not mixed and any(flags):
+        raise ValueError("long blocks need mixed=True")
+    granules = [0, 0, 0]
+    center = 0
+    for k, frame in enumerate(frames):
+        n = bs[flags[k]]
+        # consecutive window centers are n_prev/4 + n_cur/4 apart;
+        # granule = samples emitted through this block's center
+        center += (bs[flags[k - 1]] // 4 + n // 4) if k else 0
+        granules.append(center)
         w = _BitWriter()
         w.write(0, 1)  # audio packet
-        # mode number: ilog(0) = 0 bits; short block: no window flags
+        if mixed:
+            w.write(flags[k], 1)  # mode number (mode i has blockflag i)
+        if flags[k]:
+            # window flags: true neighbor blockflags (full slope at
+            # the stream edges, where no neighbor constrains the lap)
+            w.write(flags[k - 1] if k else 1, 1)
+            w.write(flags[k + 1] if k + 1 < len(frames) else 1, 1)
         if frame is None:
-            w.write(0, 1)  # floor nonzero = 0
-        else:
-            floor_ys, partitions = frame
-            if len(partitions) != ENC_N2 // ENC_PSIZE:
-                raise ValueError("need 16 partition specs")
+            for _ in range(channels):
+                w.write(0, 1)  # floor nonzero = 0
+            packets.append(w.bytes())
+            continue
+        _, ch_floors, partitions = frame
+        if len(ch_floors) != channels:
+            raise ValueError("need one floor spec per channel")
+        for ys in ch_floors:
+            if ys is None:
+                w.write(0, 1)
+                continue
             w.write(1, 1)
-            w.write(floor_ys[0], 6)  # y0 (X=0)
-            w.write(floor_ys[1], 6)  # y1 (X=64)
-            w.write_codeword(floor_ys[2], 6)  # X=16 via book 0
-            w.write_codeword(floor_ys[3], 6)  # X=48 via book 0
-            # residue type 2, one pass; classwords of 4 partitions
-            cls = [0 if p is None else 1 for p in partitions]
-            for word in range(4):
-                cw = 0
-                for i in range(4):
-                    cw = cw * 2 + cls[word * 4 + i]
-                w.write_codeword(cw, 4)  # book 1
-                for i in range(4):
-                    part = partitions[word * 4 + i]
-                    if part is None:
-                        continue
-                    if len(part) != ENC_PSIZE // 2:
-                        raise ValueError("partition needs 4 VQ ids")
-                    for vq_id in part:
-                        w.write_codeword(vq_id, 4)  # book 2
+            w.write(ys[0], 6)  # y0 (X=0)
+            w.write(ys[1], 6)  # y1 (X=64)
+            w.write_codeword(ys[2], 6)  # X=16 via book 0
+            w.write_codeword(ys[3], 6)  # X=48 via book 0
+        if all(ys is None for ys in ch_floors):
+            packets.append(w.bytes())
+            continue
+        # residue type 2, one pass; classwords of 4 partitions
+        n_parts = enc_coded_len(channels, n) // ENC_PSIZE
+        if len(partitions) != n_parts:
+            raise ValueError(f"need {n_parts} partition specs")
+        cls = [0 if p is None else 1 for p in partitions]
+        for word in range(n_parts // 4):
+            cw = 0
+            for i in range(4):
+                cw = cw * 2 + cls[word * 4 + i]
+            w.write_codeword(cw, 4)  # book 1
+            for i in range(4):
+                part = partitions[word * 4 + i]
+                if part is None:
+                    continue
+                if len(part) != ENC_PSIZE // 2:
+                    raise ValueError("partition needs 4 VQ ids")
+                for vq_id in part:
+                    w.write_codeword(vq_id, 4)  # book 2
         packets.append(w.bytes())
-    n_audio = len(frames)
-    granules = [0, 0, 0] + [
-        max(0, (i) * ENC_N2) for i in range(n_audio)
-    ]
     return write_ogg_pages(packets, granules=granules)
 
 
@@ -1068,6 +1148,52 @@ def encode_vorbis_silence(n_packets: int, sample_rate: int = 16000) -> bytes:
     """All-unused-floor stream: every conformant decoder reconstructs
     exact digital zero; (n_packets - 1) * 128 output samples."""
     return encode_vorbis([None] * n_packets, sample_rate)
+
+
+def enc_expected_spectra_ex(frame, channels: int, n: int) -> np.ndarray:
+    """Per-channel spectra (channels, n/2) the decoder must produce
+    for one encode_vorbis_ex frame: residue deinterleave → inverse
+    coupling (scalar spec rules, independent of the vectorized
+    decoder path) → floor curve × residue."""
+    n2 = n // 2
+    if frame is None:
+        return np.zeros((channels, n2))
+    _, ch_floors, partitions = frame
+    res = np.zeros(channels * n2)
+    if not all(ys is None for ys in ch_floors):
+        for p, part in enumerate(partitions):
+            if part is None:
+                continue
+            for k, vq_id in enumerate(part):
+                base = p * ENC_PSIZE + k * 2
+                res[base] += ENC_VQ_VALUES[vq_id % 4]
+                res[base + 1] += ENC_VQ_VALUES[vq_id // 4]
+    ch_res = [res[c::channels].copy() for c in range(channels)]
+    if channels == 2:
+        for i in range(n2):
+            m, a = ch_res[0][i], ch_res[1][i]
+            if m > 0:
+                new = (m, m - a) if a > 0 else (m + a, m)
+            else:
+                new = (m, m + a) if a > 0 else (m - a, m)
+            ch_res[0][i], ch_res[1][i] = new
+    out = np.zeros((channels, n2))
+    for c, ys in enumerate(ch_floors):
+        if ys is None:
+            continue
+        fl = _Floor1.__new__(_Floor1)
+        fl.partitions = 1
+        fl.class_list = [0]
+        fl.class_dims = [2]
+        fl.class_subs = [0]
+        fl.class_masterbooks = [-1]
+        fl.subclass_books = [[0]]
+        fl.multiplier = ENC_MULTIPLIER
+        fl.rangebits = 6
+        fl.xs = list(ENC_FLOOR_XS)
+        fl.sorted_idx = sorted(range(4), key=lambda i: fl.xs[i])
+        out[c] = fl.synthesize(list(ys), n2) * ch_res[c]
+    return out
 
 
 def enc_expected_spectrum(frame) -> np.ndarray:

@@ -352,6 +352,138 @@ def test_garbage_never_crashes():
                 pass
 
 
+# --------------------------------------- mixed blocks / stereo (ex)
+
+
+def _slope_formula(n):
+    i = np.arange(n)
+    return np.sin(0.5 * np.pi * np.sin((i + 0.5) / n * np.pi / 2) ** 2)
+
+
+def _window_formula(n, flag, prevf, nextf, bs0=256):
+    """Spec window-decode rules written fresh: a long block next to a
+    short one narrows the shared slope to the short half, centered on
+    the quarter points; outside slopes-and-plateau is zero."""
+    n2 = n // 2
+    left = n2 if (not flag or prevf) else bs0 // 2
+    right = n2 if (not flag or nextf) else bs0 // 2
+    w = np.zeros(n)
+    ls = n // 4 - left // 2
+    rs = 3 * n // 4 - right // 2
+    w[ls : ls + left] = _slope_formula(left)
+    w[ls + left : rs] = 1.0
+    w[rs : rs + right] = _slope_formula(right)[::-1]
+    return w
+
+
+def _synthesis_ex(frames, channels, bs=(256, 1024)):
+    """Independent model: per-channel spectra → direct IMDCT → spec
+    window formula → overlap-add at n_prev/4 + n_cur/4 spacing →
+    mono mixdown, with the first block's left half dropped."""
+    flags = [0 if f is None else f[0] for f in frames]
+    ns = [bs[f] for f in flags]
+    # spec geometry: consecutive window CENTERS are n_prev/4 + n_cur/4
+    # apart; a block's start is center - n/2 (possibly negative when a
+    # long block follows a short one — pad the timeline for that)
+    centers = [ns[0] // 2]
+    for k in range(1, len(frames)):
+        centers.append(centers[-1] + ns[k - 1] // 4 + ns[k] // 4)
+    starts = [c - n // 2 for c, n in zip(centers, ns)]
+    pad = max(0, -min(starts))
+    tl = np.zeros((channels, pad + max(s + n for s, n in zip(starts, ns))))
+    for k, f in enumerate(frames):
+        n = ns[k]
+        specs = V.enc_expected_spectra_ex(f, channels, n)
+        prevf = flags[k - 1] if k else 1
+        nextf = flags[k + 1] if k + 1 < len(frames) else 1
+        win = _window_formula(n, flags[k], prevf, nextf)
+        j = np.arange(n)[:, None]
+        kk = np.arange(n // 2)[None, :]
+        basis = np.cos(np.pi / (2 * n) * (2 * j + 1 + n // 2) * (2 * kk + 1))
+        for c in range(channels):
+            s0 = pad + starts[k]
+            tl[c, s0 : s0 + n] += (basis @ specs[c]) * win
+    return tl[:, pad + centers[0] : pad + centers[-1]].mean(axis=0)
+
+
+def _random_ex_frame(rng, channels, flag):
+    n = (256, 1024)[flag]
+    ch_floors = tuple(
+        None if rng.random() < 0.25
+        else tuple(rng.randrange(64) for _ in range(4))
+        for _ in range(channels)
+    )
+    if all(f is None for f in ch_floors):
+        return (flag, ch_floors, [])
+    n_parts = V.enc_coded_len(channels, n) // V.ENC_PSIZE
+    parts = [
+        None if rng.random() < 0.4
+        else [rng.randrange(16) for _ in range(4)]
+        for _ in range(n_parts)
+    ]
+    return (flag, ch_floors, parts)
+
+
+def test_mixed_block_round_trip_matches_independent_model():
+    """The mixed 256/1024 lap rules — the shape every real Vorbis
+    stream uses — pinned end-to-end through real Ogg framing."""
+    rng = random.Random(29)
+    flags = [0, 1, 0, 1, 1, 0, 0, 1]
+    frames = [_random_ex_frame(rng, 1, f) for f in flags]
+    data = V.encode_vorbis_ex(frames, channels=1, mixed=True)
+    pcm, sr = V.decode_vorbis(data)
+    expected = _synthesis_ex(frames, 1)
+    assert len(pcm) == len(expected)
+    assert np.allclose(pcm, expected, atol=1e-9)
+
+
+def test_stereo_coupling_round_trip_matches_independent_model():
+    """2-channel square-polar coupling + type-2 deinterleave + mono
+    mixdown, including frames where one channel's floor is unused."""
+    rng = random.Random(31)
+    frames = [_random_ex_frame(rng, 2, 0) for _ in range(6)]
+    # force the asymmetric shapes: one-channel-unused both ways
+    frames[1] = (0, (None, (10, 50, 30, 20)),
+                 [[3, 12, 7, 1]] * (V.enc_coded_len(2, 256) // 8))
+    frames[2] = (0, ((40, 5, 60, 15), None),
+                 [[15, 0, 9, 6]] * (V.enc_coded_len(2, 256) // 8))
+    data = V.encode_vorbis_ex(frames, channels=2, mixed=False)
+    pcm, sr = V.decode_vorbis(data)
+    expected = _synthesis_ex(frames, 2)
+    assert len(pcm) == len(expected) == 5 * 128
+    assert np.allclose(pcm, expected, atol=1e-9)
+
+
+def test_stereo_mixed_round_trip_matches_independent_model():
+    rng = random.Random(37)
+    flags = [1, 0, 1, 1, 0]
+    frames = [_random_ex_frame(rng, 2, f) for f in flags]
+    data = V.encode_vorbis_ex(frames, channels=2, mixed=True)
+    pcm, sr = V.decode_vorbis(data)
+    expected = _synthesis_ex(frames, 2)
+    assert len(pcm) == len(expected)
+    assert np.allclose(pcm, expected, atol=1e-9)
+
+
+def test_mixed_silence_and_unused_long_blocks_are_exact_zero():
+    frames = [None, (1, (None,), []), None, (1, (None,), []), None]
+    data = V.encode_vorbis_ex(frames, channels=1, mixed=True)
+    pcm, _ = V.decode_vorbis(data)
+    assert float(np.abs(pcm).max()) == 0.0
+    assert len(pcm) == _synthesis_ex(frames, 1).shape[0]
+
+
+def test_ex_stream_mutations_fail_loudly():
+    rng = random.Random(41)
+    frames = [_random_ex_frame(rng, 2, f) for f in [0, 1, 0]]
+    data = V.encode_vorbis_ex(frames, channels=2, mixed=True)
+    for _ in range(200):
+        m = bytearray(data)
+        m[rng.randrange(len(m))] ^= 1 << rng.randrange(8)
+        with pytest.raises((ValueError, NotImplementedError)):
+            V.decode_vorbis(bytes(m))
+
+
 def test_floor0_is_a_named_rejection():
     # patch the setup packet's floor type field to 0: the decoder must
     # name the seam, not mis-decode. Rebuild the stream around the
