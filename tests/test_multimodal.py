@@ -220,6 +220,45 @@ def test_audio_stage_decodes_wav_container(spark):
     assert out[2]["status"] == "error"  # malformed WAV -> error row
 
 
+def test_audio_stage_decodes_vorbis_content(spark):
+    """A content (non-silence) stereo mixed-block Ogg Vorbis payload
+    routes through the SAME feature stage as PCM/WAV/MP3 and matches
+    the kernel-direct decode (value correctness of the decode itself
+    is pinned against independent models in tests/test_vorbis.py)."""
+    import numpy as np
+
+    from ragflow_ocr_spark.kernels import vorbis as V
+    from ragflow_ocr_spark.ops import multimodal as mm
+
+    n_parts = V.enc_coded_len(2, 256) // V.ENC_PSIZE
+    frames = [
+        (0, ((30, 40, 20, 50), (10, 15, 60, 5)),
+         [[i % 16, (3 * i) % 16, 7, 12] for i in range(n_parts)]),
+        (1, ((25, 25, 25, 25), None),
+         [[5, 9, 2, 14]] * (V.enc_coded_len(2, 1024) // V.ENC_PSIZE)),
+        None,
+        (0, (None, (8, 16, 24, 32)), [[1, 2, 3, 4]] * n_parts),
+    ]
+    payload = V.encode_vorbis_ex(frames, channels=2, mixed=True)
+    pcm, _sr = V.decode_vorbis(payload)
+    rows = [
+        (0, "audio", bytearray(payload), "vorbis", 0, 0, 16000),
+        (1, "audio", bytearray(payload[:100]), "vorbis", 0, 0, 16000),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r
+        for r in df.mapInPandas(
+            mm.audio_features_stage(), schema=mm.AUDIO_FEATURES_SCHEMA
+        ).collect()
+    }
+    assert out[0]["status"] == "ok"
+    assert out[0]["n_samples"] == len(pcm)
+    assert out[0]["rms"] == round(float(np.sqrt((pcm**2).mean())), 6) > 0
+    assert out[0]["peak"] == round(float(np.abs(pcm).max()), 6) > 0
+    assert out[1]["status"] == "error"  # truncated Ogg -> error row
+
+
 def test_frame_stage_decodes_avi_mjpeg(spark):
     """An MJPEG AVI payload goes through the SAME frame-sampling stage
     as the MOCKV1 container — the video demux seam is real for the
