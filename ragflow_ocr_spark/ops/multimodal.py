@@ -11,10 +11,12 @@ Container/codec reality in this sandbox (no PIL/cv2/ffmpeg):
   per-row ``error:unsupported_codec``.
 - **audio**: raw PCM s16le payloads, real RIFF/WAV PCM16 containers
   (kernels/wavcodec), real MPEG-1/2 Layer III MP3 (kernels/mp3 — the
-  dominant real-crawl audio payload), AND real Ogg Vorbis
-  (kernels/ogg + kernels/vorbis) — RMS / zero-crossing / peak
-  features are real; MP3/Vorbis oracle rows use silence (exact closed
-  form through the whole lossy chain).
+  dominant real-crawl audio payload), real Ogg Vorbis (kernels/ogg +
+  kernels/vorbis), AND real FLAC (kernels/flac) — RMS / zero-crossing
+  / peak features are real; MP3/Vorbis oracle rows use silence (exact
+  closed form through the whole lossy chain) while FLAC rows carry
+  CONTENT (lossless ⇒ the raw family's closed form survives the
+  codec).
 - **video**: MOCKV1 (deterministic synth container), real RIFF
   AVI/MJPEG, real ISO-BMFF mp4 (general stsd/stsz/stsc/stco
   sample-table demux), real webm/Matroska (EBML walk,
@@ -587,6 +589,7 @@ AUDIO_FEATURES_SCHEMA = (
 def audio_features_stage():
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ragflow_ocr_spark.kernels import (
+            flac as flaccodec,
             mp3 as mp3codec,
             vorbis as vorbiscodec,
             wavcodec,
@@ -617,6 +620,14 @@ def audio_features_stage():
                         # (kernels/ogg framing + kernels/vorbis decode,
                         # mono mixdown, already in [-1, 1])
                         pcm, _sr = vorbiscodec.decode_vorbis(raw)
+                    elif raw[:4] == flaccodec.FLAC_MAGIC:
+                        # real LOSSLESS route (kernels/flac): decoded
+                        # ints are bit-exact, so content payloads keep
+                        # closed-form features through the codec
+                        samples, _sr = flaccodec.decode_flac(raw)
+                        if samples.ndim == 2:
+                            samples = samples.mean(axis=1)
+                        pcm = samples.astype(np.float64) / 32768.0
                     elif _is_mp3(raw):
                         # real lossy route: MPEG-1/2 Layer III
                         # (kernels/mp3, mono mixdown, already in [-1, 1])
@@ -892,6 +903,26 @@ def q_media_audio_features(spark, sf_dir: str):
                 pcm = np.empty(8000, dtype="<i2")
                 pcm[0::2] = amp
                 pcm[1::2] = -amp
+                if did % 8 == 6:
+                    # real LOSSLESS route: the SAME closed-form square
+                    # wave through a FLAC container — unlike the lossy
+                    # families the oracle checks CONTENT through the
+                    # codec (features identical to the raw family).
+                    # did%16==6 → mono FIXED-predictor frames;
+                    # did%16==14 → stereo mid/side decorrelation of
+                    # duplicated channels (mixdown restores the wave).
+                    from ragflow_ocr_spark.kernels import flac as fc
+
+                    s = pcm.astype(np.int64)
+                    if did % 16 == 14:
+                        payload = fc.encode_flac(
+                            np.stack([s, s], axis=1), 16000,
+                            stereo_mode="mid_side")
+                    else:
+                        payload = fc.encode_flac(s, 16000)
+                    rows.append((did, "audio", payload, "flac",
+                                 0, 0, 16000))
+                    continue
                 rows.append((did, "audio", pcm.tobytes(), "pcm_s16le", 0, 0, 16000))
             yield pd.DataFrame(
                 rows,
