@@ -29,7 +29,11 @@ Scope (documented substitution, like the PNG codec):
   baseline), 8-bit, grayscale or YCbCr with arbitrary sampling
   factors (4:4:4, 4:2:0, ...), restart markers; the encoders emit
   the standard Annex-K tables (progressive script: DC first Al=1 →
-  AC first Al=1 per component → AC refine → DC refine).
+  AC first Al=1 per component → AC refine → DC refine). Arithmetic
+  sequential (SOF9, T.81 QM coder + DAC conditioning) decodes and
+  encodes via kernels/jpeg_arith.py, cross-validated against the
+  system libjpeg; progressive arithmetic (SOF10) and lossless stay
+  named rejections.
 """
 
 from __future__ import annotations
@@ -1338,11 +1342,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, tuple] = {}
     frame = None
     progressive = False
+    arithmetic = False
     restart_interval = 0
     comps: list[dict] = []
     hmax = vmax = mcus_x = mcus_y = 0
     n_scans = 0
     adobe_transform = None  # APP14: 0=CMYK/RGB, 1=YCbCr, 2=YCCK
+    dac_dc: dict[int, tuple[int, int]] = {}
+    dac_ac: dict[int, int] = {}
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -1378,8 +1385,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         # is byte-identical to baseline, and the table dicts here key
         # by id so 2-3 already work — cv2/libjpeg accept it the same
         # way (reference route: /root/reference/ocr/operators.py:41-46).
-        elif marker in (0xC0, 0xC1, 0xC2):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
             progressive = marker == 0xC2
+            arithmetic = marker == 0xC9
             prec, h, w, nc = seg[0], struct.unpack_from(">H", seg, 1)[0], struct.unpack_from(">H", seg, 3)[0], seg[5]
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -1416,11 +1424,26 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32
                 )
                 c["pred"] = 0
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 "only Huffman sequential (SOF0/SOF1) / progressive (SOF2) "
-                "JPEG supported (lossless and arithmetic-coded variants are not)"
+                "/ arithmetic sequential (SOF9) JPEG supported (lossless "
+                "and progressive-arithmetic variants are not)"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            i = 0
+            while i + 1 < len(seg):
+                tc, tb = seg[i] >> 4, seg[i] & 0xF
+                val = seg[i + 1]
+                if tc == 0:
+                    dac_dc[tb] = (val & 0xF, val >> 4)  # (L, U)
+                    if not (val & 0xF) <= (val >> 4) <= 15:
+                        raise ValueError("bad JPEG DAC DC conditioning")
+                else:
+                    if not 1 <= val <= 63:
+                        raise ValueError("bad JPEG DAC AC conditioning")
+                    dac_ac[tb] = val
+                i += 2
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xEE:  # APP14 (Adobe color-transform tag)
@@ -1439,6 +1462,25 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             ss, se, ahal = seg[1 + ns * 2], seg[2 + ns * 2], seg[3 + ns * 2]
             scan_comps = [s["_comp"] for s in scan]
             pos += seg_len
+            if arithmetic:
+                from ragflow_ocr_spark.kernels import jpeg_arith as _ja
+
+                if len(scan_comps) != len(comps):
+                    raise ValueError(
+                        "multi-scan arithmetic JPEG unsupported")
+                if restart_interval:
+                    raise ValueError(
+                        "restart markers with arithmetic JPEG unsupported")
+                for s in scan:
+                    c = s["_comp"]
+                    c["dc_tbl_a"] = s["dc"]
+                    c["ac_tbl_a"] = s["ac"]
+                    qt[c["tq"]]  # raise now (as ValueError) if missing
+                pos += _ja.decode_sequential_scan(
+                    data, pos, scan_comps, mcus_x, mcus_y, dac_dc, dac_ac
+                )
+                n_scans += 1
+                continue
             br = _BitReader(data[pos:])
             if progressive:
                 _progressive_scan(
@@ -1706,6 +1748,63 @@ def encode_jpeg(
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_arith(
+    img: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    """HxW (gray) or HxWx3 uint8 → arithmetic-coded sequential JPEG
+    (SOF9, T.81 QM coder via kernels/jpeg_arith). Same DCT/quant
+    pipeline as encode_jpeg — only the entropy layer differs — so
+    pixel results are identical to the Huffman encode at the same
+    quality. The DAC segment spells out the default conditioning
+    (DC L=0/U=1, AC Kx=5) to exercise the decoder's parse."""
+    gray, h, w, samp, qts, hmax, vmax, mcus_x, mcus_y, padded = _prep_encode(
+        img, quality, subsample
+    )
+    nc = 1 if gray else 3
+    out = bytearray(b"\xff\xd8")
+    for tq, qtab in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
+            int(qtab[z]) for z in _ZIGZAG
+        )
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for c in range(nc):
+        sof += bytes([c + 1, samp[c][0] << 4 | samp[c][1], 0 if c == 0 else 1])
+    out += b"\xff\xc9" + struct.pack(">H", 2 + len(sof)) + sof
+    dac = b""
+    for t in range(1 if gray else 2):
+        dac += bytes([0x00 | t, (1 << 4) | 0])  # DC: U=1, L=0
+        dac += bytes([0x10 | t, 5])             # AC: Kx=5
+    out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
+    sos = bytes([nc])
+    for c in range(nc):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    qt8 = [q.reshape(8, 8) for q in qts]
+    blocks_per_comp = []
+    metas = []
+    for ci in range(nc):
+        ti = 0 if ci == 0 else 1
+        hs, vs = samp[ci]
+        by_n, bx_n = mcus_y * vs, mcus_x * hs
+        blocks = np.empty((by_n, bx_n, 64), dtype=np.int64)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                qc = np.round(_dct2(block) / qt8[ti]).astype(np.int64)
+                blocks[by, bx] = qc.reshape(64)[_ZIGZAG]
+        blocks_per_comp.append(blocks)
+        metas.append({"h": hs, "v": vs, "dc_tbl_a": ti, "ac_tbl_a": ti})
+    from ragflow_ocr_spark.kernels import jpeg_arith as _ja
+
+    out += _ja.encode_sequential_scan(
+        blocks_per_comp, metas, mcus_x, mcus_y,
+        {t: (0, 1) for t in range(2)}, {t: 5 for t in range(2)},
+    )
+    out += b"\xff\xd9"
     return bytes(out)
 
 

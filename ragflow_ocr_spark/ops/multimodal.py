@@ -3,12 +3,13 @@ metadata, processed by iterator ``mapInPandas`` stages.
 
 Container/codec reality in this sandbox (no PIL/cv2/ffmpeg):
 - **image**: PNG (incl. Adam7/palette/alpha), JPEG (baseline +
-  progressive), GIF, BMP, uncompressed TIFF, lossless WebP (VP8L,
-  kernels/webp) AND lossy WebP (VP8 keyframes, kernels/vp8 — full
-  RFC 6386 intra path; see its docstring for the probability-table
-  provenance seam) all decode for real (kernels/pngcodec +
-  kernels/imgcodecs); exotic stills (JPEG 2000, CMYK JPEG) remain
-  per-row ``error:unsupported_codec``.
+  progressive + Adobe CMYK + ARITHMETIC sequential SOF9 via the T.81
+  QM coder, kernels/jpeg_arith — cross-validated against the system
+  libjpeg), GIF, BMP, uncompressed TIFF, lossless WebP (VP8L,
+  kernels/webp) AND lossy WebP (VP8 keyframes, kernels/vp8 — exact
+  RFC 6386 tables) all decode for real (kernels/pngcodec +
+  kernels/imgcodecs); JPEG 2000 and lossless/progressive-arithmetic
+  JPEG remain per-row ``error:unsupported_codec``.
 - **audio**: raw PCM s16le payloads, real RIFF/WAV PCM16 containers
   (kernels/wavcodec), real MPEG-1/2 Layer III MP3 (kernels/mp3 — the
   dominant real-crawl audio payload), real Ogg Vorbis (kernels/ogg +
@@ -805,6 +806,15 @@ def q_media_image_stats(spark, sf_dir: str):
                         # %4==1 oracle closed form covers this family
                         # unchanged while the real 4-component path runs
                         payload = imgcodecs.encode_jpeg_cmyk(img, quality=95)
+                    elif did % 16 == 9:
+                        # arithmetic sequential (SOF9, T.81 QM coder):
+                        # same DCT/quant path as baseline q90 whose
+                        # q00=3 divides 8·(v−128), so the %4==1 closed
+                        # form covers it unchanged while the real
+                        # QM-decoder path runs (kernels/jpeg_arith)
+                        payload = imgcodecs.encode_jpeg_arith(
+                            img, quality=90
+                        )
                     else:
                         payload = imgcodecs.encode_jpeg_progressive(
                             img, quality=90
