@@ -27,13 +27,16 @@ Scope (documented substitution, like the PNG codec):
   spectral selection + successive approximation, EOBn runs, DC/AC
   refinement scans; the most common real-crawl payload after
   baseline), 8-bit, grayscale or YCbCr with arbitrary sampling
-  factors (4:4:4, 4:2:0, ...), restart markers; the encoders emit
-  the standard Annex-K tables (progressive script: DC first Al=1 →
-  AC first Al=1 per component → AC refine → DC refine). Arithmetic
-  sequential (SOF9, T.81 QM coder + DAC conditioning) decodes and
-  encodes via kernels/jpeg_arith.py, cross-validated against the
-  system libjpeg; progressive arithmetic (SOF10) and lossless stay
-  named rejections.
+  factors (4:4:4, 4:2:0, ...), restart markers, and multi-scan
+  sequential files (one non-interleaved scan per component); the
+  encoders emit the standard Annex-K tables (progressive script: DC
+  first Al=1 → AC first Al=1 per component → AC refine → DC refine).
+  Arithmetic coding (T.81 QM coder + DAC conditioning) decodes and
+  encodes via kernels/jpeg_arith.py for BOTH sequential (SOF9) and
+  progressive (SOF10) frames, with restart intervals and
+  non-interleaved scans, cross-validated against the system libjpeg;
+  lossless (SOF3) and the differential/hierarchical SOFs stay named
+  rejections.
 """
 
 from __future__ import annotations
@@ -1168,6 +1171,32 @@ def _baseline_scan(br: "_BitReader", scan_comps: list[dict],
             mcu_count += 1
 
 
+def _baseline_noninterleaved_scan(br: "_BitReader", c: dict,
+                                  restart_interval: int) -> None:
+    """Single-component sequential scan (Ns=1, T.81 A.2.2): the MCU is
+    one block and the grid is the component's own ceil block counts —
+    the multi-scan sequential layout some encoders emit per component."""
+    buf = br.buf
+    bit_pos = 0
+    dcv, dcl = c["dc_tbl"]
+    acv, acl = c["ac_tbl"]
+    coefs = c["coefs"]
+    blk = 0
+    for by in range(c["by"]):
+        for bx in range(c["bx"]):
+            if restart_interval and blk and blk % restart_interval == 0:
+                br.align_to_marker()
+                buf = br.buf
+                bit_pos = 0
+                c["pred"] = 0
+            bit_pos, c["pred"] = _decode_block(
+                buf, bit_pos, coefs[by, bx], dcv, dcl, acv, acl, c["pred"]
+            )
+            if bit_pos > br.nbits_total:
+                raise ValueError("truncated JPEG entropy stream")
+            blk += 1
+
+
 def _ac_first_block(buf, p, coef, ss, se, al, acv, acl, eobrun):
     """Progressive AC first pass for one block (T.81 G.1.2.2)."""
     if eobrun > 0:
@@ -1385,9 +1414,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         # is byte-identical to baseline, and the table dicts here key
         # by id so 2-3 already work — cv2/libjpeg accept it the same
         # way (reference route: /root/reference/ocr/operators.py:41-46).
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
-            progressive = marker == 0xC2
-            arithmetic = marker == 0xC9
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            progressive = marker in (0xC2, 0xCA)
+            arithmetic = marker in (0xC9, 0xCA)
             prec, h, w, nc = seg[0], struct.unpack_from(">H", seg, 1)[0], struct.unpack_from(">H", seg, 3)[0], seg[5]
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -1424,11 +1453,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32
                 )
                 c["pred"] = 0
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 "only Huffman sequential (SOF0/SOF1) / progressive (SOF2) "
-                "/ arithmetic sequential (SOF9) JPEG supported (lossless "
-                "and progressive-arithmetic variants are not)"
+                "/ arithmetic sequential (SOF9) / arithmetic progressive "
+                "(SOF10) JPEG supported (lossless and differential "
+                "variants are not)"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             i = 0
@@ -1462,22 +1492,33 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             ss, se, ahal = seg[1 + ns * 2], seg[2 + ns * 2], seg[3 + ns * 2]
             scan_comps = [s["_comp"] for s in scan]
             pos += seg_len
+            ah, al = ahal >> 4, ahal & 15
+            if progressive:
+                if ss == 0:
+                    if se != 0:
+                        raise ValueError("bad progressive spectral selection")
+                elif len(scan_comps) != 1 or ss > se or se > 63:
+                    raise ValueError("bad progressive AC scan parameters")
+            else:
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError("bad sequential scan parameters")
+                if 1 < len(scan_comps) < len(comps):
+                    # T.81 B.2.3: every component of an interleaved
+                    # sequential pass appears in the scan; a partial
+                    # interleave has no defined MCU grid
+                    raise ValueError("bad sequential scan interleave")
             if arithmetic:
                 from ragflow_ocr_spark.kernels import jpeg_arith as _ja
 
-                if len(scan_comps) != len(comps):
-                    raise ValueError(
-                        "multi-scan arithmetic JPEG unsupported")
-                if restart_interval:
-                    raise ValueError(
-                        "restart markers with arithmetic JPEG unsupported")
                 for s in scan:
                     c = s["_comp"]
                     c["dc_tbl_a"] = s["dc"]
                     c["ac_tbl_a"] = s["ac"]
                     qt[c["tq"]]  # raise now (as ValueError) if missing
-                pos += _ja.decode_sequential_scan(
-                    data, pos, scan_comps, mcus_x, mcus_y, dac_dc, dac_ac
+                pos = _ja.decode_scan(
+                    data, pos, scan_comps, ss, se, ah, al,
+                    mcus_x, mcus_y, dac_dc, dac_ac,
+                    restart_interval, sequential=not progressive,
                 )
                 n_scans += 1
                 continue
@@ -1485,23 +1526,31 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if progressive:
                 _progressive_scan(
                     br, scan_comps, scan, huff_dc, huff_ac,
-                    ss, se, ahal >> 4, ahal & 15,
+                    ss, se, ah, al,
                     restart_interval, mcus_x, mcus_y,
                 )
                 n_scans += 1
                 pos += br.consumed
                 continue
-            # interleaved baseline: scan order may differ from SOF order
-            if len(scan_comps) != len(comps):
-                raise ValueError("multi-scan baseline JPEG unsupported")
+            # sequential Huffman: interleaved (all components) or a
+            # single-component non-interleaved scan (multi-scan files)
             for s in scan:
                 c = s["_comp"]
                 c["dc_tbl"] = huff_dc[s["dc"]]
                 c["ac_tbl"] = huff_ac[s["ac"]]
+                c["pred"] = 0
                 qt[c["tq"]]  # raise now (as ValueError) if missing
-            _baseline_scan(br, scan_comps, restart_interval, mcus_x, mcus_y)
+            if len(scan_comps) == 1 and len(comps) > 1:
+                _baseline_noninterleaved_scan(
+                    br, scan_comps[0], restart_interval
+                )
+            else:
+                _baseline_scan(
+                    br, scan_comps, restart_interval, mcus_x, mcus_y
+                )
             n_scans += 1
-            break
+            pos += br.consumed
+            continue
         pos += seg_len
     if frame is None or n_scans == 0:
         raise ValueError("JPEG missing SOF/SOS")
@@ -1751,19 +1800,11 @@ def encode_jpeg(
     return bytes(out)
 
 
-def encode_jpeg_arith(
-    img: np.ndarray, quality: int = 90, subsample: bool = False
-) -> bytes:
-    """HxW (gray) or HxWx3 uint8 → arithmetic-coded sequential JPEG
-    (SOF9, T.81 QM coder via kernels/jpeg_arith). Same DCT/quant
-    pipeline as encode_jpeg — only the entropy layer differs — so
-    pixel results are identical to the Huffman encode at the same
-    quality. The DAC segment spells out the default conditioning
-    (DC L=0/U=1, AC Kx=5) to exercise the decoder's parse."""
-    gray, h, w, samp, qts, hmax, vmax, mcus_x, mcus_y, padded = _prep_encode(
-        img, quality, subsample
-    )
-    nc = 1 if gray else 3
+def _arith_headers(h, w, nc, samp, qts, sof_marker: int,
+                   restart_interval: int = 0) -> bytearray:
+    """SOI + DQT + SOF9/SOF10 + DAC (+ DRI) header stream. The DAC
+    segment spells out the default conditioning (DC L=0/U=1, AC Kx=5)
+    to exercise the decoder's parse."""
     out = bytearray(b"\xff\xd8")
     for tq, qtab in enumerate(qts):
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
@@ -1772,17 +1813,21 @@ def encode_jpeg_arith(
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for c in range(nc):
         sof += bytes([c + 1, samp[c][0] << 4 | samp[c][1], 0 if c == 0 else 1])
-    out += b"\xff\xc9" + struct.pack(">H", 2 + len(sof)) + sof
+    out += bytes([0xFF, sof_marker]) + struct.pack(">H", 2 + len(sof)) + sof
     dac = b""
-    for t in range(1 if gray else 2):
+    for t in range(1 if nc == 1 else 2):
         dac += bytes([0x00 | t, (1 << 4) | 0])  # DC: U=1, L=0
         dac += bytes([0x10 | t, 5])             # AC: Kx=5
     out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
-    sos = bytes([nc])
-    for c in range(nc):
-        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    return out
+
+
+def _arith_blocks(nc, samp, qts, mcus_x, mcus_y, padded, h, w, hmax, vmax):
+    """Quantized zigzag blocks + scan metas shared by the arithmetic
+    encoders. Metas carry the ceil block grid for non-interleaved
+    scans."""
     qt8 = [q.reshape(8, 8) for q in qts]
     blocks_per_comp = []
     metas = []
@@ -1790,20 +1835,167 @@ def encode_jpeg_arith(
         ti = 0 if ci == 0 else 1
         hs, vs = samp[ci]
         by_n, bx_n = mcus_y * vs, mcus_x * hs
-        blocks = np.empty((by_n, bx_n, 64), dtype=np.int64)
-        for by in range(by_n):
-            for bx in range(bx_n):
-                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                qc = np.round(_dct2(block) / qt8[ti]).astype(np.int64)
-                blocks[by, bx] = qc.reshape(64)[_ZIGZAG]
-        blocks_per_comp.append(blocks)
-        metas.append({"h": hs, "v": vs, "dc_tbl_a": ti, "ac_tbl_a": ti})
+        p = padded[ci]
+        blocks8 = (p - 128.0).reshape(by_n, 8, bx_n, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ij,abjk,kl->abil", _C, blocks8, _C.T, optimize=True)
+        qc = np.round(coef / qt8[ti].astype(np.float64)).astype(np.int64)
+        blocks_per_comp.append(qc.reshape(by_n, bx_n, 64)[..., _ZIGZAG])
+        metas.append({
+            "h": hs, "v": vs, "dc_tbl_a": ti, "ac_tbl_a": ti,
+            "bx": (-(-(w * hs) // hmax) + 7) // 8,
+            "by": (-(-(h * vs) // vmax) + 7) // 8,
+        })
+    return blocks_per_comp, metas
+
+
+def _arith_sos(scan_cis: list[int], ss: int, se: int, ah: int,
+               al: int) -> bytes:
+    payload = bytes([len(scan_cis)])
+    for ci in scan_cis:
+        ti = 0 if ci == 0 else 1
+        payload += bytes([ci + 1, (ti << 4) | ti])
+    payload += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(payload)) + payload
+
+
+def encode_jpeg_arith(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    interleave: bool = True,
+) -> bytes:
+    """HxW (gray) or HxWx3 uint8 → arithmetic-coded sequential JPEG
+    (SOF9, T.81 QM coder via kernels/jpeg_arith). Same DCT/quant
+    pipeline as encode_jpeg — only the entropy layer differs — so
+    pixel results are identical to the Huffman encode at the same
+    quality. ``restart_interval`` emits DRI + RSTn segments (each an
+    independently terminated QM stream); ``interleave=False`` emits
+    one sequential scan per component (the multi-scan layout)."""
+    gray, h, w, samp, qts, hmax, vmax, mcus_x, mcus_y, padded = _prep_encode(
+        img, quality, subsample
+    )
+    nc = 1 if gray else 3
+    out = _arith_headers(h, w, nc, samp, qts, 0xC9, restart_interval)
+    blocks_per_comp, metas = _arith_blocks(
+        nc, samp, qts, mcus_x, mcus_y, padded, h, w, hmax, vmax
+    )
     from ragflow_ocr_spark.kernels import jpeg_arith as _ja
 
-    out += _ja.encode_sequential_scan(
-        blocks_per_comp, metas, mcus_x, mcus_y,
-        {t: (0, 1) for t in range(2)}, {t: 5 for t in range(2)},
+    dc_cond = {t: (0, 1) for t in range(2)}
+    ac_cond = {t: 5 for t in range(2)}
+    if interleave or nc == 1:
+        out += _arith_sos(list(range(nc)), 0, 63, 0, 0)
+        out += _ja.encode_scan(
+            blocks_per_comp, metas, 0, 63, 0, 0, mcus_x, mcus_y,
+            dc_cond, ac_cond, restart_interval,
+        )
+    else:
+        for ci in range(nc):
+            out += _arith_sos([ci], 0, 63, 0, 0)
+            out += _ja.encode_scan(
+                [blocks_per_comp[ci]], [metas[ci]], 0, 63, 0, 0,
+                mcus_x, mcus_y, dc_cond, ac_cond, restart_interval,
+            )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_arith_progressive(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """HxW (gray) or HxWx3 uint8 → progressive arithmetic JPEG
+    (SOF10, T.81 Annex G with the QM coder). Scan script exercises
+    every SOF10 decode path: interleaved DC first at Al=1 →
+    per-component AC first in two spectral bands (1-5, 6-63) at Al=1
+    → per-component AC refinement to Al=0 → DC refinement. The
+    progressive reconstruction is exact, so decoded pixels equal the
+    sequential encodes at the same quality."""
+    gray, h, w, samp, qts, hmax, vmax, mcus_x, mcus_y, padded = _prep_encode(
+        img, quality, subsample
     )
+    nc = 1 if gray else 3
+    out = _arith_headers(h, w, nc, samp, qts, 0xCA, restart_interval)
+    blocks_per_comp, metas = _arith_blocks(
+        nc, samp, qts, mcus_x, mcus_y, padded, h, w, hmax, vmax
+    )
+    from ragflow_ocr_spark.kernels import jpeg_arith as _ja
+
+    dc_cond = {t: (0, 1) for t in range(2)}
+    ac_cond = {t: 5 for t in range(2)}
+
+    def scan(cis, ss, se, ah, al):
+        nonlocal out
+        out += _arith_sos(cis, ss, se, ah, al)
+        out += _ja.encode_scan(
+            [blocks_per_comp[ci] for ci in cis],
+            [metas[ci] for ci in cis],
+            ss, se, ah, al, mcus_x, mcus_y, dc_cond, ac_cond,
+            restart_interval, sequential=False,
+        )
+
+    scan(list(range(nc)), 0, 0, 0, 1)          # DC first, Al=1
+    for ci in range(nc):
+        scan([ci], 1, 5, 0, 1)                 # AC band 1 first
+        scan([ci], 6, 63, 0, 1)                # AC band 2 first
+    for ci in range(nc):
+        scan([ci], 1, 63, 1, 0)                # AC refinement → Al=0
+    scan(list(range(nc)), 0, 0, 1, 0)          # DC refinement → Al=0
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_multiscan(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """HxW (gray) or HxWx3 uint8 → multi-scan sequential Huffman JPEG
+    (SOF0 with one non-interleaved scan per component, T.81 A.2.2) —
+    the layout custom scan scripts emit. Pixel-identical to the
+    single-scan baseline encode at the same quality."""
+    gray, h, w, samp, qts, hmax, vmax, mcus_x, mcus_y, padded = _prep_encode(
+        img, quality, subsample
+    )
+    nc = 1 if gray else 3
+    out = _header_segments(h, w, gray, samp, qts, b"\xff\xc0",
+                           restart_interval)
+    dc_codes = [_build_huff_codes(*_DC_LUMA)]
+    ac_codes = [_build_huff_codes(*_AC_LUMA)]
+    if not gray:
+        dc_codes.append(_build_huff_codes(*_DC_CHROMA))
+        ac_codes.append(_build_huff_codes(*_AC_CHROMA))
+    qt8 = [q.reshape(8, 8) for q in qts]
+    for ci in range(nc):
+        ti = 0 if ci == 0 else 1
+        hs, vs = samp[ci]
+        gbx = (-(-(w * hs) // hmax) + 7) // 8
+        gby = (-(-(h * vs) // vmax) + 7) // 8
+        sos = bytes([1, ci + 1, (ti << 4) | ti, 0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        bw = _BitWriter()
+        pred = 0
+        rst = 0
+        blk = 0
+        for by in range(gby):
+            for bx in range(gbx):
+                if restart_interval and blk and blk % restart_interval == 0:
+                    bw.flush()
+                    bw.buf += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    pred = 0
+                block = padded[ci][by * 8: by * 8 + 8, bx * 8: bx * 8 + 8]
+                pred = _encode_block(
+                    bw, block - 128.0, qt8[ti], dc_codes[ti], ac_codes[ti],
+                    pred,
+                )
+                blk += 1
+        bw.flush()
+        out += bw.buf
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -308,46 +308,122 @@ class QMEncoder:
 # (magnitude bits) area 14 past the X position. AC (256 bins per
 # table): S0/SS-equivalent at 3*(k-1), X areas at 189 (k <= Kx) and
 # 217, M areas 14 past.
+#
+# The same statistics/decision trees serve sequential (SOF9) AND
+# progressive (SOF10) scans — progressive adds the point transform
+# (values << Al), spectral band bounds (Ss..Se), and the successive-
+# approximation refinement procedures (T.81 G.2: DC correction bits
+# from the fixed bin, AC correction via the 3*(k-1)+2 bin). Every
+# scan starts a fresh decoder with zeroed statistics, and restart
+# markers re-zero them mid-scan (T.81 F.2.1.3.1 / G.2).
 
 
-def decode_sequential_scan(
+def _find_marker(data: bytes, p: int) -> int:
+    """Next real marker at/after p: skips entropy slack, stuffed
+    FF00 pairs (data) and FF fill bytes. Returns the 0xFF offset."""
+    n = len(data)
+    while p + 1 < n:
+        if data[p] != 0xFF:
+            p += 1
+            continue
+        nxt = data[p + 1]
+        if nxt == 0x00:
+            p += 2  # stuffed data byte
+        elif nxt == 0xFF:
+            p += 1  # fill byte
+        else:
+            return p
+    raise ValueError("truncated JPEG entropy stream")
+
+
+def decode_scan(
     data: bytes,
     pos: int,
     scan_comps: list[dict],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
     mcus_x: int,
     mcus_y: int,
     dc_cond: dict[int, tuple[int, int]],
     ac_cond: dict[int, int],
+    restart_interval: int = 0,
+    sequential: bool = True,
 ) -> int:
-    """Arithmetic sequential interleaved scan → fills each comp's
-    ``coefs`` (natural-raster (by, bx, 64) zigzag-indexed layout, the
-    same contract as the Huffman scans). Returns bytes consumed."""
-    dec = QMDecoder(data, pos)
+    """One arithmetic entropy scan → fills each comp's ``coefs``
+    (natural-raster (by, bx, 64) zigzag-indexed layout, the same
+    contract as the Huffman scans).
+
+    Handles sequential full scans (Ss=0 Se=63 Ah=Al=0), progressive
+    DC first/refinement (Ss=0) and progressive AC first/refinement
+    bands (single component), interleaved (Ns>1, MCU grid) and
+    non-interleaved (Ns=1, the component's own ceil block grid), and
+    restart intervals (statistics + contexts re-zeroed, fresh decoder
+    after the RSTn). Returns the absolute offset of the terminating
+    marker's 0xFF byte."""
+    fixed = bytearray([FIXED_BIN])
     dc_stats: dict[int, bytearray] = {}
     ac_stats: dict[int, bytearray] = {}
-    fixed = bytearray([FIXED_BIN])
-    for c in scan_comps:
-        dc_stats.setdefault(c["dc_tbl_a"], bytearray(64))
-        ac_stats.setdefault(c["ac_tbl_a"], bytearray(256))
-        c["_dc_context"] = 0
-        c["_last_dc"] = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
+
+    def _reset():
+        dc_stats.clear()
+        ac_stats.clear()
+        for c in scan_comps:
+            if sequential or ss == 0:
+                dc_stats.setdefault(c["dc_tbl_a"], bytearray(64))
+                c["_dc_context"] = 0
+                c["_last_dc"] = 0
+            if sequential or ss > 0:
+                ac_stats.setdefault(c["ac_tbl_a"], bytearray(256))
+
+    _reset()
+    dec = QMDecoder(data, pos)
+    # unit list: an MCU (interleaved) or a single block (Ns = 1)
+    if len(scan_comps) > 1:
+        units_n = mcus_x * mcus_y
+        def unit_blocks(ui):
+            my, mx = divmod(ui, mcus_x)
             for c in scan_comps:
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        blk = c["coefs"][my * c["v"] + by, mx * c["h"] + bx]
-                        _decode_block(
-                            dec, c, blk, dc_stats, ac_stats, fixed,
-                            dc_cond, ac_cond,
-                        )
-    return dec.consumed() - pos
+                        yield c, my * c["v"] + by, mx * c["h"] + bx
+    else:
+        c0 = scan_comps[0]
+        gbx = c0["bx"]
+        units_n = c0["by"] * gbx
+        def unit_blocks(ui):
+            yield c0, ui // gbx, ui % gbx
+    for ui in range(units_n):
+        if restart_interval and ui and ui % restart_interval == 0:
+            p = _find_marker(data, dec.consumed())
+            if not 0xD0 <= data[p + 1] <= 0xD7:
+                raise ValueError("JPEG restart marker expected")
+            dec = QMDecoder(data, p + 2)
+            _reset()
+        for c, byy, bxx in unit_blocks(ui):
+            blk = c["coefs"][byy, bxx]
+            if sequential:
+                _decode_dc(dec, c, blk, dc_stats, dc_cond, 0)
+                _decode_ac_first(dec, c, blk, ac_stats, fixed, ac_cond,
+                                 1, 63, 0)
+            elif ss == 0:
+                if ah == 0:
+                    _decode_dc(dec, c, blk, dc_stats, dc_cond, al)
+                elif dec.decode(fixed, 0):  # DC refinement (T.81 G.2.1)
+                    blk[0] |= 1 << al
+            elif ah == 0:
+                _decode_ac_first(dec, c, blk, ac_stats, fixed, ac_cond,
+                                 ss, se, al)
+            else:
+                _decode_ac_refine(dec, c, blk, ac_stats, fixed, ss, se, al)
+    return _find_marker(data, dec.consumed())
 
 
-def _decode_block(dec, c, blk, dc_stats, ac_stats, fixed,
-                  dc_cond, ac_cond):
+def _decode_dc(dec, c, blk, dc_stats, dc_cond, al):
+    """DC difference (T.81 F.2.4.1), value point-transformed << al
+    (G.1.2.1 applies the shift to the reconstructed value)."""
     budget = _MAX_DECISIONS_PER_BLOCK
-    # ---- DC (T.81 F.2.4.1)
     tbl = c["dc_tbl_a"]
     st = dc_stats[tbl]
     L, U = dc_cond.get(tbl, (0, 1))
@@ -382,20 +458,25 @@ def _decode_block(dec, c, blk, dc_stats, ac_stats, fixed,
                 v |= m
         v += 1
         c["_last_dc"] += -v if sign else v
-    blk[0] = c["_last_dc"]
-    # ---- AC (T.81 F.2.4.2), Se = 63 for sequential
+    blk[0] = c["_last_dc"] << al
+
+
+def _decode_ac_first(dec, c, blk, ac_stats, fixed, ac_cond, ss, se, al):
+    """AC coefficients, first pass (T.81 F.2.4.2 / G.2: sequential is
+    the Ss=1 Se=63 Al=0 case)."""
+    budget = _MAX_DECISIONS_PER_BLOCK
     tbl = c["ac_tbl_a"]
     st = ac_stats[tbl]
     kx = ac_cond.get(tbl, 5)
-    k = 1
-    while k <= 63:
+    k = ss
+    while k <= se:
         s0 = 3 * (k - 1)
         if dec.decode(st, s0):
             break  # EOB
         while dec.decode(st, s0 + 1) == 0:
             s0 += 3
             k += 1
-            if k > 63:
+            if k > se:
                 raise ValueError("arith JPEG AC index overflow")
         sign = dec.decode(fixed, 0)
         base = s0 + 2
@@ -419,54 +500,139 @@ def _decode_block(dec, c, blk, dc_stats, ac_stats, fixed,
             if dec.decode(st, mpos):
                 v |= m
         v += 1
-        blk[k] = -v if sign else v  # coefs layout is zigzag-indexed
+        blk[k] = (-v if sign else v) << al  # zigzag-indexed layout
         k += 1
 
 
-def encode_sequential_scan(
+def _decode_ac_refine(dec, c, blk, ac_stats, fixed, ss, se, al):
+    """AC successive-approximation refinement (T.81 G.2.2): one
+    correction bit per previously-nonzero coefficient (bin 3(k-1)+2),
+    newly-nonzero arrivals as ±1<<al, EOB decision at 3(k-1) once past
+    the previous stage's end-of-block index."""
+    st_all = ac_stats[c["ac_tbl_a"]]
+    p1 = 1 << al
+    kex = se
+    while kex > 0 and blk[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        s0 = 3 * (k - 1)
+        if k > kex and dec.decode(st_all, s0):
+            break  # EOB
+        while True:
+            if blk[k] != 0:  # previously nonzero: correction bit
+                if dec.decode(st_all, s0 + 2):
+                    blk[k] += p1 if blk[k] >= 0 else -p1
+                break
+            if dec.decode(st_all, s0 + 1):  # newly nonzero
+                blk[k] = -p1 if dec.decode(fixed, 0) else p1
+                break
+            s0 += 3
+            k += 1
+            if k > se:
+                raise ValueError("arith JPEG AC refinement overflow")
+        k += 1
+
+
+def encode_scan(
     blocks_per_comp: list[np.ndarray],
     comps_meta: list[dict],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
     mcus_x: int,
     mcus_y: int,
     dc_cond: dict[int, tuple[int, int]],
     ac_cond: dict[int, int],
+    restart_interval: int = 0,
+    sequential: bool = True,
 ) -> bytes:
-    """Arithmetic sequential interleaved scan from quantized zigzag
-    blocks. blocks_per_comp[ci] has shape (mcus_y*v, mcus_x*h, 64) in
-    zigzag order (the decode-side coefs layout); comps_meta[ci] = {"h","v","dc_tbl_a","ac_tbl_a"}."""
-    enc = QMEncoder()
+    """One arithmetic entropy scan from quantized zigzag blocks
+    (including RSTn markers when restart_interval > 0 — each restart
+    segment is an independently terminated QM stream with re-zeroed
+    statistics, mirroring decode_scan).
+
+    blocks_per_comp[ci] has shape (rows, cols, 64) in zigzag order
+    (the decode-side coefs layout); comps_meta[ci] = {"h","v",
+    "dc_tbl_a","ac_tbl_a"} plus "by"/"bx" (ceil block grid) for
+    non-interleaved scans. Handles the same scan shapes decode_scan
+    does: sequential, DC first/refine, AC first/refine bands."""
+    fixed = bytearray([FIXED_BIN])
     dc_stats: dict[int, bytearray] = {}
     ac_stats: dict[int, bytearray] = {}
-    fixed = bytearray([FIXED_BIN])
-    state = []
-    for meta in comps_meta:
-        dc_stats.setdefault(meta["dc_tbl_a"], bytearray(64))
-        ac_stats.setdefault(meta["ac_tbl_a"], bytearray(256))
-        state.append({"ctx": 0, "last": 0})
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
+    state = [{"ctx": 0, "last": 0} for _ in comps_meta]
+
+    def _reset():
+        dc_stats.clear()
+        ac_stats.clear()
+        for ci, meta in enumerate(comps_meta):
+            if sequential or ss == 0:
+                dc_stats.setdefault(meta["dc_tbl_a"], bytearray(64))
+                state[ci]["ctx"] = 0
+                state[ci]["last"] = 0
+            if sequential or ss > 0:
+                ac_stats.setdefault(meta["ac_tbl_a"], bytearray(256))
+
+    _reset()
+    enc = QMEncoder()
+    out = bytearray()
+    if len(comps_meta) > 1:
+        units_n = mcus_x * mcus_y
+        def unit_blocks(ui):
+            my, mx = divmod(ui, mcus_x)
             for ci, meta in enumerate(comps_meta):
                 for by in range(meta["v"]):
                     for bx in range(meta["h"]):
-                        zz = blocks_per_comp[ci][
-                            my * meta["v"] + by, mx * meta["h"] + bx
-                        ]
-                        _encode_block(
-                            enc, meta, state[ci], zz,
-                            dc_stats, ac_stats, fixed, dc_cond, ac_cond,
-                        )
-    return enc.flush()
+                        yield ci, meta, my * meta["v"] + by, mx * meta["h"] + bx
+    else:
+        meta0 = comps_meta[0]
+        gby = meta0.get("by", blocks_per_comp[0].shape[0])
+        gbx = meta0.get("bx", blocks_per_comp[0].shape[1])
+        units_n = gby * gbx
+        def unit_blocks(ui):
+            yield 0, meta0, ui // gbx, ui % gbx
+    rst = 0
+    for ui in range(units_n):
+        if restart_interval and ui and ui % restart_interval == 0:
+            out += enc.flush()
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            enc = QMEncoder()
+            _reset()
+        for ci, meta, byy, bxx in unit_blocks(ui):
+            zz = blocks_per_comp[ci][byy, bxx]
+            if sequential:
+                _encode_dc(enc, meta, state[ci], zz, dc_stats, dc_cond, 0)
+                _encode_ac_first(enc, meta, zz, ac_stats, fixed, ac_cond,
+                                 1, 63, 0)
+            elif ss == 0:
+                if ah == 0:
+                    _encode_dc(enc, meta, state[ci], zz, dc_stats,
+                               dc_cond, al)
+                else:  # DC refinement: one raw-ish bit per block
+                    enc.encode(fixed, 0, (int(zz[0]) >> al) & 1)
+            elif ah == 0:
+                _encode_ac_first(enc, meta, zz, ac_stats, fixed, ac_cond,
+                                 ss, se, al)
+            else:
+                _encode_ac_refine(enc, meta, zz, ac_stats, fixed,
+                                  ss, se, ah, al)
+    out += enc.flush()
+    return bytes(out)
 
 
-def _encode_block(enc, meta, stt, zz, dc_stats, ac_stats, fixed,
-                  dc_cond, ac_cond):
-    # ---- DC (T.81 F.1.4.1)
+def _encode_dc(enc, meta, stt, zz, dc_stats, dc_cond, al):
+    """DC difference (T.81 F.1.4.1) over point-transformed values
+    (arithmetic shift >> al, G.1.2.1 — floor semantics like libjpeg's
+    IRIGHT_SHIFT)."""
     tbl = meta["dc_tbl_a"]
     st = dc_stats[tbl]
     L, U = dc_cond.get(tbl, (0, 1))
     s0 = stt["ctx"]
-    diff = int(zz[0]) - stt["last"]
-    stt["last"] = int(zz[0])
+    cur = int(zz[0]) >> al
+    diff = cur - stt["last"]
+    stt["last"] = cur
     if diff == 0:
         enc.encode(st, s0, 0)
         stt["ctx"] = 0
@@ -502,18 +668,22 @@ def _encode_block(enc, meta, stt, zz, dc_stats, ac_stats, fixed,
         mpos = xpos + 14
         while m := m >> 1:
             enc.encode(st, mpos, 1 if (m & v) else 0)
-    # ---- AC (T.81 F.1.4.2)
+
+
+def _encode_ac_first(enc, meta, zz, ac_stats, fixed, ac_cond, ss, se, al):
+    """AC coefficients, first pass (T.81 F.1.4.2 / G.1.2.2):
+    magnitudes are point-transformed |v| >> al, sign kept."""
     tbl = meta["ac_tbl_a"]
     st = ac_stats[tbl]
     kx = ac_cond.get(tbl, 5)
-    ke = 63
-    while ke > 0 and zz[ke] == 0:
+    ke = se
+    while ke >= ss and (abs(int(zz[ke])) >> al) == 0:
         ke -= 1
-    k = 1
+    k = ss
     while k <= ke:
         s0 = 3 * (k - 1)
         enc.encode(st, s0, 0)  # not EOB
-        while int(zz[k]) == 0:
+        while (abs(int(zz[k])) >> al) == 0:
             enc.encode(st, s0 + 1, 0)
             s0 += 3
             k += 1
@@ -521,11 +691,10 @@ def _encode_block(enc, meta, stt, zz, dc_stats, ac_stats, fixed,
         v = int(zz[k])
         if v > 0:
             enc.encode(fixed, 0, 0)
-            sign = 0
         else:
             enc.encode(fixed, 0, 1)
-            sign = 1
             v = -v
+        v >>= al
         base = s0 + 2
         v -= 1
         m = 0
@@ -547,5 +716,41 @@ def _encode_block(enc, meta, stt, zz, dc_stats, ac_stats, fixed,
         while m := m >> 1:
             enc.encode(st, mpos, 1 if (m & v) else 0)
         k += 1
-    if k <= 63:
+    if k <= se:
         enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def _encode_ac_refine(enc, meta, zz, ac_stats, fixed, ss, se, ah, al):
+    """AC successive-approximation refinement (T.81 G.1.2.3 arithmetic
+    form, mirroring _decode_ac_refine): correction bit |v|>>al & 1 for
+    coefficients already nonzero at the previous stage (|v|>>ah != 0),
+    newly-nonzero arrivals coded via the 3(k-1)+1 bin + fixed-bin
+    sign, EOB decision once past both stages' end-of-block indices."""
+    st_all = ac_stats[meta["ac_tbl_a"]]
+    ke = se
+    while ke >= ss and (abs(int(zz[ke])) >> al) == 0:
+        ke -= 1
+    kex = ke
+    while kex >= ss and (abs(int(zz[kex])) >> ah) == 0:
+        kex -= 1
+    k = ss
+    while k <= ke:
+        s0 = 3 * (k - 1)
+        if k > kex:
+            enc.encode(st_all, s0, 0)  # not EOB yet
+        while True:
+            v = int(zz[k])
+            t = abs(v) >> al
+            if t:
+                if t >> 1:  # previously nonzero: correction bit
+                    enc.encode(st_all, s0 + 2, t & 1)
+                else:  # newly nonzero
+                    enc.encode(st_all, s0 + 1, 1)
+                    enc.encode(fixed, 0, 1 if v < 0 else 0)
+                break
+            enc.encode(st_all, s0 + 1, 0)
+            s0 += 3
+            k += 1
+        k += 1
+    if k <= se:
+        enc.encode(st_all, 3 * (k - 1), 1)  # EOB

@@ -3,13 +3,14 @@ metadata, processed by iterator ``mapInPandas`` stages.
 
 Container/codec reality in this sandbox (no PIL/cv2/ffmpeg):
 - **image**: PNG (incl. Adam7/palette/alpha), JPEG (baseline +
-  progressive + Adobe CMYK + ARITHMETIC sequential SOF9 via the T.81
-  QM coder, kernels/jpeg_arith — cross-validated against the system
-  libjpeg), GIF, BMP, uncompressed TIFF, lossless WebP (VP8L,
-  kernels/webp) AND lossy WebP (VP8 keyframes, kernels/vp8 — exact
-  RFC 6386 tables) all decode for real (kernels/pngcodec +
-  kernels/imgcodecs); JPEG 2000 and lossless/progressive-arithmetic
-  JPEG remain per-row ``error:unsupported_codec``.
+  progressive + Adobe CMYK + ARITHMETIC sequential SOF9 AND
+  progressive SOF10 with restart intervals via the T.81 QM coder,
+  kernels/jpeg_arith — cross-validated against the system libjpeg),
+  GIF, BMP, uncompressed TIFF, lossless WebP (VP8L, kernels/webp)
+  AND lossy WebP (VP8 keyframes, kernels/vp8 — exact RFC 6386
+  tables) all decode for real (kernels/pngcodec + kernels/imgcodecs);
+  JPEG 2000 and lossless JPEG remain per-row
+  ``error:unsupported_codec``.
 - **audio**: raw PCM s16le payloads, real RIFF/WAV PCM16 containers
   (kernels/wavcodec), real MPEG-1/2 Layer III MP3 (kernels/mp3 — the
   dominant real-crawl audio payload), real Ogg Vorbis (kernels/ogg +
@@ -814,6 +815,15 @@ def q_media_image_stats(spark, sf_dir: str):
                         # QM-decoder path runs (kernels/jpeg_arith)
                         payload = imgcodecs.encode_jpeg_arith(
                             img, quality=90
+                        )
+                    elif did % 32 == 1:
+                        # progressive arithmetic (SOF10, T.81 Annex G)
+                        # with restart intervals: same exactness
+                        # argument as the SOF9 rows — progressive
+                        # reconstruction is exact and the DCT/quant
+                        # path is shared
+                        payload = imgcodecs.encode_jpeg_arith_progressive(
+                            img, quality=90, restart_interval=2
                         )
                     else:
                         payload = imgcodecs.encode_jpeg_progressive(

@@ -658,17 +658,17 @@ def test_sof1_extended_sequential_decodes_identical_to_baseline():
         )
 
 
-def test_lossless_and_progressive_arith_jpeg_named_rejection():
-    """SOF3 (lossless) and SOF10 (progressive arithmetic) must fail as
-    a NAMED contractual error, never decode silently. SOF9 (sequential
-    arithmetic) is first-class since round 5 — tests/test_jpeg_arith.py."""
+def test_lossless_jpeg_named_rejection():
+    """SOF3 (lossless) must fail as a NAMED contractual error, never
+    decode silently. SOF9 (sequential arithmetic) and SOF10
+    (progressive arithmetic) are first-class since round 5 —
+    tests/test_jpeg_arith.py."""
     d = bytearray(ic.encode_jpeg(np.full((8, 8), 9, np.uint8)))
     i = d.find(b"\xff\xc0")
-    for sof in (0xC3, 0xCA):
-        d2 = bytearray(d)
-        d2[i + 1] = sof
-        with pytest.raises(ValueError, match="SOF0/SOF1"):
-            ic.decode_jpeg(bytes(d2))
+    d2 = bytearray(d)
+    d2[i + 1] = 0xC3
+    with pytest.raises(ValueError, match="SOF0/SOF1"):
+        ic.decode_jpeg(bytes(d2))
 
 
 # ---------------------------------------------------------- PNG depths

@@ -211,16 +211,101 @@ def test_system_libjpeg_decodes_our_arith_bytes():
 # ---------------------------------------------------------- structure
 
 
-def test_progressive_arith_and_lossless_stay_named_rejections():
+def test_lossless_stays_a_named_rejection():
     img = np.full((8, 8), 100, np.uint8)
     data = bytearray(ic.encode_jpeg_arith(img))
     i = data.find(b"\xff\xc9")
-    data[i + 1] = 0xCA  # SOF10: progressive arithmetic
-    with pytest.raises(ValueError, match="SOF9"):
-        ic.decode_jpeg(bytes(data))
     data[i + 1] = 0xC3  # SOF3: lossless
     with pytest.raises(ValueError, match="lossless"):
         ic.decode_jpeg(bytes(data))
+    data[i + 1] = 0xCA  # SOF10 frame over a sequential-scan body:
+    # accepted as a frame type now, but the scan parameters (Ss=0,
+    # Se=63) are illegal for a progressive DC scan
+    with pytest.raises(ValueError, match="spectral"):
+        ic.decode_jpeg(bytes(data))
+
+
+# ------------------------------------------- progressive / multi-scan
+
+
+def test_progressive_arith_equals_huffman_pipeline():
+    """SOF10 must be pixel-equivalent to the sequential pipelines:
+    progressive reconstruction is exact, only the entropy layering
+    differs."""
+    for name, img in _images().items():
+        p = ic.decode_jpeg(ic.encode_jpeg_arith_progressive(img, quality=90))
+        h = ic.decode_jpeg(ic.encode_jpeg(img, quality=90))
+        assert np.array_equal(p, h), name
+    img = _images()["rgb"]
+    p = ic.decode_jpeg(
+        ic.encode_jpeg_arith_progressive(img, quality=90, subsample=True))
+    h = ic.decode_jpeg(ic.encode_jpeg(img, quality=90, subsample=True))
+    assert np.array_equal(p, h)
+
+
+def test_arith_restart_and_multiscan_round_trip():
+    """Restart intervals (fresh QM stream + re-zeroed statistics per
+    segment) and non-interleaved multi-scan layouts, both entropy
+    coders."""
+    img = _images()["rgb"]
+    h = ic.decode_jpeg(ic.encode_jpeg(img, quality=85, subsample=True))
+    variants = [
+        ic.encode_jpeg_arith(img, 85, subsample=True, restart_interval=2),
+        ic.encode_jpeg_arith(img, 85, subsample=True, interleave=False),
+        ic.encode_jpeg_arith_progressive(
+            img, 85, subsample=True, restart_interval=3),
+        ic.encode_jpeg_multiscan(img, 85, subsample=True),
+        ic.encode_jpeg_multiscan(img, 85, subsample=True,
+                                 restart_interval=2),
+    ]
+    for i, data in enumerate(variants):
+        assert np.array_equal(ic.decode_jpeg(data), h), i
+
+
+def test_system_libjpeg_decodes_our_sof10_and_restart_bytes():
+    """Cross-check for the new bitstream shapes: the system libjpeg
+    must accept our SOF10 / restart-arith / multi-scan bytes and agree
+    within the usual ±1 ISLOW-IDCT calibration (0 on smooth)."""
+    for name, img in _images().items():
+        if img.ndim == 3:
+            continue
+        for label, data in (
+            ("sof10", ic.encode_jpeg_arith_progressive(img, quality=90)),
+            ("sof10-rst", ic.encode_jpeg_arith_progressive(
+                img, quality=90, restart_interval=2)),
+            ("sof9-rst", ic.encode_jpeg_arith(
+                img, quality=90, restart_interval=3)),
+            ("multiscan", ic.encode_jpeg_multiscan(img, quality=90)),
+        ):
+            sys_px = _pixbuf_file_decode(data)
+            if sys_px is None:
+                pytest.skip("gdk-pixbuf not available")
+            assert not isinstance(sys_px, str), f"{name}/{label}: rejected"
+            mine = ic.decode_jpeg(data)
+            diff = np.abs(sys_px[:, :, 0].astype(int) - mine.astype(int))
+            limit = 0 if name in ("flat", "grad") else 1
+            assert diff.max() <= limit, (name, label, int(diff.max()))
+
+
+def test_sof10_garbage_and_truncation_never_crash():
+    rng = np.random.RandomState(23)
+    img = rng.randint(0, 256, (24, 24)).astype(np.uint8)
+    data = ic.encode_jpeg_arith_progressive(img, quality=85,
+                                            restart_interval=2)
+    r = random.Random(29)
+    for _ in range(300):
+        m = bytearray(data)
+        m[r.randrange(len(m))] ^= 1 << r.randrange(8)
+        try:
+            out = ic.decode_jpeg(bytes(m))
+            assert out.shape[0] > 0
+        except ValueError:
+            pass
+    for cut in range(0, len(data), 7):
+        try:
+            ic.decode_jpeg(data[:cut])
+        except ValueError:
+            pass
 
 
 def test_bad_dac_raises():
