@@ -34,9 +34,11 @@ Scope (documented substitution, like the PNG codec):
   Arithmetic coding (T.81 QM coder + DAC conditioning) decodes and
   encodes via kernels/jpeg_arith.py for BOTH sequential (SOF9) and
   progressive (SOF10) frames, with restart intervals and
-  non-interleaved scans, cross-validated against the system libjpeg;
-  lossless (SOF3) and the differential/hierarchical SOFs stay named
-  rejections.
+  non-interleaved scans, cross-validated against the system libjpeg.
+  Lossless JPEG (SOF3, T.81 Annex H predictive coding — predictors
+  1-7, point transform, 2..16-bit precision, restarts) decodes and
+  encodes via kernels/jpeg_lossless.py; the differential/hierarchical
+  SOFs and arithmetic-lossless (SOF11) stay named rejections.
 """
 
 from __future__ import annotations
@@ -1372,6 +1374,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     frame = None
     progressive = False
     arithmetic = False
+    lossless = False
+    precision = 8
+    lossless_pt = 0
     restart_interval = 0
     comps: list[dict] = []
     hmax = vmax = mcus_x = mcus_y = 0
@@ -1414,14 +1419,31 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         # is byte-identical to baseline, and the table dicts here key
         # by id so 2-3 already work — cv2/libjpeg accept it the same
         # way (reference route: /root/reference/ocr/operators.py:41-46).
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
             progressive = marker in (0xC2, 0xCA)
             arithmetic = marker in (0xC9, 0xCA)
+            lossless = marker == 0xC3
             prec, h, w, nc = seg[0], struct.unpack_from(">H", seg, 1)[0], struct.unpack_from(">H", seg, 3)[0], seg[5]
-            if prec != 8:
+            if lossless:
+                # T.81 B.2.2: lossless precision is 2..16 (the frame
+                # carries P; there is no DCT/quantizer to constrain it)
+                if not 2 <= prec <= 16:
+                    raise ValueError("bad lossless JPEG precision")
+                precision = prec
+            elif prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
             if not (0 < h and 0 < w and h * w <= MAX_DECODE_PIXELS):
                 raise ValueError("bad JPEG dimensions")
+            if lossless:
+                from ragflow_ocr_spark.kernels.jpeg_lossless import (
+                    MAX_LOSSLESS_PIXELS,
+                )
+
+                if h * w > MAX_LOSSLESS_PIXELS:
+                    raise ValueError(
+                        "lossless JPEG frame exceeds the 8 MPix "
+                        "sequential-decode budget"
+                    )
             # limits (ITU T.81 B.2.2/B.2.3): ≤4 components, Σ(h·v) ≤ 10
             # per MCU. Without these caps a ~1 KB header declaring 255
             # components × 4×4 sampling allocates tens of GB of
@@ -1439,6 +1461,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             frame = (h, w, nc)
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
+            if lossless:
+                # lossless MCUs are h×v SAMPLE groups, not 8x8 blocks
+                # (T.81 H.2): per-component sample grids, padded to the
+                # MCU grid for interleaved scans, cropped on output
+                mcus_x = -(-w // hmax)
+                mcus_y = -(-h // vmax)
+                for c in comps:
+                    c["sy"] = -(-(h * c["v"]) // vmax)
+                    c["sx"] = -(-(w * c["h"]) // hmax)
+                    c["samples"] = np.zeros(
+                        (mcus_y * c["v"], mcus_x * c["h"]), dtype=np.int32
+                    )
+                pos += seg_len
+                continue
             mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
             mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
             for c in comps:
@@ -1453,11 +1489,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32
                 )
                 c["pred"] = 0
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 "only Huffman sequential (SOF0/SOF1) / progressive (SOF2) "
-                "/ arithmetic sequential (SOF9) / arithmetic progressive "
-                "(SOF10) JPEG supported (lossless and differential "
+                "/ lossless (SOF3) / arithmetic sequential (SOF9) / "
+                "arithmetic progressive (SOF10) JPEG supported "
+                "(differential/hierarchical and arithmetic-lossless "
                 "variants are not)"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
@@ -1493,6 +1530,26 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan_comps = [s["_comp"] for s in scan]
             pos += seg_len
             ah, al = ahal >> 4, ahal & 15
+            if lossless:
+                # T.81 H: Ss = predictor selector 1..7, Se = 0, Ah = 0,
+                # Al = point transform (< P)
+                if not (1 <= ss <= 7) or se != 0 or ah != 0:
+                    raise ValueError("bad lossless scan parameters")
+                if al >= precision:
+                    raise ValueError("bad lossless point transform")
+                if 1 < len(scan_comps) < len(comps):
+                    raise ValueError("bad lossless scan interleave")
+                from ragflow_ocr_spark.kernels import jpeg_lossless as _jl
+
+                br = _BitReader(data[pos:])
+                _jl.decode_scan(
+                    br, scan, huff_dc, ss, al, precision,
+                    restart_interval, mcus_x, mcus_y,
+                )
+                lossless_pt = al
+                n_scans += 1
+                pos += br.consumed
+                continue
             if progressive:
                 if ss == 0:
                     if se != 0:
@@ -1555,6 +1612,41 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if frame is None or n_scans == 0:
         raise ValueError("JPEG missing SOF/SOS")
     h, w, nc = frame
+
+    if lossless:
+        # no DCT/dequant: samples ARE the image (in the >>Pt domain).
+        # Output contract is uint8 like every codec here: P == 8 is
+        # exact; other precisions narrow by round(v*255/(2^P-1))
+        # (monotone, endpoint-exact — same substitution class as the
+        # 16-bit-PNG narrowing). Lossless JPEG defines no colour
+        # space: 3-component frames are RGB unless APP14 tags YCbCr.
+        planes = []
+        for c in comps:
+            s = c["samples"][: c["sy"], : c["sx"]].astype(np.int64)
+            s <<= lossless_pt
+            mv = (1 << precision) - 1
+            if precision == 8:
+                pl = np.clip(s, 0, 255).astype(np.float64)
+            else:
+                pl = np.round(np.clip(s, 0, mv) * (255.0 / mv))
+            pl = np.repeat(
+                np.repeat(pl, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+            planes.append(pl[:h, :w])
+        if nc == 1:
+            return planes[0].astype(np.uint8)
+        if nc == 3 and adobe_transform in (None, 0):
+            return np.stack(planes, axis=2).astype(np.uint8)
+        if nc == 3 and adobe_transform == 1:
+            y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+            rgb = np.stack(
+                [y + 1.402 * cr,
+                 y - 0.344136 * cb - 0.714136 * cr,
+                 y + 1.772 * cb],
+                axis=2,
+            )
+            return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        raise ValueError("unsupported lossless JPEG component layout")
 
     planes = []
     for c in comps:
@@ -2253,3 +2345,20 @@ def encode_jpeg_progressive(
     out += bw.buf
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def encode_jpeg_lossless(
+    img: np.ndarray,
+    predictor: int = 1,
+    point_transform: int = 0,
+    restart_interval: int = 0,
+    precision: int = 8,
+) -> bytes:
+    """Thin dispatch to the SOF3 lossless encoder
+    (kernels/jpeg_lossless) so fixture generators address every JPEG
+    flavour through this module."""
+    from ragflow_ocr_spark.kernels.jpeg_lossless import (
+        encode_jpeg_lossless as _enc,
+    )
+
+    return _enc(img, predictor, point_transform, restart_interval, precision)

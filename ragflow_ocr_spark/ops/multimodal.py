@@ -775,6 +775,8 @@ def q_media_image_stats(spark, sf_dir: str):
     - id % 8 == 5: Adobe CMYK baseline JPEG (4 components, APP14
       transform 0, q95 — the q00=2 DC step divides 8·(v−128), so the
       same constant decodes exactly through the white-composite path);
+    - id % 64 == 17: LOSSLESS JPEG (SOF3 predictive, restart
+      intervals) — exact by definition, same constant closed form;
     - id % 8 == 3: two-tone GIF (LZW is lossless);
     - id % 16 == 7: two-tone lossless WebP (VP8L) — same closed form;
     - id % 16 == 15: LOSSY WebP (VP8 keyframe, kernels/vp8) of a flat
@@ -824,6 +826,15 @@ def q_media_image_stats(spark, sf_dir: str):
                         # path is shared
                         payload = imgcodecs.encode_jpeg_arith_progressive(
                             img, quality=90, restart_interval=2
+                        )
+                    elif did % 64 == 17:
+                        # LOSSLESS (SOF3, T.81 Annex H predictive):
+                        # exact by definition, so the %4==1 constant-v
+                        # closed form covers it while the real
+                        # predictor/extend path runs
+                        # (kernels/jpeg_lossless)
+                        payload = imgcodecs.encode_jpeg_lossless(
+                            img, predictor=4, restart_interval=16
                         )
                     else:
                         payload = imgcodecs.encode_jpeg_progressive(

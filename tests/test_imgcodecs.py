@@ -658,17 +658,19 @@ def test_sof1_extended_sequential_decodes_identical_to_baseline():
         )
 
 
-def test_lossless_jpeg_named_rejection():
-    """SOF3 (lossless) must fail as a NAMED contractual error, never
-    decode silently. SOF9 (sequential arithmetic) and SOF10
-    (progressive arithmetic) are first-class since round 5 —
-    tests/test_jpeg_arith.py."""
+def test_hierarchical_jpeg_named_rejection():
+    """The differential/hierarchical SOFs must fail as NAMED
+    contractual errors, never decode silently. SOF3 (lossless), SOF9
+    and SOF10 (arithmetic) are first-class since round 5 —
+    tests/test_jpeg_lossless.py, tests/test_jpeg_arith.py. (A SOF3
+    frame over this DCT-scan body fails on scan parameters instead.)"""
     d = bytearray(ic.encode_jpeg(np.full((8, 8), 9, np.uint8)))
     i = d.find(b"\xff\xc0")
-    d2 = bytearray(d)
-    d2[i + 1] = 0xC3
-    with pytest.raises(ValueError, match="SOF0/SOF1"):
-        ic.decode_jpeg(bytes(d2))
+    for sof in (0xC5, 0xC6, 0xC7, 0xCB):
+        d2 = bytearray(d)
+        d2[i + 1] = sof
+        with pytest.raises(ValueError, match="SOF0/SOF1"):
+            ic.decode_jpeg(bytes(d2))
 
 
 # ---------------------------------------------------------- PNG depths
