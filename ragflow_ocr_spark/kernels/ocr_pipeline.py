@@ -209,7 +209,7 @@ def extract_pdf_payload(data: bytes) -> np.ndarray | None:
         return None
 
 
-IMAGE_KINDS = ("png", "jpeg", "gif", "webp", "bmp", "tiff", "pdf")
+IMAGE_KINDS = ("png", "jpeg", "gif", "webp", "bmp", "tiff", "jp2", "pdf")
 
 
 def decode_payload_image(data: bytes | None) -> tuple[str, np.ndarray | None]:
@@ -227,6 +227,10 @@ def decode_payload_image(data: bytes | None) -> tuple[str, np.ndarray | None]:
         from ragflow_ocr_spark.kernels import webp
 
         dec = webp.decode_webp
+    elif kind == "jp2":
+        from ragflow_ocr_spark.kernels import jpeg2000
+
+        dec = jpeg2000.decode_jpeg2000
     elif kind in ("jpeg", "gif", "bmp", "tiff"):
         from ragflow_ocr_spark.kernels import imgcodecs
 

@@ -583,6 +583,10 @@ def _decode_bare_image(body: bytes) -> np.ndarray | None:
             from ragflow_ocr_spark.kernels import webp
 
             return webp.decode_webp(body)
+        if kind == "jp2":
+            from ragflow_ocr_spark.kernels import jpeg2000
+
+            return jpeg2000.decode_jpeg2000(body)
     except (ValueError, NotImplementedError):
         return None
     return None

@@ -272,7 +272,7 @@ def sniff_payload(data: bytes | None) -> str:
     """Magic-byte payload router (SURVEY.md §2.2 F10).
 
     Returns one of: 'null', 'png', 'jpeg', 'gif', 'webp', 'bmp',
-    'tiff', 'pdf', 'html'. The reference routes by file extension at the CLI
+    'tiff', 'jp2', 'pdf', 'html'. The reference routes by file extension at the CLI
     (``/root/reference/examples/batch_processing.py:28``, globbing
     ``*.jpg/.png/.bmp/.tiff``); content sniffing is the scale-safe
     equivalent.
@@ -295,4 +295,9 @@ def sniff_payload(data: bytes | None) -> str:
         return "bmp"
     if data.startswith(b"%PDF"):
         return "pdf"
+    # JPEG 2000: raw codestream (SOC+SIZ) or JP2 box signature
+    if data.startswith(b"\xff\x4f\xff\x51"):
+        return "jp2"
+    if data.startswith(b"\x00\x00\x00\x0cjP  \r\n\x87\n"):
+        return "jp2"
     return "html"

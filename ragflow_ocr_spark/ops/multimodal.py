@@ -8,9 +8,10 @@ Container/codec reality in this sandbox (no PIL/cv2/ffmpeg):
   kernels/jpeg_arith — cross-validated against the system libjpeg),
   GIF, BMP, uncompressed TIFF, lossless WebP (VP8L, kernels/webp)
   AND lossy WebP (VP8 keyframes, kernels/vp8 — exact RFC 6386
-  tables) all decode for real (kernels/pngcodec + kernels/imgcodecs);
-  JPEG 2000 and lossless JPEG remain per-row
-  ``error:unsupported_codec``.
+  tables), lossless JPEG (SOF3, kernels/jpeg_lossless), and JPEG 2000
+  (T.800 raw codestream + JP2 container, 5/3 lossless and 9/7 lossy,
+  kernels/jpeg2000) all decode for real (kernels/pngcodec +
+  kernels/imgcodecs + kernels/jpeg2000).
 - **audio**: raw PCM s16le payloads, real RIFF/WAV PCM16 containers
   (kernels/wavcodec), real MPEG-1/2 Layer III MP3 (kernels/mp3 — the
   dominant real-crawl audio payload), real Ogg Vorbis (kernels/ogg +
@@ -111,10 +112,10 @@ def media_df(spark, n_rows: int = 60, partitions: int = 4):
 # ---------------------------------------------------------------- decode
 def decode_image(payload: bytes, codec: str) -> np.ndarray:
     """The codec router. PNG/JPEG/GIF/BMP/TIFF/WebP (VP8L lossless AND
-    VP8 lossy keyframes, kernels/vp8) decode for real; genuinely
-    unbundled codecs raise NotImplementedError and malformed payloads
-    ValueError — callers convert both to per-row error statuses (never
-    a task failure)."""
+    VP8 lossy keyframes, kernels/vp8) and JPEG 2000 (kernels/jpeg2000)
+    decode for real; genuinely unbundled codecs raise
+    NotImplementedError and malformed payloads ValueError — callers
+    convert both to per-row error statuses (never a task failure)."""
     kind = pngcodec.sniff_payload(payload)
     if codec == "png" or kind == "png":
         return pngcodec.decode_png(payload)
@@ -122,6 +123,10 @@ def decode_image(payload: bytes, codec: str) -> np.ndarray:
         from ragflow_ocr_spark.kernels import webp as webpmod
 
         return webpmod.decode_webp(payload)
+    if kind == "jp2":
+        from ragflow_ocr_spark.kernels import jpeg2000
+
+        return jpeg2000.decode_jpeg2000(payload)
     if kind in ("jpeg", "gif", "bmp", "tiff"):
         from ragflow_ocr_spark.kernels import imgcodecs
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from ragflow_ocr_spark.kernels import font5x7, imgcodecs as ic, pngcodec
+from ragflow_ocr_spark.kernels import font5x7, imgcodecs as ic, jpeg2000, pngcodec
 from ragflow_ocr_spark.kernels.ocr_pipeline import extract_payload
 
 RNG = np.random.default_rng(42)
@@ -208,6 +208,11 @@ def test_spark_extract_stage_routes_new_codecs(spark):
             ic.encode_tiff(img, compression="deflate")), None, "en"),
         ("jpeg", ts, bytearray(ic.encode_jpeg(img, quality=90)), None, "en"),
         ("sof1_jpeg", ts, bytearray(sof1), None, "en"),
+        # round-5: JPEG 2000, both raw codestream and JP2 container
+        ("j2k", ts, bytearray(
+            jpeg2000.encode_jpeg2000(img, reversible=True)), None, "en"),
+        ("jp2", ts, bytearray(
+            jpeg2000.encode_jp2(img, reversible=True)), None, "en"),
     ]
     pages = spark.createDataFrame(
         rows, "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -215,7 +220,8 @@ def test_spark_extract_stage_routes_new_codecs(spark):
     out = {r.url: (r.status, r.extracted_text) for r in extract(pages).collect()}
     assert out == {
         k: ("ok", want)
-        for k in ("png", "bmp", "rle_bmp", "tiff", "deflate_tiff", "jpeg", "sof1_jpeg")
+        for k in ("png", "bmp", "rle_bmp", "tiff", "deflate_tiff", "jpeg",
+                  "sof1_jpeg", "j2k", "jp2")
     }
 
 
