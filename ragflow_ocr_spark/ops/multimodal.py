@@ -782,6 +782,9 @@ def q_media_image_stats(spark, sf_dir: str):
       same constant decodes exactly through the white-composite path);
     - id % 64 == 17: LOSSLESS JPEG (SOF3 predictive, restart
       intervals) — exact by definition, same constant closed form;
+    - id % 64 == 49: JPEG 2000 (reversible 5/3, kernels/jpeg2000; raw
+      codestream, JP2 container when id % 128 == 113) — bit-exact
+      lossless, same constant closed form;
     - id % 8 == 3: two-tone GIF (LZW is lossless);
     - id % 16 == 7: two-tone lossless WebP (VP8L) — same closed form;
     - id % 16 == 15: LOSSY WebP (VP8 keyframe, kernels/vp8) of a flat
@@ -841,6 +844,18 @@ def q_media_image_stats(spark, sf_dir: str):
                         payload = imgcodecs.encode_jpeg_lossless(
                             img, predictor=4, restart_interval=16
                         )
+                    elif did % 64 == 49:
+                        # JPEG 2000 (T.800, reversible 5/3): bit-exact
+                        # lossless, so the %4==1 constant-v closed form
+                        # covers it while the real MQ/EBCOT tier-1 +
+                        # tag-tree tier-2 + DWT path runs
+                        # (kernels/jpeg2000); JP2 box container on the
+                        # second row to cover the unwrap route too
+                        from ragflow_ocr_spark.kernels import jpeg2000
+
+                        enc = (jpeg2000.encode_jp2 if did % 128 == 113
+                               else jpeg2000.encode_jpeg2000)
+                        payload = enc(img, reversible=True)
                     else:
                         payload = imgcodecs.encode_jpeg_progressive(
                             img, quality=90
