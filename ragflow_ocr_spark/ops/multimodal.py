@@ -29,8 +29,13 @@ Container/codec reality in this sandbox (no PIL/cv2/ffmpeg):
   prediction, SPLITMV, golden/altref), and ANIMATED WebP
   (VP8X/ANIM/ANMF compositing incl. ALPH alpha via kernels/webp) —
   frame sampling, frame decode, and per-frame features are real for
-  all of these; video codecs beyond MJPEG/VP8 (VP9, H.264) are the
-  remaining per-row seam.
+  all of these. H.264 (mp4 avc1 / Matroska V_MPEG4/ISO/AVC) demuxes
+  and decodes its structurally-safe slice via kernels/h264 (NAL/SPS/
+  PPS/slice parsing + byte-exact I_PCM macroblocks); entropy-coded
+  H.264 frames and VP9/AV1 are the remaining per-row seam (no
+  validator for their entropy tables exists on this host — see
+  kernels/h264's module doc for why we refuse to ship
+  memory-reconstructed tables).
 
 Every stage is init-once-per-worker, Arrow-batched, and returns typed
 columns — the schema/partitioning/batch-shape plumbing the 100 TB
@@ -141,8 +146,10 @@ def decode_image(payload: bytes, codec: str) -> np.ndarray:
 
 def _decode_frame(frame: bytes) -> "np.ndarray":
     """Frame bytes → image; frames are PNG (MOCKV1/GIF/animated-WebP
-    re-encodes), JPEG (AVI/mp4/webm MJPEG), or still-WebP-wrapped VP8
-    (webm V_VP8)."""
+    re-encodes), JPEG (AVI/mp4/webm MJPEG), still-WebP-wrapped VP8
+    (webm V_VP8), or Annex-B H.264 access units (mp4 avc1 / webm
+    V_MPEG4/ISO/AVC — I_PCM decodes, entropy-coded frames are the
+    named per-row seam, kernels/h264)."""
     if frame.startswith(b"\xff\xd8"):
         from ragflow_ocr_spark.kernels import imgcodecs
 
@@ -151,6 +158,10 @@ def _decode_frame(frame: bytes) -> "np.ndarray":
         from ragflow_ocr_spark.kernels import webp as webpmod
 
         return webpmod.decode_webp(frame)
+    from ragflow_ocr_spark.kernels import h264 as h264mod
+
+    if h264mod.sniff_annexb_h264(frame):
+        return h264mod.decode_h264_keyframe(frame)
     return pngcodec.decode_png(frame)
 
 
@@ -247,6 +258,66 @@ def encode_mp4_mjpeg(frames_jpeg: list[bytes], w: int, h: int) -> bytes:
     return ftyp + mdat + moov
 
 
+def encode_mp4_avc1(aus_annexb: list[bytes], w: int, h: int) -> bytes:
+    """Minimal ISO-BMFF with one H.264 track: parameter sets from the
+    first access unit move into the avcC record (stsd 'avc1'), slice
+    NALs become 4-byte-length-prefixed AVCC samples — the layout real
+    crawl mp4s use (kernels/h264 encodes/decodes the I_PCM AUs)."""
+    from ragflow_ocr_spark.kernels import h264 as h264mod
+
+    samples = []
+    sps = pps = None
+    for au in aus_annexb:
+        body, s, p = h264mod.annexb_au_to_avcc(au)
+        samples.append(body)
+        sps, pps = sps or s, pps or p
+    avcc = h264mod.build_avcc(sps, pps)
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2avc1")
+    mdat = _box(b"mdat", b"".join(samples))
+    base = len(ftyp) + 8
+    offsets = []
+    off = base
+    for s in samples:
+        offsets.append(off)
+        off += len(s)
+    n = len(samples)
+    entry = (
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + b"\x00" * 4
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">H", 24)
+        + struct.pack(">h", -1)
+        + _box(b"avcC", avcc)
+    )
+    stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + _box(b"avc1", entry))
+    stts = _box(b"stts", b"\x00" * 4 + struct.pack(">III", 1, n, 1))
+    stsc = _box(b"stsc", b"\x00" * 4 + struct.pack(">IIII", 1, 1, 1, 1))
+    stsz = _box(
+        b"stsz",
+        b"\x00" * 4
+        + struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stco = _box(
+        b"stco",
+        b"\x00" * 4
+        + struct.pack(">I", n)
+        + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    hdlr = _box(
+        b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"VideoHandler\x00"
+    )
+    mdia = _box(b"mdia", hdlr + _box(b"minf", stbl))
+    mvhd = _box(b"mvhd", b"\x00" * 4 + struct.pack(">IIII", 0, 0, 1, n) + b"\x00" * 80)
+    moov = _box(b"moov", mvhd + _box(b"trak", mdia))
+    return ftyp + mdat + moov
+
+
 def _mp4_boxes(data: bytes, lo: int, hi: int):
     p = lo
     while p + 8 <= hi:
@@ -265,9 +336,10 @@ def _mp4_boxes(data: bytes, lo: int, hi: int):
 def _iter_mp4_frames(payload: bytes) -> Iterator[bytes]:
     """Walk moov→trak→mdia→minf→stbl sample tables and yield each
     sample's bytes (stsc chunk runs + stco offsets + stsz sizes — the
-    general sample-to-chunk math, not just this muxer's layout). Only
-    tracks whose stsd codec is JPEG-family are yielded; other codecs
-    (avc1, vp09, …) raise the unbundled-codec seam."""
+    general sample-to-chunk math, not just this muxer's layout).
+    JPEG-family tracks yield raw JPEG bytes; avc1/avc3 tracks yield
+    Annex-B H.264 access units (kernels/h264); other codecs (vp09,
+    av01, …) raise the unbundled-codec seam."""
     CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
     tables: list[dict] = []
 
@@ -282,6 +354,17 @@ def _iter_mp4_frames(payload: bytes) -> Iterator[bytes]:
                 count = struct.unpack_from(">I", payload, body + 4)[0]
                 if count >= 1:
                     ctx["codec"] = payload[body + 12 : body + 16]
+                    if ctx["codec"] in (b"avc1", b"avc3"):
+                        # avcC lives in the boxes after the 78-byte
+                        # VisualSampleEntry fields of the first entry
+                        esz = struct.unpack_from(">I", payload, body + 8)[0]
+                        for t2, b2, _e2 in _mp4_boxes(
+                            payload, body + 8 + 86,
+                            min(body + 8 + esz, end),
+                        ):
+                            if t2 == b"avcC":
+                                ctx["avcC"] = payload[b2:_e2]
+                                break
             elif ctx is not None and tag == b"stsz":
                 fixed, n = struct.unpack_from(">II", payload, body + 4)
                 if fixed:
@@ -308,9 +391,26 @@ def _iter_mp4_frames(payload: bytes) -> Iterator[bytes]:
     for t in tables:
         if not all(k in t for k in ("sizes", "chunks", "runs")):
             continue
-        if t["codec"] not in (b"jpeg", b"mjpa", b"mjpb", b"MJPG"):
+        to_annexb = None
+        if t["codec"] in (b"avc1", b"avc3"):
+            # H.264: re-emit each AVCC sample as a self-contained
+            # Annex-B access unit (parameter sets prepended) so the
+            # frame contract (independently decodable bytes) holds;
+            # kernels/h264 decodes I_PCM and names the CAVLC seam
+            from ragflow_ocr_spark.kernels import h264 as h264mod
+
+            if "avcC" not in t:
+                raise ValueError("avc1 track without avcC record")
+            nls, spss, ppss = h264mod.parse_avcc(t["avcC"])
+            prefix = list(spss) + list(ppss)
+
+            def to_annexb(s, _n=nls, _p=prefix):
+                return h264mod.avcc_sample_to_annexb(s, _n, _p)
+
+        elif t["codec"] not in (b"jpeg", b"mjpa", b"mjpb", b"MJPG"):
             raise NotImplementedError(
-                f"mp4 codec {t['codec']!r} not bundled offline (MJPEG decodes)"
+                f"mp4 codec {t['codec']!r} not bundled offline "
+                "(MJPEG and H.264/avc1 route)"
             )
         found = True
         sizes = t["sizes"]
@@ -327,7 +427,8 @@ def _iter_mp4_frames(payload: bytes) -> Iterator[bytes]:
                 ln = sizes[si]
                 if off + ln > len(payload):
                     raise ValueError("mp4 sample beyond file")
-                yield payload[off : off + ln]
+                sample = payload[off : off + ln]
+                yield to_annexb(sample) if to_annexb else sample
                 off += ln
                 si += 1
     if not found:
@@ -344,6 +445,7 @@ _MKV_CLUSTER = 0x1F43B675
 _MKV_SIMPLE_BLOCK = 0xA3
 _MKV_BLOCK_GROUP = 0xA0
 _MKV_BLOCK = 0xA1
+_MKV_CODEC_PRIVATE = 0x63A2
 
 
 def _ebml_vint(data: bytes, i: int, keep_marker: bool) -> tuple[int, int]:
@@ -420,9 +522,11 @@ def _iter_webm_frames(payload: bytes) -> Iterator[bytes]:
     the round-4 keyframe-only seam is closed) and re-emit as lossless
     PNG so the downstream frame contract (sniffable, independently
     decodable bytes) holds — the same convention the GIF video path
-    uses. Other codecs (V_VP9/V_AV1/…) raise the unbundled-codec
-    seam."""
+    uses. V_MPEG4/ISO/AVC tracks re-emit as Annex-B H.264 access
+    units (kernels/h264). Other codecs (V_VP9/V_AV1/…) raise the
+    unbundled-codec seam."""
     codec: bytes | None = None
+    codec_private: bytes | None = None
     frames: list[bytes] = []
 
     def block_frame(body: bytes) -> bytes:
@@ -436,7 +540,7 @@ def _iter_webm_frames(payload: bytes) -> Iterator[bytes]:
         return body[j + 1 :]
 
     def walk(lo: int, hi: int, depth: int) -> None:
-        nonlocal codec
+        nonlocal codec, codec_private
         i = lo
         while i < hi:
             el_id, i = _ebml_vint(payload, i, keep_marker=True)
@@ -450,6 +554,8 @@ def _iter_webm_frames(payload: bytes) -> Iterator[bytes]:
                 walk(i, end, depth + 1)
             elif el_id == _MKV_CODEC_ID:
                 codec = payload[i:end]
+            elif el_id == _MKV_CODEC_PRIVATE:
+                codec_private = payload[i:end]
             elif el_id in (_MKV_SIMPLE_BLOCK, _MKV_BLOCK):
                 frames.append(block_frame(payload[i:end]))
             i = end
@@ -465,10 +571,24 @@ def _iter_webm_frames(payload: bytes) -> Iterator[bytes]:
         yield from (pngcodec.encode_png(dec.decode_frame(fr))
                     for fr in frames)
         return
+    if cid == b"V_MPEG4/ISO/AVC":
+        # H.264 in Matroska: CodecPrivate is the avcC record and
+        # blocks are AVCC samples — re-emit as Annex-B access units
+        # (same contract as the mp4 avc1 route; kernels/h264 decodes
+        # I_PCM, entropy-coded frames are the named per-row seam)
+        from ragflow_ocr_spark.kernels import h264 as h264mod
+
+        if codec_private is None:
+            raise ValueError("V_MPEG4/ISO/AVC track without CodecPrivate")
+        nls, spss, ppss = h264mod.parse_avcc(codec_private)
+        prefix = list(spss) + list(ppss)
+        yield from (h264mod.avcc_sample_to_annexb(fr, nls, prefix)
+                    for fr in frames)
+        return
     if cid != b"V_MJPEG":
         raise NotImplementedError(
             f"matroska codec {codec!r} not bundled offline "
-            "(V_MJPEG and V_VP8 decode)"
+            "(V_MJPEG, V_VP8 and V_MPEG4/ISO/AVC route)"
         )
     yield from frames
 

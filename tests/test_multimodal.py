@@ -325,6 +325,10 @@ def test_mp4_mjpeg_mux_demux_roundtrip():
     out = list(mm.iter_video_frames(payload))
     assert out == frames
     with pytest.raises(NotImplementedError, match="codec"):
+        list(mm.iter_video_frames(payload.replace(b"jpeg", b"vp09", 1)))
+    # avc1 is routed now (kernels/h264) — a relabeled track without an
+    # avcC record is malformed, not unbundled
+    with pytest.raises(ValueError, match="avcC"):
         list(mm.iter_video_frames(payload.replace(b"jpeg", b"avc1", 1)))
     with pytest.raises(ValueError):
         list(mm.iter_video_frames(b"\x00\x00\x00\x08ftypxxxxxx"))
