@@ -1133,7 +1133,10 @@ def _synth_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     the DuckDB oracle stays exact while the real container parse +
     VP8 decode + compositing run — or a V_VP8-coded webm
     (id % 16 == 11): the same flat VP8 keyframes as Matroska
-    SimpleBlocks through the real EBML demux + kernels/vp8."""
+    SimpleBlocks through the real EBML demux + kernels/vp8 — or an
+    H.264 avc1 mp4 (id % 16 == 13): byte-exact I_PCM flat-luma
+    keyframes through the real avcC/AVCC demux + kernels/h264, same
+    BT.601 closed form."""
     from ragflow_ocr_spark.kernels import imgcodecs, vp8 as vp8mod, webp as webpmod
 
     for b in batches:
@@ -1182,7 +1185,24 @@ def _synth_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     )
                     for idx in range(n_frames)
                 ]
-                if did % 4 == 1:
+                if did % 16 == 13:
+                    # H.264 avc1 mp4: I_PCM flat-luma keyframes
+                    # (kernels/h264, byte-exact), so the decoded gray
+                    # is the same BT.601 closed form as the VP8
+                    # families and the oracle stays exact while the
+                    # real avcC/AVCC demux + NAL/slice/PCM decode run
+                    from ragflow_ocr_spark.kernels import h264 as h264mod
+
+                    cp = np.full((12, 16), 128, np.uint8)
+                    aus = [
+                        h264mod.encode_h264_ipcm_yuv(
+                            np.full((24, 32),
+                                    64 + (did * 31 + idx * 7) % 128,
+                                    np.uint8), cp, cp)
+                        for idx in range(n_frames)
+                    ]
+                    payload, codec = encode_mp4_avc1(aus, 32, 24), "avc1_mp4"
+                elif did % 4 == 1:
                     payload, codec = encode_mp4_mjpeg(frames, 32, 24), "mjpeg_mp4"
                 elif did % 16 == 11:
                     # V_VP8 webm with a REAL GOP: flat keyframes at the
@@ -1237,6 +1257,7 @@ WITH f AS (
 )
 SELECT doc_id AS media_id, frame_idx,
        ROUND(CASE WHEN doc_id % 8 = 7 OR doc_id % 16 = 11
+                    OR doc_id % 16 = 13
              THEN CAST((298 * (64 + (doc_id * 31 + frame_idx * 7) % 128 - 16)
                         + 128) // 256 AS DOUBLE)
              ELSE CAST((doc_id * 31 + frame_idx * 7) % 256 AS DOUBLE)
