@@ -45,12 +45,13 @@ MAX_H264_PIXELS = 1 << 23  # same still-frame budget as the other codecs
 
 # ---------------------------------------------------------------- bits
 class _BitReader:
-    __slots__ = ("data", "pos", "n")
+    __slots__ = ("data", "pos", "n", "_last1")
 
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0
         self.n = len(data) * 8
+        self._last1 = -2  # lazily computed stop-bit position
 
     def u(self, k: int) -> int:
         if self.pos + k > self.n:
@@ -98,12 +99,18 @@ class _BitReader:
         """True while payload bits remain before rbsp_stop_one_bit."""
         if self.pos >= self.n:
             return False
-        # find last 1 bit in the stream (the stop bit)
-        last = self.n - 1
-        d = self.data
-        while last >= 0 and not (d[last >> 3] >> (7 - (last & 7))) & 1:
-            last -= 1
-        return self.pos < last
+        if self._last1 == -2:
+            # find the last 1 bit (the stop bit) ONCE — per-call
+            # scanning would be quadratic over large I_PCM slices
+            d = self.data
+            last = -1
+            for i in range(len(d) - 1, -1, -1):
+                if d[i]:
+                    b = d[i]
+                    last = i * 8 + 7 - ((b & -b).bit_length() - 1)
+                    break
+            self._last1 = last
+        return self.pos < self._last1
 
 
 class _BitWriter:
