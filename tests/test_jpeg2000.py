@@ -323,3 +323,23 @@ def test_sniff_and_decode_image_route():
         assert pngcodec.sniff_payload(payload) == "jp2"
         out = decode_image(payload, "jp2")
         assert (out == img).all()
+
+
+_CORNER_CASES = [
+    ((40, 40), {"cb_size": (4, 4)}),          # minimum code-blocks
+    ((40, 40), {"cb_size": (4, 64)}),         # extreme aspect blocks
+    ((65, 65, 3), {"cb_size": (8, 8), "levels": 5, "layers": 2}),
+    ((100, 75, 3), {"tile_size": (25, 25), "layers": 2}),
+    ((256, 2), {"levels": 5}),                # degenerate thin frames
+    ((2, 256), {"levels": 5}),
+    ((31, 33), {"tile_size": (16, 17)}),      # odd tile grid
+    ((48, 48), {"levels": 0, "layers": 2}),
+]
+
+
+@pytest.mark.parametrize("shape,kw", _CORNER_CASES,
+                         ids=[f"{s}-{sorted(k)}" for s, k in _CORNER_CASES])
+def test_lossless_corner_parameters(shape, kw):
+    img = _rng(sum(shape)).integers(0, 256, size=shape, dtype=np.uint8)
+    out = j2k.decode_jpeg2000(j2k.encode_jpeg2000(img, reversible=True, **kw))
+    assert out.shape == img.shape and (out == img).all()
