@@ -209,7 +209,8 @@ def extract_pdf_payload(data: bytes) -> np.ndarray | None:
         return None
 
 
-IMAGE_KINDS = ("png", "jpeg", "gif", "webp", "bmp", "tiff", "jp2", "pdf")
+IMAGE_KINDS = ("png", "jpeg", "gif", "webp", "bmp", "tiff", "jp2",
+               "avif", "heic", "pdf")
 
 
 def decode_payload_image(data: bytes | None) -> tuple[str, np.ndarray | None]:

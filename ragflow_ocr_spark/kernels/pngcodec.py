@@ -272,7 +272,10 @@ def sniff_payload(data: bytes | None) -> str:
     """Magic-byte payload router (SURVEY.md §2.2 F10).
 
     Returns one of: 'null', 'png', 'jpeg', 'gif', 'webp', 'bmp',
-    'tiff', 'jp2', 'pdf', 'html'. The reference routes by file extension at the CLI
+    'tiff', 'jp2', 'pdf', 'html', or a named non-page binary kind
+    ('avif', 'heic', 'isobmff', 'avi', 'wav', 'webm', 'ogg', 'flac',
+    'mp3' — routed to per-row skip/unsupported statuses rather than
+    garbage html extraction). The reference routes by file extension at the CLI
     (``/root/reference/examples/batch_processing.py:28``, globbing
     ``*.jpg/.png/.bmp/.tiff``); content sniffing is the scale-safe
     equivalent.
@@ -300,4 +303,25 @@ def sniff_payload(data: bytes | None) -> str:
         return "jp2"
     if data.startswith(b"\x00\x00\x00\x0cjP  \r\n\x87\n"):
         return "jp2"
+    # Named non-page binaries: without these, real crawl media bytes
+    # would fall through to the html route and extract as garbage.
+    if data[4:8] == b"ftyp":  # ISO-BMFF family
+        brand = data[8:12]
+        if brand in (b"avif", b"avis"):
+            return "avif"
+        if brand in (b"heic", b"heix", b"mif1", b"msf1", b"hevc"):
+            return "heic"
+        return "isobmff"  # mp4/mov family
+    if data.startswith(b"RIFF") and data[8:12] == b"AVI ":
+        return "avi"
+    if data.startswith(b"RIFF") and data[8:12] == b"WAVE":
+        return "wav"
+    if data.startswith(b"\x1a\x45\xdf\xa3"):
+        return "webm"
+    if data.startswith(b"OggS"):
+        return "ogg"
+    if data.startswith(b"fLaC"):
+        return "flac"
+    if data.startswith(b"ID3"):
+        return "mp3"
     return "html"

@@ -959,3 +959,32 @@ def test_bmp_rle4_long_runs_vectorized_and_exact():
     assert tuple(row[254]) == _BMP_PAL16[10]
     assert tuple(row[255]) == _BMP_PAL16[10]
     assert dt < 1.0, f"RLE4 decode too slow: {dt:.2f}s"
+
+
+def test_sniff_names_non_page_binaries():
+    """Real crawl media bytes must get named kinds (per-row
+    skip/unsupported statuses), never fall through to html."""
+    import struct
+
+    from ragflow_ocr_spark.kernels.ocr_pipeline import IMAGE_KINDS
+
+    cases = {
+        "avif": struct.pack(">I", 24) + b"ftypavif" + b"\x00" * 24,
+        "heic": struct.pack(">I", 24) + b"ftypheic" + b"\x00" * 24,
+        "isobmff": struct.pack(">I", 24) + b"ftypisom" + b"\x00" * 24,
+        "avi": b"RIFF\x00\x01\x00\x00AVI " + b"\x00" * 24,
+        "wav": b"RIFF\x00\x01\x00\x00WAVE" + b"\x00" * 24,
+        "webm": b"\x1a\x45\xdf\xa3" + b"\x00" * 24,
+        "ogg": b"OggS" + b"\x00" * 24,
+        "flac": b"fLaC" + b"\x00" * 24,
+        "mp3": b"ID3\x04" + b"\x00" * 24,
+    }
+    for want, payload in cases.items():
+        assert pngcodec.sniff_payload(payload) == want
+        r = extract_payload(payload)
+        assert r.status in ("error:decode", "error:route")
+        # image-like kinds report decode errors, the rest route errors
+        assert (r.status == "error:decode") == (want in IMAGE_KINDS)
+    # text payloads keep the html fallback
+    assert pngcodec.sniff_payload(b"<html>x</html>") == "html"
+    assert pngcodec.sniff_payload(b"plain words") == "html"
