@@ -1,6 +1,7 @@
 """Lossless JPEG (SOF3, ITU-T T.81 Annex H): Huffman-coded predictive
-coding, no DCT. Closes the last named still-image rejection short of
-JPEG 2000 — the reference accepts any cv2-decodable payload
+coding, no DCT. Closes a named still-image rejection (JPEG 2000 is
+closed too, kernels/jpeg2000) — the reference accepts any
+cv2-decodable payload
 (``/root/reference/ocr/operators.py:41-46``); note the sandbox's
 libjpeg62 does NOT decode SOF3, so this coverage is strictly wider
 than the reference's on this host (libjpeg-turbo only added lossless
