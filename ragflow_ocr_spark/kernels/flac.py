@@ -382,7 +382,10 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     bits = _MsbBits(data, pos)
     chunks: list[np.ndarray] = []
     got = 0
-    while bits.pos < bits.nbits and got < total:
+    # total == 0 means "unknown" (RFC 9639 §8.2: streaming-origin
+    # files), not "no samples": decode frames to end of stream then.
+    unknown_total = total == 0
+    while bits.pos < bits.nbits and (unknown_total or got < total):
         frame = _decode_frame(bits, data, channels, depth, rate)
         got += frame.shape[0]
         if got > MAX_DECODE_SAMPLES:
@@ -395,7 +398,8 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
         if chunks
         else np.zeros((0, channels), dtype=np.int64)
     )
-    out = out[: int(total)]
+    if not unknown_total:
+        out = out[: int(total)]
     if md5 != b"\x00" * 16:
         # the format's own end-to-end integrity check: MD5 of the
         # unencoded samples. Unset (all-zero) is legal and skipped.

@@ -216,22 +216,28 @@ def parse_avcc(cfg: bytes):
     pos = 5
     n_sps = cfg[pos] & 0x1F
     pos += 1
-    sps = []
-    for _ in range(n_sps):
+
+    def _take(pos):
+        if pos + 2 > len(cfg):
+            raise ValueError("truncated avcC")
         ln = struct.unpack_from(">H", cfg, pos)[0]
         pos += 2
-        sps.append(cfg[pos:pos + ln])
-        pos += ln
+        if pos + ln > len(cfg):
+            raise ValueError("truncated avcC")
+        return cfg[pos:pos + ln], pos + ln
+
+    sps = []
+    for _ in range(n_sps):
+        nal, pos = _take(pos)
+        sps.append(nal)
     if pos >= len(cfg):
         raise ValueError("truncated avcC")
     n_pps = cfg[pos]
     pos += 1
     pps = []
     for _ in range(n_pps):
-        ln = struct.unpack_from(">H", cfg, pos)[0]
-        pos += 2
-        pps.append(cfg[pos:pos + ln])
-        pos += ln
+        nal, pos = _take(pos)
+        pps.append(nal)
     return nls, sps, pps
 
 
@@ -355,7 +361,8 @@ def parse_pps(rbsp: bytes) -> dict:
 
 
 # ---------------------------------------------------------------- slice
-def _parse_slice_header(r: _BitReader, nal_type: int, sps: dict,
+def _parse_slice_header(r: _BitReader, nal_type: int, ref_idc: int,
+                        sps: dict,
                         pps: dict) -> dict:
     first_mb = r.ue()
     slice_type = r.ue()
@@ -371,10 +378,15 @@ def _parse_slice_header(r: _BitReader, nal_type: int, sps: dict,
         r.u(sps["log2_max_poc"])
     elif sps["poc_type"] == 1:
         r.se()
+    # dec_ref_pic_marking is present only for reference pictures
+    # (§7.3.3: if (nal_ref_idc != 0)); a non-reference I slice has no
+    # marking bits and parsing them would desync the header
     if nal_type == 5:
+        if ref_idc == 0:
+            raise ValueError("H.264 IDR slice with nal_ref_idc 0")
         r.u(1)  # no_output_of_prior_pics
         r.u(1)  # long_term_reference
-    else:
+    elif ref_idc != 0:
         if r.u(1):  # adaptive_ref_pic_marking
             raise NotImplementedError(
                 "H.264 reference picture marking not bundled")
@@ -413,13 +425,13 @@ def decode_h264_keyframe_yuv(data: bytes):
     entropy-coded macroblocks raise the named seam."""
     sps = pps = None
     slices = []
-    for nal_type, _ref, rbsp in iter_nals_annexb(bytes(data)):
+    for nal_type, ref_idc, rbsp in iter_nals_annexb(bytes(data)):
         if nal_type == 7:
             sps = parse_sps(rbsp)
         elif nal_type == 8:
             pps = parse_pps(rbsp)
         elif nal_type in (1, 5):
-            slices.append((nal_type, rbsp))
+            slices.append((nal_type, ref_idc, rbsp))
         elif nal_type in (6, 9, 10, 11, 12):
             continue  # SEI / AUD / end-of-seq / end-of-stream / filler
         elif nal_type in (13, 14, 15, 20):
@@ -438,14 +450,16 @@ def decode_h264_keyframe_yuv(data: bytes):
     up = np.zeros((h_mbs * 8, w_mbs * 8), np.uint8)
     vp = np.zeros((h_mbs * 8, w_mbs * 8), np.uint8)
     n_mbs = w_mbs * h_mbs
-    covered = 0
-    for nal_type, rbsp in slices:
+    seen = np.zeros(n_mbs, bool)
+    for nal_type, ref_idc, rbsp in slices:
         r = _BitReader(rbsp)
-        hdr = _parse_slice_header(r, nal_type, sps, pps)
+        hdr = _parse_slice_header(r, nal_type, ref_idc, sps, pps)
         mb = hdr["first_mb"]
         while True:
             if mb >= n_mbs:
                 raise ValueError("H.264 macroblock index out of range")
+            if seen[mb]:
+                raise ValueError("H.264 slices overlap")
             mb_type = r.ue()
             if mb_type != 25:
                 raise NotImplementedError(
@@ -460,11 +474,11 @@ def decode_h264_keyframe_yuv(data: bytes):
             yp[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = luma
             up[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = cb
             vp[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = cr
-            covered += 1
+            seen[mb] = True
             mb += 1
             if not r.more_rbsp_data():
                 break
-    if covered != n_mbs:
+    if not seen.all():
         raise ValueError("H.264 slices do not cover the frame")
     w, h = sps["width"], sps["height"]
     return (yp[:h, :w], up[:(h + 1) // 2, :(w + 1) // 2],

@@ -1287,6 +1287,10 @@ def _parse_codestream(data: bytes):
         if marker in _REJECT_MAIN:
             raise ValueError(
                 f"JPEG 2000 {_REJECT_MAIN[marker]} unsupported")
+        if 0xFF30 <= marker <= 0xFF3F:
+            # segmentless reserved markers (T.800 Table A.1): no Lseg
+            # follows, so skip BEFORE the length read below
+            continue
         if pos + 2 > len(data):
             raise ValueError("truncated marker segment")
         lseg = struct.unpack(">H", data[pos:pos + 2])[0]
@@ -1302,8 +1306,6 @@ def _parse_codestream(data: bytes):
             _parse_qcd(seg, hdr)
         elif marker in (_COM, _TLM, _PLM, _CRG):
             pass
-        elif 0xFF30 <= marker <= 0xFF3F:
-            pass  # segmentless reserved markers
         else:
             pass  # unknown with explicit length: skip
     _validate_header(hdr)
@@ -1339,6 +1341,8 @@ def _parse_codestream(data: bytes):
                     "unsupported")
             if marker == _PPT:
                 raise ValueError("JPEG 2000 PPT packed headers unsupported")
+            if 0xFF30 <= marker <= 0xFF3F:
+                continue  # segmentless reserved markers: no Lseg
             if pos + 2 > len(data):
                 raise ValueError("truncated tile-part marker")
             lseg = struct.unpack(">H", data[pos:pos + 2])[0]

@@ -363,17 +363,40 @@ def _read_scalefactors_lsf(br: _Bits, g: _Granule):
 # ---------------------------------------------------------------------------
 
 
+def _region1_start_switched(block_type: int, mixed: int, sr: int) -> int:
+    """Implied region0/region1 split for window-switching granules.
+
+    region0_count is not transmitted then: it is 8 bands for
+    start/stop and mixed granules, 9 for non-mixed short (libmad
+    III_sideinfo), where a "band" is one window-run of a short sfb —
+    so the boundary depends on the rate's sfb tables, not a constant
+    36: sfb_long[8] is 54 at MPEG-2 rates and 108 at 8 kHz."""
+    sfl, sfs = SFB_LONG[sr], SFB_SHORT[sr]
+    if block_type == 2 and not mixed:
+        return sfs[3] * 3            # short sfbs 0-2 × 3 windows
+    if block_type == 2:
+        # mixed: long bands cover 0..36; MPEG-1 has 8 long sfbs there
+        # (8 bands → 36), LSF has 6, so bands 7-8 are the first two
+        # window-runs of short sfb 3
+        n_long_sfb = sfl.index(36)
+        return 36 if n_long_sfb >= 8 else \
+            36 + (8 - n_long_sfb) * (sfs[4] - sfs[3])
+    return sfl[8]                    # start/stop: 8 long bands
+
+
 def _decode_spectrum(br: _Bits, g: _Granule, sr: int, part2_start: int):
     end = part2_start + g.part2_3_length
     xs = np.zeros(576, np.float64)  # raw is[] values before requantize
     sfl = SFB_LONG[sr]
     # region boundaries in sample indices
     if g.window_switching:
-        r1 = 36
+        r1 = _region1_start_switched(g.block_type, g.mixed_block, sr)
         r2 = 576
     else:
         r1 = sfl[min(g.region0_count + 1, 22)]
         r2 = sfl[min(g.region0_count + 1 + g.region1_count + 1, 22)]
+    if g.big_values > 288:
+        raise ValueError("MP3 big_values exceeds the spec limit 288")
     bv = g.big_values * 2
     r1, r2 = min(r1, bv), min(r2, bv)
 

@@ -213,6 +213,8 @@ def write_ogg_pages(
             laces = laces[255:]
             nbytes = sum(chunk)
             ht = htype | (0x01 if continued else 0x00)
+            if continued:
+                ht &= ~0x02  # BOS is only legal on the first page
             if laces:  # packet continues on the next page
                 ht &= ~0x04
             emit(chunk, pkt[off : off + nbytes], ht, granule if not laces else -1)

@@ -885,7 +885,9 @@ class Vp8SequenceDecoder:
     def _loop_filter_inter(self, hdr, Y, U, V, mb, mb_has):
         """Reference/mode-delta-aware variant of vp8._loop_filter
         (deltas: ref index; mode index 0 = B_PRED, 1 = ZEROMV,
-        2 = SPLITMV, 3 = other inter-with-MV modes)."""
+        3 = SPLITMV, 2 = other inter-with-MV modes, per the RFC 6386
+        reference decoder's calculate_filter_level; intra non-B_PRED
+        macroblocks take no mode delta)."""
         if hdr.filter_level == 0:
             return
         mb_rows, mb_cols = self.mb_rows, self.mb_cols
@@ -907,9 +909,9 @@ class Vp8SequenceDecoder:
                     elif inter and mode == MV_ZERO:
                         level += hdr.mode_lf_deltas[1]
                     elif inter and mode == MV_SPLIT:
-                        level += hdr.mode_lf_deltas[2]
-                    elif inter:
                         level += hdr.mode_lf_deltas[3]
+                    elif inter:
+                        level += hdr.mode_lf_deltas[2]
                 level = max(0, min(63, level))
                 if level == 0:
                     continue
@@ -920,7 +922,10 @@ class Vp8SequenceDecoder:
                         interior = 9 - hdr.sharpness
                 if interior < 1:
                     interior = 1
-                hev_t = 2 if level >= 40 else (1 if level >= 15 else 0)
+                # interframe HEV rule (RFC 6386 §15.2) — stricter than the
+                # keyframe 40/15→2/1 ladder used in vp8._loop_filter
+                hev_t = (3 if level >= 40 else
+                         (2 if level >= 20 else (1 if level >= 15 else 0)))
                 mb_lim = (level + 2) * 2 + interior
                 sub_lim = level * 2 + interior
                 inner = bool(mb_has[mr, mc]) or \
@@ -989,7 +994,8 @@ _MODE_BY_NAME = {"zero": MV_ZERO, "nearest": MV_NEAREST, "near": MV_NEAR,
 def encode_vp8_inter_frame(w: int, h: int, mbs, q_index: int = 0,
                            filter_level: int = 0, filter_type: int = 0,
                            sharpness: int = 0, prob_skip: int = 200,
-                           refresh_golden: int = 0, refresh_alt: int = 0):
+                           refresh_golden: int = 0, refresh_alt: int = 0,
+                           ref_lf_deltas=None, mode_lf_deltas=None):
     """Encode one P-frame → raw ``VP8 `` payload bytes.
 
     ``mbs`` is a raster list of per-MB dicts:
@@ -1025,7 +1031,25 @@ def encode_vp8_inter_frame(w: int, h: int, mbs, q_index: int = 0,
     be.write_literal(filter_type, 1)
     be.write_literal(filter_level, 6)
     be.write_literal(sharpness, 3)
-    be.write_literal(0, 1)   # lf delta enable
+    if ref_lf_deltas is None and mode_lf_deltas is None:
+        be.write_literal(0, 1)   # lf delta enable
+    else:
+        be.write_literal(1, 1)   # lf delta enable
+        be.write_literal(1, 1)   # deltas updated this frame
+        for d in (ref_lf_deltas or [0, 0, 0, 0]):
+            if d:
+                be.write_literal(1, 1)
+                be.write_literal(abs(int(d)), 6)
+                be.write_literal(1 if d < 0 else 0, 1)
+            else:
+                be.write_literal(0, 1)
+        for d in (mode_lf_deltas or [0, 0, 0, 0]):
+            if d:
+                be.write_literal(1, 1)
+                be.write_literal(abs(int(d)), 6)
+                be.write_literal(1 if d < 0 else 0, 1)
+            else:
+                be.write_literal(0, 1)
     be.write_literal(0, 2)   # one token partition
     be.write_literal(q_index, 7)
     for _ in range(5):

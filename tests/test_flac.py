@@ -317,3 +317,21 @@ def test_truncations_and_garbage_raise_not_crash():
                 F.decode_flac(payload)
             except ValueError:
                 pass
+
+
+def test_unknown_total_samples_decodes_to_stream_end():
+    # STREAMINFO total_samples == 0 means "unknown" (RFC 9639 §8.2:
+    # streaming-origin files), not "empty": frames must still decode.
+    rng = np.random.RandomState(41)
+    x = np.clip(np.cumsum(rng.randint(-30, 31, 1500)), -32768, 32767)
+    data = bytearray(F.encode_flac(x.astype(np.int64), 22050,
+                                   blocksize=576))
+    # total_samples occupies STREAMINFO bits 108..144: low nibble of
+    # body byte 13 plus bytes 14-17; body starts at file offset 8.
+    data[21] &= 0xF0
+    data[22:26] = b"\x00\x00\x00\x00"
+    # the STREAMINFO md5 still matches: it was computed over x and the
+    # samples are unchanged, so the integrity check stays exercised
+    y, sr = F.decode_flac(bytes(data))
+    assert sr == 22050
+    assert np.array_equal(x, y)

@@ -307,3 +307,96 @@ def test_mp4_entropy_coded_track_is_per_row_error(spark):
         mm.frame_sample_stage(every_k=1), schema=mm.FRAME_SAMPLE_SCHEMA
     ).toPandas()
     assert len(out) == 1 and out.status[0] == "error"
+
+
+def _ipcm_slice_rbsp(y, c, mbs, w_mbs, idr=True, marking=True):
+    bw = h264._BitWriter()
+    bw.ue(mbs[0])
+    bw.ue(7)
+    bw.ue(0)
+    bw.u(0, 4)
+    if idr:
+        bw.ue(0)             # idr_pic_id
+    if marking:
+        if idr:
+            bw.u(0, 1)       # no_output_of_prior_pics
+            bw.u(0, 1)       # long_term_reference
+        else:
+            bw.u(0, 1)       # adaptive_ref_pic_marking_mode_flag
+    bw.se(0)
+    for mb in mbs:
+        my, mx = divmod(mb, w_mbs)
+        bw.ue(25)
+        bw.byte_align_zero()
+        bw.bytes_raw(y[my * 16:(my + 1) * 16,
+                       mx * 16:(mx + 1) * 16].tobytes())
+        bw.bytes_raw(c[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8]
+                     .tobytes())
+        bw.bytes_raw(c[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8]
+                     .tobytes())
+    return bw.rbsp_trailing()
+
+
+def _au(*nals):
+    return b"".join(b"\x00\x00\x00\x01" + n for n in nals)
+
+
+def test_non_reference_i_slice_has_no_marking_bits():
+    # §7.3.3: dec_ref_pic_marking is present only when nal_ref_idc!=0;
+    # a non-reference I slice (nal 1, ref_idc 0) must parse without it
+    rng = _rng(11)
+    y = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    c = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    rbsp = _ipcm_slice_rbsp(y, c, [0, 1, 2, 3], 2, idr=False,
+                            marking=False)
+    au = _au(h264._nal(7, 3, h264._sps_rbsp(32, 32)),
+             h264._nal(8, 3, h264._pps_rbsp()),
+             h264._nal(1, 0, rbsp))
+    y2, u2, v2 = h264.decode_h264_keyframe_yuv(au)
+    assert (y2 == y).all() and (u2 == c).all() and (v2 == c).all()
+    # an IDR with ref_idc 0 is forbidden (§7.4.1) — loud error
+    rbsp5 = _ipcm_slice_rbsp(y, c, [0, 1, 2, 3], 2)
+    with pytest.raises(ValueError):
+        h264.decode_h264_keyframe_yuv(
+            _au(h264._nal(7, 3, h264._sps_rbsp(32, 32)),
+                h264._nal(8, 3, h264._pps_rbsp()),
+                h264._nal(5, 0, rbsp5)))
+
+
+def test_overlapping_and_gappy_slices_are_loud():
+    rng = _rng(12)
+    y = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    c = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    sps = h264._nal(7, 3, h264._sps_rbsp(32, 32))
+    pps = h264._nal(8, 3, h264._pps_rbsp())
+    full = h264._nal(5, 3, _ipcm_slice_rbsp(y, c, [0, 1, 2, 3], 2))
+    half = h264._nal(5, 3, _ipcm_slice_rbsp(y, c, [0, 1], 2))
+    # two full slices: every MB decoded twice — overlap, not "covered"
+    with pytest.raises(ValueError, match="overlap"):
+        h264.decode_h264_keyframe_yuv(_au(sps, pps, full, full))
+    # two copies of the first half: 4 MBs decoded but 2 never covered
+    with pytest.raises(ValueError):
+        h264.decode_h264_keyframe_yuv(_au(sps, pps, half, half))
+    # a lone half slice: plain gap
+    with pytest.raises(ValueError, match="cover"):
+        h264.decode_h264_keyframe_yuv(_au(sps, pps, half))
+
+
+def test_parse_avcc_truncations_are_valueerror():
+    # build a valid avcC then cut it at every byte
+    sps_nal = h264._nal(7, 3, h264._sps_rbsp(48, 32))
+    pps_nal = h264._nal(8, 3, h264._pps_rbsp())
+    cfg = bytes([1, sps_nal[1], sps_nal[2], sps_nal[3], 0xFF, 0xE1])
+    cfg += len(sps_nal).to_bytes(2, "big") + sps_nal
+    cfg += bytes([1]) + len(pps_nal).to_bytes(2, "big") + pps_nal
+    h264.parse_avcc(cfg)  # sanity: the intact record parses
+    for cut in range(len(cfg)):
+        try:
+            h264.parse_avcc(cfg[:cut])
+        except ValueError:
+            pass   # struct.error / silent truncation would fail here
+    # declared SPS length overrunning the buffer is loud, not silent
+    bad = bytearray(cfg)
+    bad[6:8] = (len(cfg)).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="truncated"):
+        h264.parse_avcc(bytes(bad))

@@ -343,3 +343,17 @@ def test_lossless_corner_parameters(shape, kw):
     img = _rng(sum(shape)).integers(0, 256, size=shape, dtype=np.uint8)
     out = j2k.decode_jpeg2000(j2k.encode_jpeg2000(img, reversible=True, **kw))
     assert out.shape == img.shape and (out == img).all()
+
+
+def test_segmentless_reserved_markers_are_skipped():
+    # T.800 Table A.1: 0xFF30-0xFF3F carry no marker segment (no Lseg),
+    # so the two bytes after them are payload of the NEXT marker
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    data = j2k.encode_jpeg2000(img)
+    assert data[:4] == b"\xff\x4f\xff\x51"  # SOC then SIZ (A.5.1)
+    siz_len = struct.unpack(">H", data[4:6])[0]
+    cut = 4 + siz_len  # end of the SIZ segment
+    for m in (0xFF30, 0xFF3F):
+        patched = data[:cut] + m.to_bytes(2, "big") + data[cut:]
+        out = j2k.decode_jpeg2000(patched)
+        assert np.array_equal(out, img)

@@ -146,3 +146,48 @@ def test_mutated_golden_never_crashes():
             mp3.decode_mp3(bytes(broken))
         except ValueError:
             pass
+
+
+def test_implied_region_split_for_window_switching():
+    # libmad III_sideinfo: 8 implied bands for start/stop and mixed
+    # granules, 9 for non-mixed short; dist10's constant 36 is only
+    # right at MPEG-1 rates.
+    f = mp3._region1_start_switched
+    for sr in (44100, 48000, 32000):            # MPEG-1
+        assert f(1, 0, sr) == 36                # start
+        assert f(3, 0, sr) == 36                # stop
+        assert f(2, 1, sr) == 36                # mixed short
+        assert f(2, 0, sr) == mp3.SFB_SHORT[sr][3] * 3
+    for sr in (22050, 24000, 16000, 11025, 12000):  # LSF
+        assert f(1, 0, sr) == 54
+        assert f(3, 0, sr) == 54
+        s = mp3.SFB_SHORT[sr]
+        assert f(2, 1, sr) == 36 + 2 * (s[4] - s[3])
+        assert f(2, 0, sr) == s[3] * 3
+    assert f(1, 0, 8000) == 108                 # MPEG-2.5 8 kHz
+
+
+def test_big_values_over_spec_limit_is_loud():
+    # a hostile frame can declare big_values up to 1022 and drive the
+    # spectrum write past 576 samples — must be the module's
+    # ValueError, not a numpy IndexError
+    from ragflow_ocr_spark.kernels.mp3 import (_Bits, _Granule,
+                                               _decode_spectrum)
+    g = _Granule()
+    g.part2_3_length = 0
+    g.big_values = 511
+    g.global_gain = 210
+    g.window_switching = 0
+    g.block_type = 0
+    g.mixed_block = 0
+    g.table_select = [1, 1, 1]
+    g.subblock_gain = [0, 0, 0]
+    g.region0_count = 0
+    g.region1_count = 0
+    g.preflag = 0
+    g.scalefac_scale = 0
+    g.count1table_select = 0
+    g.scalefac_l = [0] * 23
+    g.scalefac_s = [[0] * 13 for _ in range(3)]
+    with pytest.raises(ValueError, match="big_values"):
+        _decode_spectrum(_Bits(b"\x00" * 600), g, 44100, 0)

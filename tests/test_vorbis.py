@@ -512,3 +512,19 @@ def test_floor0_is_a_named_rejection():
     )
     with pytest.raises(NotImplementedError, match="floor type 0"):
         V.decode_vorbis(mutated)
+
+
+def test_bos_flag_only_on_first_page():
+    # RFC 3533 §6: header_type 0x02 (BOS) is only legal on a stream's
+    # first page; a >64 KB first packet must not leak it onto its
+    # continuation pages
+    big = bytes(range(256)) * 300  # ~75 KB → >255 lacing segments
+    data = write_ogg_pages([big, b"tail"])
+    flags = [data[i + 5] for i in range(len(data))
+             if data[i:i + 4] == b"OggS"]
+    assert len(flags) >= 3
+    assert flags[0] & 0x02                      # first page: BOS
+    assert all(not (f & 0x02) for f in flags[1:])
+    assert flags[1] & 0x01                      # continuation marked
+    # and the packets still round-trip through the in-repo demuxer
+    assert parse_ogg_packets(data) == [big, b"tail"]

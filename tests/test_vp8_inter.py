@@ -314,6 +314,41 @@ def test_loop_filter_runs_on_inter_frames():
     assert np.array_equal(g0, g1)
 
 
+def _lf_delta_decode(key, mbs, **kw):
+    dec = vi.Vp8SequenceDecoder()
+    dec.decode_frame(key)
+    return dec.decode_frame(vi.encode_vp8_inter_frame(W, H, mbs, **kw))
+
+
+@pytest.mark.parametrize("mode,delta_idx", [("new", 2), ("split", 3)])
+def test_mode_lf_delta_mapping(mode, delta_idx):
+    """RFC 6386 reference decoder (calculate_filter_level): SPLITMV
+    takes mode_lf_deltas[3], other inter-with-MV modes take [2]."""
+    key, _ = _patterned_key(seed=9)
+    yb = [[0] * 16 for _ in range(16)]
+    for b in range(16):
+        yb[b][0] = 18 if b % 2 else -18   # steps at every inner edge
+    if mode == "split":
+        spec = {"mode": "split", "mvs": [(0, 0)] * 16, "y": yb}
+    else:
+        spec = {"mode": "new", "mv": (0, 0), "y": yb,
+                "y2": [0] * 16}
+    mbs = [dict(spec) for _ in range(N_MB)]
+    base = _lf_delta_decode(key, mbs, filter_level=0)
+    filt = _lf_delta_decode(key, mbs, filter_level=40)
+    assert not np.array_equal(base, filt)  # the filter does something
+    kill = [0, 0, 0, 0]
+    kill[delta_idx] = -63
+    other = [0, 0, 0, 0]
+    other[5 - delta_idx] = -63             # 2 <-> 3
+    killed = _lf_delta_decode(key, mbs, filter_level=40,
+                              mode_lf_deltas=kill)
+    assert np.array_equal(killed, base)    # this mode's delta applied
+    kept = _lf_delta_decode(key, mbs, filter_level=40,
+                            mode_lf_deltas=other)
+    assert np.array_equal(kept, filt)      # the other mode's delta ignored
+
+
 def test_error_paths():
     dec = vi.Vp8SequenceDecoder()
     with pytest.raises(ValueError):
