@@ -269,12 +269,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   50    extract_synthetic_pages — ROWS-ONLY (payload synthesis is
     #         Python-side; byte-identity pytest-pinned) so it records a
     #         spark_rows>0 witness;
-    #   51-57 this round's drop set: dedup_simhash_fast (rows-only by
+    #   51-59 this round's drop set: dedup_simhash_fast (rows-only by
     #         design, semantics ⇔ ★dedup_simhash + cross-family pytest)
-    #         plus six pure-relational queries oracle-green in every
-    #         round they were recorded and untouched since — ALL six
+    #         plus eight pure-relational queries oracle-green in every
+    #         round they were recorded and untouched since — ALL eight
     #         stay verified by tests/test_dropped_oracle_parity.py,
-    #         the driver-identical in-repo comparison.
+    #         the driver-identical in-repo comparison. (topk_orders and
+    #         corpus_rollup joined the tail when the two new curation
+    #         operators — dedup_substring, mixture_sample — took
+    #         recorded slots.)
     front = [
         "html_extract_docs",
         "ocr_extract_docs",
@@ -289,6 +292,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_stats",
         "media_frame_sample",
         "media_audio_features",
+        # new this round: corpus-curation operators
+        "dedup_substring",
+        "mixture_sample",
     ]
     back = [
         "extract_synthetic_pages",  # position 50: rows-only witness
@@ -300,6 +306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats",
         "asof_last_error",
         "regional_revenue",
+        "topk_orders",
+        "corpus_rollup",
     ]
     ordered = {name: out.pop(name) for name in front}
     tail = {name: out.pop(name) for name in back}

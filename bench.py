@@ -84,6 +84,8 @@ HEADLINE = [
     "sample_split",
     "stratified_sample",
     "char_entropy",
+    "dedup_substring",
+    "mixture_sample",
     "html_extract_docs",
     "ocr_extract_docs",
     "pdf_extract_docs",
@@ -124,6 +126,8 @@ SF1_QUERIES = [
     "domain_profile",
     "sample_split",
     "stratified_sample",
+    "dedup_substring",
+    "mixture_sample",
 ]
 
 

@@ -17,6 +17,7 @@ Cross-engine determinism rules used throughout:
 from __future__ import annotations
 
 from ragflow_ocr_spark.ops import (
+    curation,
     dedup,
     multimodal,
     relational,
@@ -37,6 +38,7 @@ def all_queries():
         textstats,
         multimodal,
         weburl,
+        curation,
     ):
         for k, v in mod.QUERIES.items():
             assert k not in out, f"duplicate query name {k}"

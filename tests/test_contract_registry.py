@@ -14,8 +14,8 @@ def test_registry_shape():
     # every query callable, every oracle non-empty SQL
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in oracles.values())
-    # coverage floor (grow-only): 57 queries, all but two oracle-checked
-    assert len(qs) >= 57
+    # coverage floor (grow-only): 59 queries, all but two oracle-checked
+    assert len(qs) >= 59
     assert len(qs) - len(oracles) <= 2
     # rows-only exceptions must stay exactly the documented set
     assert set(qs) - set(oracles) == {
@@ -36,9 +36,11 @@ def test_registry_recording_order():
     assert set(recorded[:49]) <= oracles
     # round-5 rotation (VERDICT r04 #7): latest_event_per_user /
     # exists_high_qty / percentile_price / tumbling_window_events moved
-    # back inside the cap; four long-stable relational queries took
-    # their place in the drop set (all parity-tested in
-    # tests/test_dropped_oracle_parity.py).
+    # back inside the cap; long-stable relational queries took their
+    # place in the drop set (all parity-tested in
+    # tests/test_dropped_oracle_parity.py). topk_orders / corpus_rollup
+    # joined the tail when the new curation operators took recorded
+    # slots.
     assert set(dropped) == {
         "dedup_simhash_fast",
         "range_join_error_clicks",
@@ -47,6 +49,8 @@ def test_registry_recording_order():
         "source_stats",
         "asof_last_error",
         "regional_revenue",
+        "topk_orders",
+        "corpus_rollup",
     }
 
 

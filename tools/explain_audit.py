@@ -168,6 +168,18 @@ CHECKS = {
         (r"Join LeftSemi", "correlated EXISTS decorrelated to a left-semi join"),
         (r"PushedFilters: \[.*l_quantity", "subquery predicate pushed to the lineitem scan"),
     ],
+    "dedup_substring": [
+        (r"HashAggregate", "gram→(count, first-occurrence) groupBy with map-side combine (the one corpus-wide shuffle, on an md5 key — uniform by construction)"),
+        (r"explode\(transform\(sequence", "map-side K-window gram explode, no token-level join-back"),
+        (r"!CartesianProduct", "nothing all-pairs: duplicated spans come from the gram agg, islands merge inside a per-doc window"),
+        (r"!BatchEvalPython", "span cut is filter-with-index array expressions, JVM-side"),
+    ],
+    "mixture_sample": [
+        (r"explode\(slice\(sequence", "integer-part replication is a map-side explode"),
+        (r"!HashAggregate", "pure projection + explode: no agg, no corpus shuffle at any scale"),
+        (r"!SortMergeJoin", "no join: the only exchange is the documented test-corpus fan-out (read_fanout)"),
+        (r"!BatchEvalPython", "md5-bucket Bernoulli is JVM-side expressions"),
+    ],
 }
 
 
