@@ -68,7 +68,9 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (doc_id, p, gram-hash, keeper-key) for every K-window. md5 keeps
     # the shuffle key 16 bytes and uniformly distributed; the keeper
     # key packs (doc_id, p) into one orderable int (docs are far below
-    # 10^6 tokens — guarded in the where()).
+    # 10^6 tokens — guarded in the where(); int64 headroom holds
+    # through doc_id ≈ 9.2×10^12, i.e. the 10^12-doc target scale —
+    # past that, switch the agg to min(struct(doc_id, p))).
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - k),
         lambda p: F.struct(
