@@ -147,9 +147,12 @@ def decode_image(payload: bytes, codec: str) -> np.ndarray:
 def _decode_frame(frame: bytes) -> "np.ndarray":
     """Frame bytes → image; frames are PNG (MOCKV1/GIF/animated-WebP
     re-encodes), JPEG (AVI/mp4/webm MJPEG), still-WebP-wrapped VP8
-    (webm V_VP8), or Annex-B H.264 access units (mp4 avc1 / webm
+    (webm V_VP8), Annex-B H.264 access units (mp4 avc1 / webm
     V_MPEG4/ISO/AVC — I_PCM decodes, entropy-coded frames are the
-    named per-row seam, kernels/h264)."""
+    named per-row seam, kernels/h264), or Annex-B HEVC access units
+    (mp4 hvc1 / webm V_MPEGH/ISO/HEVC — PCM CUs decode through the
+    libde265-cross-validated kernels/hevc, entropy-coded content is
+    the named seam)."""
     if frame.startswith(b"\xff\xd8"):
         from ragflow_ocr_spark.kernels import imgcodecs
 
@@ -159,7 +162,10 @@ def _decode_frame(frame: bytes) -> "np.ndarray":
 
         return webpmod.decode_webp(frame)
     from ragflow_ocr_spark.kernels import h264 as h264mod
+    from ragflow_ocr_spark.kernels import hevc as hevcmod
 
+    if hevcmod.sniff_annexb_hevc(frame):
+        return hevcmod.decode_hevc_keyframe(frame)
     if h264mod.sniff_annexb_h264(frame):
         return h264mod.decode_h264_keyframe(frame)
     return pngcodec.decode_png(frame)
@@ -318,6 +324,66 @@ def encode_mp4_avc1(aus_annexb: list[bytes], w: int, h: int) -> bytes:
     return ftyp + mdat + moov
 
 
+def encode_mp4_hvc1(aus_annexb: list[bytes], w: int, h: int) -> bytes:
+    """Minimal ISO-BMFF with one HEVC track: VPS/SPS/PPS from the
+    first access unit move into the hvcC record (stsd 'hvc1'), slice
+    NALs become 4-byte-length-prefixed HVCC samples (kernels/hevc
+    encodes/decodes the PCM AUs; libde265-cross-validated)."""
+    from ragflow_ocr_spark.kernels import hevc as hevcmod
+
+    samples = []
+    vps = sps = pps = None
+    for au in aus_annexb:
+        body, v, s, p = hevcmod.annexb_au_to_hvcc(au)
+        samples.append(body)
+        vps, sps, pps = vps or v, sps or s, pps or p
+    hvcc = hevcmod.build_hvcc(vps, sps, pps)
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2hvc1")
+    mdat = _box(b"mdat", b"".join(samples))
+    base = len(ftyp) + 8
+    offsets = []
+    off = base
+    for s in samples:
+        offsets.append(off)
+        off += len(s)
+    n = len(samples)
+    entry = (
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + b"\x00" * 4
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">H", 24)
+        + struct.pack(">h", -1)
+        + _box(b"hvcC", hvcc)
+    )
+    stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + _box(b"hvc1", entry))
+    stts = _box(b"stts", b"\x00" * 4 + struct.pack(">III", 1, n, 1))
+    stsc = _box(b"stsc", b"\x00" * 4 + struct.pack(">IIII", 1, 1, 1, 1))
+    stsz = _box(
+        b"stsz",
+        b"\x00" * 4
+        + struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stco = _box(
+        b"stco",
+        b"\x00" * 4
+        + struct.pack(">I", n)
+        + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    hdlr = _box(
+        b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"VideoHandler\x00"
+    )
+    mdia = _box(b"mdia", hdlr + _box(b"minf", stbl))
+    mvhd = _box(b"mvhd", b"\x00" * 4 + struct.pack(">IIII", 0, 0, 1, n) + b"\x00" * 80)
+    moov = _box(b"moov", mvhd + _box(b"trak", mdia))
+    return ftyp + mdat + moov
+
+
 def _mp4_boxes(data: bytes, lo: int, hi: int):
     p = lo
     while p + 8 <= hi:
@@ -354,16 +420,19 @@ def _iter_mp4_frames(payload: bytes) -> Iterator[bytes]:
                 count = struct.unpack_from(">I", payload, body + 4)[0]
                 if count >= 1:
                     ctx["codec"] = payload[body + 12 : body + 16]
-                    if ctx["codec"] in (b"avc1", b"avc3"):
-                        # avcC lives in the boxes after the 78-byte
-                        # VisualSampleEntry fields of the first entry
+                    if ctx["codec"] in (b"avc1", b"avc3", b"hvc1", b"hev1"):
+                        # avcC/hvcC lives in the boxes after the
+                        # 78-byte VisualSampleEntry fields of the
+                        # first entry
+                        want = (b"avcC" if ctx["codec"][0:1] == b"a"
+                                else b"hvcC")
                         esz = struct.unpack_from(">I", payload, body + 8)[0]
                         for t2, b2, _e2 in _mp4_boxes(
                             payload, body + 8 + 86,
                             min(body + 8 + esz, end),
                         ):
-                            if t2 == b"avcC":
-                                ctx["avcC"] = payload[b2:_e2]
+                            if t2 == want:
+                                ctx[want.decode()] = payload[b2:_e2]
                                 break
             elif ctx is not None and tag == b"stsz":
                 fixed, n = struct.unpack_from(">II", payload, body + 4)
@@ -407,10 +476,22 @@ def _iter_mp4_frames(payload: bytes) -> Iterator[bytes]:
             def to_annexb(s, _n=nls, _p=prefix):
                 return h264mod.avcc_sample_to_annexb(s, _n, _p)
 
+        elif t["codec"] in (b"hvc1", b"hev1"):
+            # HEVC: same out-of-band parameter-set shape; kernels/hevc
+            # decodes PCM CUs and names the entropy seam
+            from ragflow_ocr_spark.kernels import hevc as hevcmod
+
+            if "hvcC" not in t:
+                raise ValueError("hvc1 track without hvcC record")
+            nls, param_nals = hevcmod.parse_hvcc(t["hvcC"])
+
+            def to_annexb(s, _n=nls, _p=param_nals):
+                return hevcmod.hvcc_sample_to_annexb(s, _n, _p)
+
         elif t["codec"] not in (b"jpeg", b"mjpa", b"mjpb", b"MJPG"):
             raise NotImplementedError(
                 f"mp4 codec {t['codec']!r} not bundled offline "
-                "(MJPEG and H.264/avc1 route)"
+                "(MJPEG, H.264/avc1 and HEVC/hvc1 route)"
             )
         found = True
         sizes = t["sizes"]
@@ -585,10 +666,23 @@ def _iter_webm_frames(payload: bytes) -> Iterator[bytes]:
         yield from (h264mod.avcc_sample_to_annexb(fr, nls, prefix)
                     for fr in frames)
         return
+    if cid == b"V_MPEGH/ISO/HEVC":
+        # HEVC in Matroska: CodecPrivate is the hvcC record and
+        # blocks are HVCC samples — re-emit as Annex-B access units
+        # (same contract as the mp4 hvc1 route; kernels/hevc decodes
+        # PCM CUs, entropy-coded content is the named per-row seam)
+        from ragflow_ocr_spark.kernels import hevc as hevcmod
+
+        if codec_private is None:
+            raise ValueError("V_MPEGH/ISO/HEVC track without CodecPrivate")
+        nls, param_nals = hevcmod.parse_hvcc(codec_private)
+        yield from (hevcmod.hvcc_sample_to_annexb(fr, nls, param_nals)
+                    for fr in frames)
+        return
     if cid != b"V_MJPEG":
         raise NotImplementedError(
             f"matroska codec {codec!r} not bundled offline "
-            "(V_MJPEG, V_VP8 and V_MPEG4/ISO/AVC route)"
+            "(V_MJPEG, V_VP8, V_MPEG4/ISO/AVC and V_MPEGH/ISO/HEVC route)"
         )
     yield from frames
 
@@ -1136,7 +1230,10 @@ def _synth_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     SimpleBlocks through the real EBML demux + kernels/vp8 — or an
     H.264 avc1 mp4 (id % 16 == 13): byte-exact I_PCM flat-luma
     keyframes through the real avcC/AVCC demux + kernels/h264, same
-    BT.601 closed form."""
+    BT.601 closed form — or an HEVC hvc1 mp4 (id % 16 == 9):
+    byte-exact PCM flat-luma keyframes through the real hvcC/HVCC
+    demux + the libde265-cross-validated kernels/hevc CABAC/PCM
+    decode, same BT.601 closed form."""
     from ragflow_ocr_spark.kernels import imgcodecs, vp8 as vp8mod, webp as webpmod
 
     for b in batches:
@@ -1202,6 +1299,23 @@ def _synth_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         for idx in range(n_frames)
                     ]
                     payload, codec = encode_mp4_avc1(aus, 32, 24), "avc1_mp4"
+                elif did % 16 == 9:
+                    # HEVC hvc1 mp4: PCM flat-luma keyframes
+                    # (kernels/hevc, byte-exact and libde265-cross-
+                    # validated), same BT.601 closed form — the real
+                    # hvcC/HVCC demux + NAL/CABAC/PCM decode run
+                    # inside this driver-oracle-checked query
+                    from ragflow_ocr_spark.kernels import hevc as hevcmod
+
+                    cp = np.full((12, 16), 128, np.uint8)
+                    aus = [
+                        hevcmod.encode_hevc_ipcm_yuv(
+                            np.full((24, 32),
+                                    64 + (did * 31 + idx * 7) % 128,
+                                    np.uint8), cp, cp)
+                        for idx in range(n_frames)
+                    ]
+                    payload, codec = encode_mp4_hvc1(aus, 32, 24), "hvc1_mp4"
                 elif did % 4 == 1:
                     payload, codec = encode_mp4_mjpeg(frames, 32, 24), "mjpeg_mp4"
                 elif did % 16 == 11:
@@ -1257,7 +1371,7 @@ WITH f AS (
 )
 SELECT doc_id AS media_id, frame_idx,
        ROUND(CASE WHEN doc_id % 8 = 7 OR doc_id % 16 = 11
-                    OR doc_id % 16 = 13
+                    OR doc_id % 16 = 13 OR doc_id % 16 = 9
              THEN CAST((298 * (64 + (doc_id * 31 + frame_idx * 7) % 128 - 16)
                         + 128) // 256 AS DOUBLE)
              ELSE CAST((doc_id * 31 + frame_idx * 7) % 256 AS DOUBLE)

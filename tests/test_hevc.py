@@ -185,3 +185,95 @@ def test_odd_dimensions_rejected():
     u = rng.integers(0, 256, (16, 25), dtype=np.uint8)
     with pytest.raises(ValueError):
         hevc.encode_hevc_ipcm_yuv(y, u, u)
+
+
+# ------------------------------------------------------------ containers
+def _flat_hevc_au(v: int, h: int = 32, w: int = 48) -> bytes:
+    y = np.full((h, w), v, np.uint8)
+    c = np.full((h // 2, w // 2), 128, np.uint8)
+    return hevc.encode_hevc_ipcm_yuv(y, c, c)
+
+
+def test_mp4_hvc1_route():
+    from ragflow_ocr_spark.ops import multimodal as mm
+
+    aus = [_flat_hevc_au(30 + 30 * k) for k in range(4)]
+    mp4 = mm.encode_mp4_hvc1(aus, 48, 32)
+    frames = list(mm.iter_video_frames(mp4))
+    assert len(frames) == 4
+    for k, fr in enumerate(frames):
+        y, _u, _v = hevc.decode_hevc_keyframe_yuv(fr)
+        assert (y == 30 + 30 * k).all()
+        img = mm._decode_frame(fr)
+        assert img.shape[:2] == (32, 48)
+
+
+def test_webm_hevc_route():
+    import struct as st
+
+    from ragflow_ocr_spark.ops import multimodal as mm
+
+    aus = [_flat_hevc_au(40 + 20 * k) for k in range(3)]
+    samples, vps, sps, pps = [], None, None, None
+    for au in aus:
+        s, vv, sp, pp = hevc.annexb_au_to_hvcc(au)
+        samples.append(s)
+        vps, sps, pps = vps or vv, sps or sp, pps or pp
+    hvcc = hevc.build_hvcc(vps, sps, pps)
+    # encode_webm writes no CodecPrivate, so assemble the TrackEntry
+    # by hand with the hvcC record in 0x63A2 (same as the AVC test)
+    track = mm._mkv_el(0xD7, b"\x01") + mm._mkv_el(0x83, b"\x01") \
+        + mm._mkv_el(0x86, b"V_MPEGH/ISO/HEVC") + mm._mkv_el(0x63A2, hvcc)
+    tracks = mm._mkv_el(0x1654AE6B, mm._mkv_el(0xAE, track))
+    blocks = b""
+    for k, s in enumerate(samples):
+        blocks += mm._mkv_el(0xA3, b"\x81" + st.pack(">h", k) + b"\x80" + s)
+    cluster = mm._mkv_el(0x1F43B675, mm._mkv_el(0xE7, b"\x00") + blocks)
+    ebml = mm._mkv_el(0x1A45DFA3, mm._mkv_el(0x4282, b"matroska")
+                      + mm._mkv_el(0x4286, b"\x01"))
+    webm = ebml + mm._mkv_el(0x18538067, tracks + cluster)
+    frames = list(mm.iter_video_frames(webm))
+    assert len(frames) == 3
+    for k, fr in enumerate(frames):
+        y, _u, _v = hevc.decode_hevc_keyframe_yuv(fr)
+        assert (y == 40 + 20 * k).all()
+
+
+def test_mp4_entropy_coded_hvc1_is_per_row_error(spark):
+    """An entropy-coded (non-PCM) hvc1 mp4 must become an error row in
+    the Spark frame stage, never a task failure."""
+    from ragflow_ocr_spark.kernels.h264 import _BitWriter
+
+    from ragflow_ocr_spark.ops import multimodal as mm
+
+    rng = np.random.default_rng(51)
+    good = hevc.encode_hevc_ipcm_yuv(*_planes(rng, 32, 32))
+    nals = hevc.split_annexb(good)
+    bw = _BitWriter()
+    bw.u(1, 1)
+    bw.u(0, 1)
+    bw.ue(0)
+    bw.ue(2)
+    bw.se(0)
+    bw.u(1, 1)
+    bw.byte_align_zero()
+    enc = hevc._CabacEncoder(bw)
+    enc.encode_decision(hevc._ctx_init(139, 26), 0)  # split=0
+    enc.encode_terminate(0)                          # pcm_flag=0 ->
+    enc.encode_terminate(1)                          # (seam) pad out
+    enc.flush()
+    bw.byte_align_zero()
+    au = bytearray()
+    for nal in nals[:-1]:
+        au += b"\x00\x00\x00\x01" + nal
+    au += b"\x00\x00\x00\x01" + hevc._nal_hdr(hevc.NAL_IDR_W_RADL)
+    au += hevc._add_epb(bytes(bw.out))
+    mp4 = mm.encode_mp4_hvc1([bytes(au)], 32, 32)
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(mp4), "hvc1", 32, 32, 0)],
+        mm.MEDIA_SCHEMA,
+    )
+    out = df.mapInPandas(
+        mm.frame_sample_stage(every_k=1), schema=mm.FRAME_SAMPLE_SCHEMA
+    ).toPandas()
+    assert len(out) == 1 and out.status[0] == "error"

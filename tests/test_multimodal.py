@@ -174,8 +174,9 @@ def test_contract_queries_match_analytic_truth(spark):
     for r in rows:
         assert r["frame_idx"] % 2 == 0
         if (r["media_id"] % 8 == 7 or r["media_id"] % 16 == 11
-                or r["media_id"] % 16 == 13):
-            # animated lossy WebP / V_VP8 webm / avc1 mp4 → BT.601 map
+                or r["media_id"] % 16 == 13 or r["media_id"] % 16 == 9):
+            # animated lossy WebP / V_VP8 webm / avc1 mp4 / hvc1 mp4
+            # → BT.601 map
             y = 64 + (r["media_id"] * 31 + r["frame_idx"] * 7) % 128
             assert r["mean_luma"] == float((298 * (y - 16) + 128) >> 8)
         else:
