@@ -1,0 +1,320 @@
+"""HEIF/HEIC still images (ISO/IEC 23008-12 image file format).
+
+Reference parity target: the reference hands any payload to cv2
+(``/root/reference/ocr/operators.py:41-46``); HEIC is the default
+iPhone photo format and a common crawl payload. This module
+implements the ISO-BMFF item layer from scratch — ``meta`` /
+``hdlr('pict')`` / ``pitm`` / ``iinf``+``infe`` / ``iloc`` /
+``iprp(ipco+ipma)`` box parsing, primary-item resolution, property
+association (hvcC, ispe) and extent gathering — and hands the coded
+item to the libde265-cross-validated HEVC keyframe layer
+(kernels/hevc.py).
+
+Decode coverage is exactly the HEVC module's: PCM coding units decode
+byte-exactly (our fixture encoder emits them); entropy-coded HEVC
+items — i.e. every real camera HEIC — surface kernels/hevc's NAMED
+NotImplementedError seam, and AVIF (av01 items in the same container)
+raises its own named seam. Either way the Spark stages map the error
+to a per-row status; before this module existed the whole 'heic'
+kind was an unnamed per-row None.
+
+Error contract: ValueError on malformed boxes, NotImplementedError on
+the named codec seams — never a silent wrong image.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ragflow_ocr_spark.kernels import hevc
+
+MAX_HEIF_BYTES = 64 << 20  # per-row payload bound
+
+
+def _boxes(data: bytes, lo: int, hi: int):
+    p = lo
+    while p + 8 <= hi:
+        (size,) = struct.unpack_from(">I", data, p)
+        tag = data[p + 4:p + 8]
+        body = p + 8
+        if size == 1:
+            if p + 16 > hi:
+                raise ValueError("truncated heif largesize box")
+            (size,) = struct.unpack_from(">Q", data, p + 8)
+            body = p + 16
+        if size < 8 or p + size > hi:
+            raise ValueError("bad heif box size")
+        yield tag, body, p + size
+        p += size
+
+
+def _fullbox(data: bytes, body: int) -> tuple[int, int, int]:
+    """(version, flags, payload_start)."""
+    if body + 4 > len(data):
+        raise ValueError("truncated heif full box")
+    v = data[body]
+    flags = int.from_bytes(data[body + 1:body + 4], "big")
+    return v, flags, body + 4
+
+
+def sniff_heif_brand(data: bytes) -> str | None:
+    """'heic' / 'avif' / None from the ftyp major brand."""
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        brand = data[8:12]
+        if brand in (b"heic", b"heix", b"mif1", b"msf1", b"hevc"):
+            return "heic"
+        if brand in (b"avif", b"avis"):
+            return "avif"
+    return None
+
+
+def _parse_iloc(data: bytes, body: int, end: int) -> dict[int, list]:
+    v, _flags, p = _fullbox(data, body)
+    if v > 2:
+        raise ValueError("heif iloc version not supported")
+    sizes = data[p]
+    offset_size, length_size = sizes >> 4, sizes & 15
+    base_size = data[p + 1] >> 4
+    index_size = (data[p + 1] & 15) if v in (1, 2) else 0
+    p += 2
+    if v < 2:
+        (count,) = struct.unpack_from(">H", data, p)
+        p += 2
+    else:
+        (count,) = struct.unpack_from(">I", data, p)
+        p += 4
+
+    def take(n):
+        nonlocal p
+        if n == 0:
+            return 0
+        val = int.from_bytes(data[p:p + n], "big")
+        p += n
+        return val
+
+    items: dict[int, list] = {}
+    for _ in range(count):
+        item_id = take(2 if v < 2 else 4)
+        method = 0
+        if v in (1, 2):
+            method = take(2) & 15
+        take(2)  # data_reference_index
+        base = take(base_size)
+        n_ext = take(2)
+        extents = []
+        for _ in range(n_ext):
+            if index_size:
+                take(index_size)
+            off = take(offset_size)
+            ln = take(length_size)
+            extents.append((base + off, ln))
+        if method != 0:
+            # idat/item-offset construction: not emitted by any
+            # mainstream HEIC writer for photo payloads
+            raise NotImplementedError(
+                "heif iloc construction_method != file-offset not bundled")
+        items[item_id] = extents
+    if p > end:
+        raise ValueError("truncated heif iloc")
+    return items
+
+
+def _parse_iinf(data: bytes, body: int, end: int) -> dict[int, bytes]:
+    v, _flags, p = _fullbox(data, body)
+    if v == 0:
+        (count,) = struct.unpack_from(">H", data, p)
+        p += 2
+    else:
+        (count,) = struct.unpack_from(">I", data, p)
+        p += 4
+    types: dict[int, bytes] = {}
+    seen = 0
+    for tag, b, e in _boxes(data, p, end):
+        if tag != b"infe":
+            continue
+        iv, _f, q = _fullbox(data, b)
+        if iv < 2:
+            raise ValueError("heif infe version < 2 not supported")
+        item_id = (struct.unpack_from(">H", data, q)[0] if iv == 2
+                   else struct.unpack_from(">I", data, q)[0])
+        q += 2 if iv == 2 else 4
+        q += 2  # item_protection_index
+        types[item_id] = data[q:q + 4]
+        seen += 1
+    if seen != count:
+        raise ValueError("heif iinf entry count mismatch")
+    return types
+
+
+def _parse_ipma(data: bytes, body: int) -> dict[int, list[int]]:
+    v, flags, p = _fullbox(data, body)
+    (count,) = struct.unpack_from(">I", data, p)
+    p += 4
+    assoc: dict[int, list[int]] = {}
+    for _ in range(count):
+        if v < 1:
+            (item_id,) = struct.unpack_from(">H", data, p)
+            p += 2
+        else:
+            (item_id,) = struct.unpack_from(">I", data, p)
+            p += 4
+        n = data[p]
+        p += 1
+        idxs = []
+        for _ in range(n):
+            if flags & 1:
+                (w,) = struct.unpack_from(">H", data, p)
+                p += 2
+                idxs.append(w & 0x7FFF)
+            else:
+                idxs.append(data[p] & 0x7F)
+                p += 1
+        assoc[item_id] = idxs
+    return assoc
+
+
+def parse_heif(data: bytes) -> dict:
+    """HEIF container -> {'item_type', 'config' (hvcC bytes or None),
+    'item' (coded bytes), 'ispe' ((w, h) or None)} for the primary
+    item."""
+    data = bytes(data)
+    if len(data) > MAX_HEIF_BYTES:
+        raise ValueError("heif payload exceeds the per-row budget")
+    if sniff_heif_brand(data) is None:
+        raise ValueError("not a HEIF/AVIF file (ftyp brand)")
+    meta = None
+    for tag, body, end in _boxes(data, 0, len(data)):
+        if tag == b"meta":
+            meta = (body, end)
+            break
+    if meta is None:
+        raise ValueError("heif file without meta box")
+    _v, _f, p = _fullbox(data, meta[0])
+    primary = None
+    iloc: dict[int, list] | None = None
+    types: dict[int, bytes] = {}
+    props: list[tuple[bytes, bytes]] = []
+    ipma: dict[int, list[int]] = {}
+    for tag, body, end in _boxes(data, p, meta[1]):
+        if tag == b"hdlr":
+            _hv, _hf, q = _fullbox(data, body)
+            if data[q + 4:q + 8] != b"pict":
+                raise ValueError("heif meta handler is not 'pict'")
+        elif tag == b"pitm":
+            pv, _pf, q = _fullbox(data, body)
+            primary = (struct.unpack_from(">H", data, q)[0] if pv == 0
+                       else struct.unpack_from(">I", data, q)[0])
+        elif tag == b"iloc":
+            iloc = _parse_iloc(data, body, end)
+        elif tag == b"iinf":
+            types = _parse_iinf(data, body, end)
+        elif tag == b"iprp":
+            for t2, b2, e2 in _boxes(data, body, end):
+                if t2 == b"ipco":
+                    for t3, b3, e3 in _boxes(data, b2, e2):
+                        props.append((t3, data[b3:e3]))
+                elif t2 == b"ipma":
+                    ipma = _parse_ipma(data, b2)
+    if primary is None or iloc is None or primary not in iloc:
+        raise ValueError("heif primary item unresolvable")
+    item_type = types.get(primary, b"")
+    config = None
+    ispe = None
+    for idx in ipma.get(primary, []):
+        if not 1 <= idx <= len(props):
+            raise ValueError("heif ipma property index out of range")
+        tag, payload = props[idx - 1]
+        if tag == b"hvcC":
+            config = payload
+        elif tag == b"ispe" and len(payload) >= 12:
+            w, h = struct.unpack_from(">II", payload, 4)
+            ispe = (w, h)
+    chunks = []
+    for off, ln in iloc[primary]:
+        if off + ln > len(data):
+            raise ValueError("heif item extent beyond file")
+        chunks.append(data[off:off + ln])
+    return {"item_type": item_type, "config": config,
+            "item": b"".join(chunks), "ispe": ispe}
+
+
+def decode_heif(data: bytes) -> np.ndarray:
+    """HEIC -> uint8 image via the HEVC keyframe layer. PCM items
+    decode byte-exactly; entropy-coded items (every camera HEIC) and
+    AVIF raise the named seams (per-row error upstream)."""
+    info = parse_heif(data)
+    if info["item_type"] == b"av01":
+        raise NotImplementedError(
+            "AVIF (AV1 items) not bundled — no AV1 entropy tables can "
+            "be validated offline (named seam)")
+    if info["item_type"] != b"hvc1":
+        raise NotImplementedError(
+            f"heif item type {info['item_type']!r} not bundled")
+    if info["config"] is None:
+        raise ValueError("heic hvc1 item without hvcC property")
+    nls, param_nals = hevc.parse_hvcc(info["config"])
+    au = hevc.hvcc_sample_to_annexb(info["item"], nls, param_nals)
+    img = hevc.decode_hevc_keyframe(au)
+    if info["ispe"] is not None and img.shape[:2] != info["ispe"][::-1]:
+        raise ValueError("heic ispe size disagrees with coded frame")
+    return img
+
+
+def encode_heic(img: np.ndarray) -> bytes:
+    """uint8 image -> minimal conformant HEIC with one PCM-coded hvc1
+    item (fixture writer; even dims per the HEVC 4:2:0 contract; the
+    RGB->YUV conversion is the only lossy step)."""
+    from ragflow_ocr_spark.kernels.h264 import _rgb_to_yuv
+
+    return encode_heic_yuv(*_rgb_to_yuv(np.asarray(img)))
+
+
+def encode_heic_yuv(y: np.ndarray, u: np.ndarray,
+                    v: np.ndarray) -> bytes:
+    """YUV420 planes -> minimal HEIC (the coded layer is exact, so a
+    chroma-neutral plane set decodes to the closed BT.601 gray form —
+    the fixture construction the oracle-checked queries rely on)."""
+    au = hevc.encode_hevc_ipcm_yuv(y, u, v)
+    body, vps, sps, pps = hevc.annexb_au_to_hvcc(au)
+    hvcc = hevc.build_hvcc(vps, sps, pps)
+    h, w = np.asarray(y).shape[:2]
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    def fullbox(tag: bytes, payload: bytes, version: int = 0,
+                flags: int = 0) -> bytes:
+        return box(tag, bytes([version])
+                   + flags.to_bytes(3, "big") + payload)
+
+    ftyp = box(b"ftyp", b"heic\x00\x00\x00\x00mif1heic")
+    hdlr = fullbox(b"hdlr", b"\x00" * 4 + b"pict" + b"\x00" * 12 + b"\x00")
+    pitm = fullbox(b"pitm", struct.pack(">H", 1))
+    infe = fullbox(b"infe", struct.pack(">HH", 1, 0) + b"hvc1" + b"\x00",
+                   version=2)
+    iinf = fullbox(b"iinf", struct.pack(">H", 1) + infe)
+    ipco = box(b"ipco",
+               box(b"hvcC", hvcc)
+               + fullbox(b"ispe", struct.pack(">II", w, h)))
+    # two associations for item 1: property 1 (hvcC, essential) and
+    # property 2 (ispe)
+    ipma = fullbox(b"ipma", struct.pack(">I", 1)
+                   + struct.pack(">H", 1) + bytes([2, 0x81, 0x02]))
+    iprp = box(b"iprp", ipco + ipma)
+    # iloc v0 with 4-byte offset/length, patched after layout is known
+    iloc_payload = (bytes([0x44, 0x00]) + struct.pack(">H", 1)
+                    + struct.pack(">HH", 1, 0)
+                    + struct.pack(">H", 1)
+                    + struct.pack(">II", 0, len(body)))
+    iloc = fullbox(b"iloc", iloc_payload)
+    meta_children = hdlr + pitm + iinf + iprp + iloc
+    meta = fullbox(b"meta", meta_children)
+    mdat = box(b"mdat", body)
+    item_off = len(ftyp) + len(meta) + 8
+    out = bytearray(ftyp + meta + mdat)
+    # patch the extent offset (last 8 bytes of iloc are offset+length)
+    off_pos = len(ftyp) + len(meta) - 8
+    out[off_pos:off_pos + 4] = struct.pack(">I", item_off)
+    return bytes(out)

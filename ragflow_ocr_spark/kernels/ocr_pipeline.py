@@ -241,6 +241,13 @@ def decode_payload_image(data: bytes | None) -> tuple[str, np.ndarray | None]:
             "bmp": imgcodecs.decode_bmp,
             "tiff": imgcodecs.decode_tiff,
         }[kind]
+    elif kind in ("heic", "avif"):
+        # HEIF item layer is real (kernels/heif); PCM hvc1 items
+        # decode, entropy-coded camera HEICs and AVIF hit the named
+        # codec seams below
+        from ragflow_ocr_spark.kernels import heif
+
+        dec = heif.decode_heif
     else:
         return kind, None
     try:
@@ -248,8 +255,9 @@ def decode_payload_image(data: bytes | None) -> tuple[str, np.ndarray | None]:
     except ValueError:
         return kind, None
     except NotImplementedError:
-        # lossy-WebP seam: decodable container, unbundled codec —
-        # same per-row error surface as any decode failure here
+        # lossy-WebP / HEVC-entropy / AV1 seams: decodable container,
+        # unbundled codec — same per-row error surface as any decode
+        # failure here
         return kind, None
 
 

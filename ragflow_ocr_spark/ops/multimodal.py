@@ -141,6 +141,13 @@ def decode_image(payload: bytes, codec: str) -> np.ndarray:
             "bmp": imgcodecs.decode_bmp,
             "tiff": imgcodecs.decode_tiff,
         }[kind](payload)
+    if kind in ("heic", "avif"):
+        # HEIF item layer (kernels/heif): PCM hvc1 items decode via
+        # the libde265-cross-validated kernels/hevc; entropy-coded
+        # camera HEICs and AVIF raise their named seams
+        from ragflow_ocr_spark.kernels import heif
+
+        return heif.decode_heif(payload)
     raise NotImplementedError(f"decoder for {codec!r} not bundled in this sandbox")
 
 
@@ -999,7 +1006,10 @@ def q_media_image_stats(spark, sf_dir: str):
     - id % 64 == 49: JPEG 2000 (reversible 5/3, kernels/jpeg2000; raw
       codestream, JP2 container when id % 128 == 113) — bit-exact
       lossless, same constant closed form;
-    - id % 8 == 3: two-tone GIF (LZW is lossless);
+    - id % 16 == 3: two-tone GIF (LZW is lossless);
+    - id % 16 == 11: two-tone HEIC (tones in the PCM luma plane,
+      kernels/heif + kernels/hevc — byte-exact coded layer, decoded
+      gray is the clipped BT.601 map of each tone);
     - id % 16 == 7: two-tone lossless WebP (VP8L) — same closed form;
     - id % 16 == 15: LOSSY WebP (VP8 keyframe, kernels/vp8) of a flat
       image whose q_index-0 DC levels reconstruct the value with zero
@@ -1087,7 +1097,19 @@ def q_media_image_stats(spark, sf_dir: str):
                     img = np.empty((48, 64), dtype=np.uint8)
                     img[:, :32] = a
                     img[:, 32:] = v
-                    if did % 8 == 3:
+                    if did % 16 == 11:
+                        # HEIC: the same two-tone laid into the PCM
+                        # LUMA plane with neutral chroma — the coded
+                        # layer is byte-exact (kernels/hevc, libde265-
+                        # cross-validated) so the decoded gray is the
+                        # clipped BT.601 map of each tone: closed form
+                        # in SQL while the real HEIF item-layer parse
+                        # (meta/pitm/iinf/iloc/ipco/ipma) runs
+                        from ragflow_ocr_spark.kernels import heif
+
+                        cp = np.full((24, 32), 128, np.uint8)
+                        payload, codec = heif.encode_heic_yuv(img, cp, cp), "heic"
+                    elif did % 8 == 3:
                         payload, codec = imgcodecs.encode_gif(img, interlace=True), "gif"
                     else:
                         from ragflow_ocr_spark.kernels import webp as webpmod
@@ -1104,20 +1126,34 @@ def q_media_image_stats(spark, sf_dir: str):
 
 
 ORACLE_IMAGE_STATS = f"""
+WITH g AS (
+  SELECT doc_id,
+         -- clipped BT.601 gray of each two-tone value (the HEIC
+         -- family carries the tones in the PCM luma plane)
+         LEAST(255, GREATEST(0,
+           (298 * ((doc_id % 256) - 16) + 128) // 256)) AS bt_a,
+         LEAST(255, GREATEST(0,
+           (298 * (((doc_id * 7 + 13) % 256) - 16) + 128) // 256)) AS bt_v
+  FROM documents WHERE doc_id < {_IMG_LIMIT}
+)
 SELECT doc_id AS media_id, 64 AS width, 48 AS height,
        ROUND(CASE WHEN doc_id % 4 = 1
              THEN CAST(128 + 3 * ((doc_id * 5 + 7) % 42 - 21) AS DOUBLE)
              WHEN doc_id % 16 = 15
              THEN CAST((298 * (64 + doc_id % 128 - 16) + 128) // 256
                        AS DOUBLE)
+             WHEN doc_id % 16 = 11
+             THEN (bt_a + bt_v) / 2.0
              ELSE ((doc_id % 256) + ((doc_id * 7 + 13) % 256)) / 2.0
              END, 6) AS mean_luma,
        ROUND(CASE WHEN doc_id % 4 = 1 OR doc_id % 16 = 15
              THEN 0.0
+             WHEN doc_id % 16 = 11
+             THEN ABS(bt_a - bt_v) / 2.0
              ELSE ABS((doc_id % 256) - ((doc_id * 7 + 13) % 256)) / 2.0
              END, 6) AS std_luma,
        'ok' AS status
-FROM documents WHERE doc_id < {_IMG_LIMIT}
+FROM g
 """
 
 

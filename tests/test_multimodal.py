@@ -146,7 +146,12 @@ def test_contract_queries_match_analytic_truth(spark):
             y = 64 + did % 128
             assert r["mean_luma"] == float((298 * (y - 16) + 128) >> 8)
             assert r["std_luma"] == 0.0
-        else:  # two-tone PNG (even, Adam7 for %4==0) / GIF (%4==3)
+        elif did % 16 == 11:  # HEIC two-tone (clipped BT.601 map)
+            bt = lambda t: min(255, max(0, (298 * (t - 16) + 128) >> 8))  # noqa: E731
+            a, v = bt(did % 256), bt((did * 7 + 13) % 256)
+            assert r["mean_luma"] == round((a + v) / 2.0, 6)
+            assert r["std_luma"] == round(abs(a - v) / 2.0, 6)
+        else:  # two-tone PNG (even, Adam7 for %4==0) / GIF (%16==3)
             a, v = did % 256, (did * 7 + 13) % 256
             assert r["mean_luma"] == round((a + v) / 2.0, 6)
             assert r["std_luma"] == round(abs(a - v) / 2.0, 6)
