@@ -31,6 +31,7 @@ import numpy as np
 from ragflow_ocr_spark.kernels import hevc
 
 MAX_HEIF_BYTES = 64 << 20  # per-row payload bound
+MAX_HEIF_PIXELS = hevc.MAX_HEVC_PIXELS  # grid output budget
 
 
 def _boxes(data: bytes, lo: int, hi: int):
@@ -175,10 +176,35 @@ def _parse_ipma(data: bytes, body: int) -> dict[int, list[int]]:
     return assoc
 
 
+def _parse_iref(data: bytes, body: int, end: int) -> dict[tuple[bytes, int], list[int]]:
+    """iref -> {(ref_type, from_item): [to_items...]}."""
+    v, _flags, p = _fullbox(data, body)
+    wid = 2 if v == 0 else 4
+    fmt = ">H" if v == 0 else ">I"
+    refs: dict[tuple[bytes, int], list[int]] = {}
+    for tag, b, e in _boxes(data, p, end):
+        q = b
+        (from_id,) = struct.unpack_from(fmt, data, q)
+        q += wid
+        (n,) = struct.unpack_from(">H", data, q)
+        q += 2
+        to = []
+        for _ in range(n):
+            (tid,) = struct.unpack_from(fmt, data, q)
+            q += wid
+            to.append(tid)
+        if q > e:
+            raise ValueError("truncated heif iref")
+        refs[(tag, from_id)] = to
+    return refs
+
+
 def parse_heif(data: bytes) -> dict:
-    """HEIF container -> {'item_type', 'config' (hvcC bytes or None),
-    'item' (coded bytes), 'ispe' ((w, h) or None)} for the primary
-    item."""
+    """HEIF container -> the primary item's {'item_type', 'config'
+    (hvcC bytes or None), 'item' (coded bytes), 'ispe'} plus the full
+    item maps ('primary', 'types', 'iloc_bytes' per-item coded bytes,
+    'configs'/'ispes' per-item properties, 'refs' from iref) so grid
+    composition can resolve tile items."""
     data = bytes(data)
     if len(data) > MAX_HEIF_BYTES:
         raise ValueError("heif payload exceeds the per-row budget")
@@ -197,6 +223,7 @@ def parse_heif(data: bytes) -> dict:
     types: dict[int, bytes] = {}
     props: list[tuple[bytes, bytes]] = []
     ipma: dict[int, list[int]] = {}
+    refs: dict[tuple[bytes, int], list[int]] = {}
     for tag, body, end in _boxes(data, p, meta[1]):
         if tag == b"hdlr":
             _hv, _hf, q = _fullbox(data, body)
@@ -210,6 +237,8 @@ def parse_heif(data: bytes) -> dict:
             iloc = _parse_iloc(data, body, end)
         elif tag == b"iinf":
             types = _parse_iinf(data, body, end)
+        elif tag == b"iref":
+            refs = _parse_iref(data, body, end)
         elif tag == b"iprp":
             for t2, b2, e2 in _boxes(data, body, end):
                 if t2 == b"ipco":
@@ -219,44 +248,119 @@ def parse_heif(data: bytes) -> dict:
                     ipma = _parse_ipma(data, b2)
     if primary is None or iloc is None or primary not in iloc:
         raise ValueError("heif primary item unresolvable")
-    item_type = types.get(primary, b"")
-    config = None
-    ispe = None
-    for idx in ipma.get(primary, []):
-        if not 1 <= idx <= len(props):
-            raise ValueError("heif ipma property index out of range")
-        tag, payload = props[idx - 1]
-        if tag == b"hvcC":
-            config = payload
-        elif tag == b"ispe" and len(payload) >= 12:
-            w, h = struct.unpack_from(">II", payload, 4)
-            ispe = (w, h)
-    chunks = []
-    for off, ln in iloc[primary]:
-        if off + ln > len(data):
-            raise ValueError("heif item extent beyond file")
-        chunks.append(data[off:off + ln])
-    return {"item_type": item_type, "config": config,
-            "item": b"".join(chunks), "ispe": ispe}
+
+    def item_bytes(item_id: int) -> bytes:
+        if item_id not in iloc:
+            raise ValueError("heif item without iloc entry")
+        chunks = []
+        for off, ln in iloc[item_id]:
+            if off + ln > len(data):
+                raise ValueError("heif item extent beyond file")
+            chunks.append(data[off:off + ln])
+        return b"".join(chunks)
+
+    configs: dict[int, bytes] = {}
+    ispes: dict[int, tuple[int, int]] = {}
+    for item_id, idxs in ipma.items():
+        for idx in idxs:
+            if not 1 <= idx <= len(props):
+                raise ValueError("heif ipma property index out of range")
+            tag, payload = props[idx - 1]
+            if tag == b"hvcC":
+                configs[item_id] = payload
+            elif tag == b"ispe" and len(payload) >= 12:
+                w, h = struct.unpack_from(">II", payload, 4)
+                ispes[item_id] = (w, h)
+    return {
+        "item_type": types.get(primary, b""),
+        "config": configs.get(primary),
+        "item": item_bytes(primary),
+        "ispe": ispes.get(primary),
+        "primary": primary,
+        "types": types,
+        "configs": configs,
+        "ispes": ispes,
+        "refs": refs,
+        "item_bytes": item_bytes,
+    }
+
+
+def _decode_hvc1_item(info: dict, item_id: int) -> np.ndarray:
+    config = info["configs"].get(item_id)
+    if config is None:
+        raise ValueError("heic hvc1 item without hvcC property")
+    nls, param_nals = hevc.parse_hvcc(config)
+    au = hevc.hvcc_sample_to_annexb(info["item_bytes"](item_id), nls,
+                                    param_nals)
+    return hevc.decode_hevc_keyframe(au)
+
+
+def _decode_grid(info: dict) -> np.ndarray:
+    """ISO 23008-12 §6.6.2.3.2 ImageGrid: the primary item's data is
+    the grid descriptor; its 'dimg' references are the tiles in
+    raster order (the layout every multi-tile camera HEIC uses)."""
+    desc = info["item"]
+    if len(desc) < 8:
+        raise ValueError("heif grid descriptor truncated")
+    version, flags = desc[0], desc[1]
+    if version != 0:
+        raise ValueError("heif grid descriptor version not supported")
+    rows = desc[2] + 1
+    cols = desc[3] + 1
+    if flags & 1:
+        if len(desc) < 12:
+            raise ValueError("heif grid descriptor truncated")
+        out_w, out_h = struct.unpack_from(">II", desc, 4)
+    else:
+        out_w, out_h = struct.unpack_from(">HH", desc, 4)
+    if out_w * out_h > MAX_HEIF_PIXELS:
+        raise ValueError("heif grid output exceeds the pixel budget")
+    tiles = info["refs"].get((b"dimg", info["primary"]))
+    if not tiles or len(tiles) != rows * cols:
+        raise ValueError("heif grid dimg reference count mismatch")
+    canvas = None
+    th = tw = 0
+    for k, tid in enumerate(tiles):
+        ttype = info["types"].get(tid, b"")
+        if ttype != b"hvc1":
+            raise NotImplementedError(
+                f"heif grid tile type {ttype!r} not bundled")
+        tile = _decode_hvc1_item(info, tid)
+        if tile.ndim == 2:
+            tile = np.broadcast_to(tile[:, :, None], (*tile.shape, 3))
+        if canvas is None:
+            th, tw = tile.shape[:2]
+            if tw * cols < out_w or th * rows < out_h:
+                raise ValueError("heif grid tiles do not cover output")
+            canvas = np.zeros((th * rows, tw * cols, 3), np.uint8)
+        elif tile.shape[:2] != (th, tw):
+            raise ValueError("heif grid tiles disagree in size")
+        r, c = divmod(k, cols)
+        canvas[r * th:(r + 1) * th, c * tw:(c + 1) * tw] = tile
+    out = canvas[:out_h, :out_w]
+    if (out[:, :, 0] == out[:, :, 1]).all() \
+            and (out[:, :, 1] == out[:, :, 2]).all():
+        return np.ascontiguousarray(out[:, :, 0])
+    return np.ascontiguousarray(out)
 
 
 def decode_heif(data: bytes) -> np.ndarray:
     """HEIC -> uint8 image via the HEVC keyframe layer. PCM items
-    decode byte-exactly; entropy-coded items (every camera HEIC) and
-    AVIF raise the named seams (per-row error upstream)."""
+    decode byte-exactly (single hvc1 items AND raster grids of hvc1
+    tiles); entropy-coded items (every camera HEIC) and AVIF raise
+    the named seams (per-row error upstream)."""
     info = parse_heif(data)
     if info["item_type"] == b"av01":
         raise NotImplementedError(
             "AVIF (AV1 items) not bundled — no AV1 entropy tables can "
             "be validated offline (named seam)")
-    if info["item_type"] != b"hvc1":
+    if info["item_type"] == b"grid":
+        img = _decode_grid(info)
+    elif info["item_type"] == b"hvc1":
+        img = _decode_hvc1_item(info, info["primary"])
+    else:
         raise NotImplementedError(
             f"heif item type {info['item_type']!r} not bundled")
-    if info["config"] is None:
-        raise ValueError("heic hvc1 item without hvcC property")
-    nls, param_nals = hevc.parse_hvcc(info["config"])
-    au = hevc.hvcc_sample_to_annexb(info["item"], nls, param_nals)
-    img = hevc.decode_hevc_keyframe(au)
     if info["ispe"] is not None and img.shape[:2] != info["ispe"][::-1]:
         raise ValueError("heic ispe size disagrees with coded frame")
     return img
@@ -317,4 +421,99 @@ def encode_heic_yuv(y: np.ndarray, u: np.ndarray,
     # patch the extent offset (last 8 bytes of iloc are offset+length)
     off_pos = len(ftyp) + len(meta) - 8
     out[off_pos:off_pos + 4] = struct.pack(">I", item_off)
+    return bytes(out)
+
+
+def encode_heic_grid(img: np.ndarray, rows: int, cols: int) -> bytes:
+    """uint8 image -> HEIC whose primary item is an ImageGrid of
+    rows x cols PCM-coded hvc1 tiles (the multi-tile layout real
+    camera HEICs use; fixture writer for the grid decode path). Tile
+    dims must be even; the image is edge-padded to the tile lattice
+    and cropped back via the grid's output size."""
+    from ragflow_ocr_spark.kernels.h264 import _rgb_to_yuv
+
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    if rows < 1 or cols < 1 or rows > 256 or cols > 256:
+        raise ValueError("heif grid rows/cols out of range")
+    tile_h = -(-h // rows)
+    tile_w = -(-w // cols)
+    tile_h += tile_h & 1
+    tile_w += tile_w & 1
+    pad_h, pad_w = tile_h * rows - h, tile_w * cols - w
+    pad = ((0, pad_h), (0, pad_w)) + ((0, 0),) * (img.ndim - 2)
+    padded = np.pad(img, pad, "edge")
+
+    tile_bodies = []
+    hvcc = None
+    for r in range(rows):
+        for c in range(cols):
+            tile = padded[r * tile_h:(r + 1) * tile_h,
+                          c * tile_w:(c + 1) * tile_w]
+            au = hevc.encode_hevc_ipcm_yuv(*_rgb_to_yuv(tile))
+            body, vps, sps, pps = hevc.annexb_au_to_hvcc(au)
+            tile_bodies.append(body)
+            if hvcc is None:
+                hvcc = hevc.build_hvcc(vps, sps, pps)
+
+    # ImageGrid descriptor (version 0, 32-bit output size)
+    grid_desc = bytes([0, 1, rows - 1, cols - 1]) + struct.pack(">II", w, h)
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    def fullbox(tag: bytes, payload: bytes, version: int = 0,
+                flags: int = 0) -> bytes:
+        return box(tag, bytes([version])
+                   + flags.to_bytes(3, "big") + payload)
+
+    n_tiles = rows * cols
+    grid_id = 1
+    tile_ids = list(range(2, 2 + n_tiles))
+    ftyp = box(b"ftyp", b"heic\x00\x00\x00\x00mif1heic")
+    hdlr = fullbox(b"hdlr", b"\x00" * 4 + b"pict" + b"\x00" * 12 + b"\x00")
+    pitm = fullbox(b"pitm", struct.pack(">H", grid_id))
+    infes = fullbox(b"infe",
+                    struct.pack(">HH", grid_id, 0) + b"grid" + b"\x00",
+                    version=2)
+    for tid in tile_ids:
+        infes += fullbox(b"infe",
+                         struct.pack(">HH", tid, 0) + b"hvc1" + b"\x00",
+                         version=2)
+    iinf = fullbox(b"iinf", struct.pack(">H", 1 + n_tiles) + infes)
+    iref = fullbox(
+        b"iref",
+        box(b"dimg", struct.pack(">HH", grid_id, n_tiles)
+            + b"".join(struct.pack(">H", t) for t in tile_ids)))
+    # properties: 1 = shared hvcC, 2 = tile ispe, 3 = grid ispe
+    ipco = box(b"ipco",
+               box(b"hvcC", hvcc)
+               + fullbox(b"ispe", struct.pack(">II", tile_w, tile_h))
+               + fullbox(b"ispe", struct.pack(">II", w, h)))
+    ipma_entries = struct.pack(">H", grid_id) + bytes([1, 0x03])
+    for tid in tile_ids:
+        ipma_entries += struct.pack(">H", tid) + bytes([2, 0x81, 0x02])
+    ipma = fullbox(b"ipma", struct.pack(">I", 1 + n_tiles) + ipma_entries)
+    iprp = box(b"iprp", ipco + ipma)
+    # iloc v0, 4-byte offset/length; offsets patched once layout known
+    iloc_items = bytearray()
+    sizes = [len(grid_desc)] + [len(b) for b in tile_bodies]
+    for item_id, ln in zip([grid_id] + tile_ids, sizes):
+        iloc_items += struct.pack(">HHH", item_id, 0, 1)
+        iloc_items += struct.pack(">II", 0, ln)
+    iloc = fullbox(b"iloc", bytes([0x44, 0x00])
+                   + struct.pack(">H", 1 + n_tiles) + bytes(iloc_items))
+    meta = fullbox(b"meta", hdlr + pitm + iinf + iref + iprp + iloc)
+    mdat_payload = grid_desc + b"".join(tile_bodies)
+    mdat = box(b"mdat", mdat_payload)
+    out = bytearray(ftyp + meta + mdat)
+    # patch extent offsets: iloc entries sit at the end of meta; each
+    # entry is 6 bytes of ids + 8 bytes (offset, length)
+    entry_base = len(ftyp) + len(meta) - len(iloc_items)
+    data_base = len(ftyp) + len(meta) + 8
+    off = data_base
+    for k, ln in enumerate(sizes):
+        pos = entry_base + k * 14 + 6
+        out[pos:pos + 4] = struct.pack(">I", off)
+        off += ln
     return bytes(out)

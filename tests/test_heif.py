@@ -172,3 +172,47 @@ def test_heic_page_extracts_byte_identical_text():
     r = extract_payload(heif.encode_heic(img))
     assert r.status == "ok"
     assert r.text == "\n".join(drawn)
+
+
+# ------------------------------------------------------------------ grid
+def test_grid_heic_composes_tiles_raster_order():
+    """2x3 PCM tile grid composes to the exact padded-then-cropped
+    image (the multi-tile layout real camera HEICs use)."""
+    rng = _rng(11)
+    # 2x2-blockwise so RGB->YUV420 is rounding-only per tile
+    img = np.repeat(np.repeat(
+        rng.integers(0, 256, (30, 40), dtype=np.uint8), 2, 0), 2, 1)
+    data = heif.encode_heic_grid(img, 2, 3)
+    info = heif.parse_heif(data)
+    assert info["item_type"] == b"grid"
+    assert info["refs"][(b"dimg", info["primary"])]
+    out = heif.decode_heif(data)
+    assert out.shape == (60, 80)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_grid_flat_is_exact_and_crops_output_size():
+    img = np.full((50, 70), 200, np.uint8)  # not a tile-lattice multiple
+    out = heif.decode_heif(heif.encode_heic_grid(img, 3, 2))
+    assert out.shape == (50, 70)
+    assert (out == 200).all()
+
+
+def test_grid_reference_count_mismatch_is_loud():
+    data = bytearray(heif.encode_heic_grid(np.zeros((32, 32), np.uint8), 2, 2))
+    i = bytes(data).find(b"dimg")
+    # corrupt the reference_count (after from_item u16)
+    struct.pack_into(">H", data, i + 4 + 2, 3)
+    with pytest.raises(ValueError, match="dimg"):
+        heif.decode_heif(bytes(data))
+
+
+def test_grid_through_payload_router():
+    from ragflow_ocr_spark.kernels import pngcodec
+    from ragflow_ocr_spark.kernels.ocr_pipeline import decode_payload_image
+
+    img = np.full((48, 64), 90, np.uint8)
+    data = heif.encode_heic_grid(img, 2, 2)
+    assert pngcodec.sniff_payload(data) == "heic"
+    kind, decoded = decode_payload_image(data)
+    assert kind == "heic" and decoded is not None and decoded.shape == (48, 64)
