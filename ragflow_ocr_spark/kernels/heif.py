@@ -261,6 +261,8 @@ def parse_heif(data: bytes) -> dict:
 
     configs: dict[int, bytes] = {}
     ispes: dict[int, tuple[int, int]] = {}
+    irots: dict[int, int] = {}
+    imirs: dict[int, int] = {}
     for item_id, idxs in ipma.items():
         for idx in idxs:
             if not 1 <= idx <= len(props):
@@ -271,6 +273,10 @@ def parse_heif(data: bytes) -> dict:
             elif tag == b"ispe" and len(payload) >= 12:
                 w, h = struct.unpack_from(">II", payload, 4)
                 ispes[item_id] = (w, h)
+            elif tag == b"irot" and payload:
+                irots[item_id] = payload[0] & 3  # 90° CCW steps
+            elif tag == b"imir" and payload:
+                imirs[item_id] = payload[0] & 1  # 0=vertical axis
     return {
         "item_type": types.get(primary, b""),
         "config": configs.get(primary),
@@ -282,6 +288,8 @@ def parse_heif(data: bytes) -> dict:
         "ispes": ispes,
         "refs": refs,
         "item_bytes": item_bytes,
+        "irot": irots.get(primary, 0),
+        "imir": imirs.get(primary),
     }
 
 
@@ -363,7 +371,14 @@ def decode_heif(data: bytes) -> np.ndarray:
             f"heif item type {info['item_type']!r} not bundled")
     if info["ispe"] is not None and img.shape[:2] != info["ispe"][::-1]:
         raise ValueError("heic ispe size disagrees with coded frame")
-    return img
+    # transformative properties (ispe describes the pre-transform
+    # size): irot = anti-clockwise 90° steps, imir axis 0 = mirror
+    # across the vertical axis (left-right), 1 = horizontal (up-down)
+    if info["irot"]:
+        img = np.rot90(img, info["irot"])
+    if info["imir"] is not None:
+        img = img[:, ::-1] if info["imir"] == 0 else img[::-1]
+    return np.ascontiguousarray(img)
 
 
 def encode_heic(img: np.ndarray) -> bytes:
@@ -375,11 +390,13 @@ def encode_heic(img: np.ndarray) -> bytes:
     return encode_heic_yuv(*_rgb_to_yuv(np.asarray(img)))
 
 
-def encode_heic_yuv(y: np.ndarray, u: np.ndarray,
-                    v: np.ndarray) -> bytes:
+def encode_heic_yuv(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                    irot: int = 0, imir: int | None = None) -> bytes:
     """YUV420 planes -> minimal HEIC (the coded layer is exact, so a
     chroma-neutral plane set decodes to the closed BT.601 gray form —
-    the fixture construction the oracle-checked queries rely on)."""
+    the fixture construction the oracle-checked queries rely on).
+    Optional irot (anti-clockwise 90° steps) / imir (mirror axis)
+    transformative properties for the orientation path."""
     au = hevc.encode_hevc_ipcm_yuv(y, u, v)
     body, vps, sps, pps = hevc.annexb_au_to_hvcc(au)
     hvcc = hevc.build_hvcc(vps, sps, pps)
@@ -399,13 +416,22 @@ def encode_heic_yuv(y: np.ndarray, u: np.ndarray,
     infe = fullbox(b"infe", struct.pack(">HH", 1, 0) + b"hvc1" + b"\x00",
                    version=2)
     iinf = fullbox(b"iinf", struct.pack(">H", 1) + infe)
-    ipco = box(b"ipco",
-               box(b"hvcC", hvcc)
-               + fullbox(b"ispe", struct.pack(">II", w, h)))
-    # two associations for item 1: property 1 (hvcC, essential) and
-    # property 2 (ispe)
+    prop_boxes = (box(b"hvcC", hvcc)
+                  + fullbox(b"ispe", struct.pack(">II", w, h)))
+    assoc = [0x81, 0x02]  # property 1 (hvcC, essential), 2 (ispe)
+    n_props = 2
+    if irot % 4:
+        prop_boxes += box(b"irot", bytes([irot % 4]))
+        n_props += 1
+        assoc.append(0x80 | n_props)  # transformative: essential
+    if imir is not None:
+        prop_boxes += box(b"imir", bytes([imir & 1]))
+        n_props += 1
+        assoc.append(0x80 | n_props)
+    ipco = box(b"ipco", prop_boxes)
     ipma = fullbox(b"ipma", struct.pack(">I", 1)
-                   + struct.pack(">H", 1) + bytes([2, 0x81, 0x02]))
+                   + struct.pack(">H", 1)
+                   + bytes([len(assoc)] + assoc))
     iprp = box(b"iprp", ipco + ipma)
     # iloc v0 with 4-byte offset/length, patched after layout is known
     iloc_payload = (bytes([0x44, 0x00]) + struct.pack(">H", 1)

@@ -216,3 +216,30 @@ def test_grid_through_payload_router():
     assert pngcodec.sniff_payload(data) == "heic"
     kind, decoded = decode_payload_image(data)
     assert kind == "heic" and decoded is not None and decoded.shape == (48, 64)
+
+
+# ----------------------------------------------------------- orientation
+@pytest.mark.parametrize("irot", [1, 2, 3])
+def test_irot_rotates_anticlockwise(irot):
+    y = np.zeros((32, 64), np.uint8)
+    y[0, :] = 255  # top edge marker
+    c = np.full((16, 32), 128, np.uint8)
+    out = heif.decode_heif(heif.encode_heic_yuv(y, c, c, irot=irot))
+    expect = np.rot90(y, irot)
+    # BT.601 map of 0/255 with neutral chroma: 0->0(clip), 255->255(clip)
+    assert out.shape == expect.shape
+    assert ((out > 128) == (expect > 128)).all()
+
+
+@pytest.mark.parametrize("imir,flip", [(0, "lr"), (1, "ud")])
+def test_imir_mirrors_expected_axis(imir, flip):
+    y = np.zeros((32, 64), np.uint8)
+    y[:, 0] = 255  # left edge marker
+    c = np.full((16, 32), 128, np.uint8)
+    out = heif.decode_heif(heif.encode_heic_yuv(y, c, c, imir=imir))
+    bright_left = (out[:, 0] > 128).all()
+    bright_right = (out[:, -1] > 128).all()
+    if flip == "lr":
+        assert bright_right and not bright_left
+    else:  # up-down flip leaves the left edge bright
+        assert bright_left and not bright_right
