@@ -111,12 +111,14 @@ def _parse_iloc(data: bytes, body: int, end: int) -> dict[int, list]:
             off = take(offset_size)
             ln = take(length_size)
             extents.append((base + off, ln))
-        if method != 0:
-            # idat/item-offset construction: not emitted by any
-            # mainstream HEIC writer for photo payloads
+        if method > 1:
+            # item-offset construction (method 2): not emitted by
+            # mainstream HEIC writers
             raise NotImplementedError(
-                "heif iloc construction_method != file-offset not bundled")
-        items[item_id] = extents
+                "heif iloc construction_method 2 not bundled")
+        # method 0: file offsets; method 1: offsets into meta/idat
+        # (libheif inlines small payloads this way)
+        items[item_id] = (method, extents)
     if p > end:
         raise ValueError("truncated heif iloc")
     return items
@@ -224,8 +226,11 @@ def parse_heif(data: bytes) -> dict:
     props: list[tuple[bytes, bytes]] = []
     ipma: dict[int, list[int]] = {}
     refs: dict[tuple[bytes, int], list[int]] = {}
+    idat = b""
     for tag, body, end in _boxes(data, p, meta[1]):
-        if tag == b"hdlr":
+        if tag == b"idat":
+            idat = data[body:end]
+        elif tag == b"hdlr":
             _hv, _hf, q = _fullbox(data, body)
             if data[q + 4:q + 8] != b"pict":
                 raise ValueError("heif meta handler is not 'pict'")
@@ -252,11 +257,13 @@ def parse_heif(data: bytes) -> dict:
     def item_bytes(item_id: int) -> bytes:
         if item_id not in iloc:
             raise ValueError("heif item without iloc entry")
+        method, extents = iloc[item_id]
+        src = idat if method == 1 else data
         chunks = []
-        for off, ln in iloc[item_id]:
-            if off + ln > len(data):
+        for off, ln in extents:
+            if off + ln > len(src):
                 raise ValueError("heif item extent beyond file")
-            chunks.append(data[off:off + ln])
+            chunks.append(src[off:off + ln])
         return b"".join(chunks)
 
     configs: dict[int, bytes] = {}

@@ -119,9 +119,12 @@ def test_ctx_init_matches_spec_derivation():
         assert 0 <= st <= 62 and mps in (0, 1)
 
 
-def test_entropy_coded_cu_raises_named_seam():
-    """A split_cu_flag=1 stream (entropy-coded content) must surface
-    the named NotImplementedError, not garbage."""
+def test_entropy_coded_stub_raises_loudly():
+    """A split_cu_flag=1 stream whose payload ends right after the
+    split bit routes to the full intra decoder (kernels/hevc_intra)
+    and must fail LOUDLY on the truncated syntax, not return
+    garbage. (Well-formed entropy-coded streams decode for real —
+    tests/test_hevc_intra.py.)"""
     from ragflow_ocr_spark.kernels.h264 import _BitWriter
 
     rng = np.random.default_rng(21)
@@ -147,7 +150,7 @@ def test_entropy_coded_cu_raises_named_seam():
         bad += b"\x00\x00\x00\x01" + nal
     bad += b"\x00\x00\x00\x01" + hevc._nal_hdr(hevc.NAL_IDR_W_RADL)
     bad += hevc._add_epb(bytes(bw.out))
-    with pytest.raises(NotImplementedError, match="split"):
+    with pytest.raises((ValueError, NotImplementedError)):
         hevc.decode_hevc_keyframe_yuv(bytes(bad))
 
 

@@ -1,0 +1,217 @@
+"""HEVC Main-intra decoder (kernels/hevc_intra.py) tests.
+
+Two tiers:
+
+1. Committed-fixture tier (system-independent): three real x265-
+   encoded HEICs (generated once via the system libheif; see
+   tools/heif_sys.py) with libde265 ground-truth planes committed
+   alongside. Covers the default x265 toolset (WPP entry points +
+   SAO + deblocking + AQ/cu_qp_delta + SDH), emulation-prevention
+   bytes inside WPP slice data, lossless (transquant bypass), and
+   conformance-window crops. Sample-exact comparison.
+
+2. Live cross-validation tier (skipped without the system libs):
+   fresh libheif/x265 encodes across the parameter matrix decoded
+   against the system libde265 — the independent-implementation
+   falsifier for every context table and reconstruction clause.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from ragflow_ocr_spark.kernels import heif, hevc
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _tile_au(heic: bytes) -> bytes:
+    info = heif.parse_heif(heic)
+    tid = info["primary"]
+    if info["types"][tid] == b"grid":
+        tid = info["refs"][(b"dimg", tid)][0]
+    nls, pn = hevc.parse_hvcc(info["configs"][tid])
+    return hevc.hvcc_sample_to_annexb(info["item_bytes"](tid), nls, pn)
+
+
+@pytest.mark.parametrize("name", ["a", "b", "c"])
+def test_fixture_sample_exact(name):
+    """Committed x265 HEIC -> our decode == committed libde265 truth
+    (fixture a: WPP+SAO+deblock+AQ defaults; b: EPBs inside WPP
+    substreams; c: lossless/transquant-bypass with a 70x50 crop)."""
+    au = _tile_au(open(f"{FIX}/heic_cabac_{name}.heic", "rb").read())
+    truth = np.load(f"{FIX}/heic_cabac_{name}_truth.npz")
+    y, cb, cr = hevc.decode_hevc_keyframe_yuv(au)
+    assert np.array_equal(y, truth["y"])
+    assert np.array_equal(cb, truth["cb"])
+    assert np.array_equal(cr, truth["cr"])
+
+
+def test_fixture_heif_route():
+    """The HEIF container route (grid item layer) decodes the CABAC
+    fixture end-to-end and crops to the ispe geometry."""
+    data = open(f"{FIX}/heic_cabac_a.heic", "rb").read()
+    img = heif.decode_heif(data)
+    info = heif.parse_heif(data)
+    w, h = info["ispe"]
+    assert img.shape[:2] == (h, w)
+    truth = np.load(f"{FIX}/heic_cabac_a_truth.npz")
+    from ragflow_ocr_spark.kernels.h264 import _yuv_to_rgb
+    exp = _yuv_to_rgb(truth["y"][:h, :w], truth["cb"][: (h + 1) // 2,
+                                                      : (w + 1) // 2],
+                      truth["cr"][: (h + 1) // 2, : (w + 1) // 2])
+    assert np.array_equal(img, exp)
+
+
+def test_truncated_cabac_raises():
+    au = _tile_au(open(f"{FIX}/heic_cabac_a.heic", "rb").read())
+    for frac in (0.3, 0.6, 0.95):
+        with pytest.raises((ValueError, NotImplementedError)):
+            hevc.decode_hevc_keyframe_yuv(au[: int(len(au) * frac)])
+
+
+def test_bitflip_fuzz_never_hangs_or_garbles_silently():
+    """Random single-byte corruptions in the slice payload must end
+    in a loud error or a decode — never an unbounded loop."""
+    au = bytearray(_tile_au(
+        open(f"{FIX}/heic_cabac_a.heic", "rb").read()))
+    rng = np.random.default_rng(5)
+    for _ in range(24):
+        mut = bytearray(au)
+        i = int(rng.integers(len(au) // 2, len(au)))
+        mut[i] ^= int(rng.integers(1, 256))
+        try:
+            hevc.decode_hevc_keyframe_yuv(bytes(mut))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+# ---------------------------------------------------------------- live
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+try:
+    from heif_sys import encode_heic_yuv420, have_libheif
+    from test_hevc_libde265_crossval import (_LIB,
+                                             _de265_decode_planes)
+    _LIVE = have_libheif() and _LIB is not None
+except Exception:  # pragma: no cover - import-gated live tier
+    _LIVE = False
+
+live = pytest.mark.skipif(not _LIVE,
+                          reason="system libheif/libde265 missing")
+
+
+def _content(seed, h, w):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (128 + 60 * np.sin(xx / 9) * np.cos(yy / 13)
+         + rng.random((h, w)) * 50).astype(np.uint8)
+    cb = (128 + 50 * np.sin(xx[::2, ::2] / 7)
+          + rng.random((h // 2, w // 2)) * 25).astype(np.uint8)
+    cr = (128 + 50 * np.cos(yy[::2, ::2] / 5)
+          + rng.random((h // 2, w // 2)) * 25).astype(np.uint8)
+    return y, cb, cr
+
+
+_MATRIX = [
+    ({"qp": "30", "aq-mode": "0", "cutree": "0"}, {}),
+    ({"qp": "0"}, {}),
+    ({"qp": "51"}, {}),
+    ({"tu-intra-depth": "4", "qp": "26"}, {}),
+    ({"ctu": "16", "qp": "33"}, {}),
+    ({"ctu": "32", "min-cu-size": "32", "qp": "28"}, {}),
+    ({"strong-intra-smoothing": "0", "qp": "24"}, {}),
+    ({"tskip": "1", "qp": "30"}, {}),
+    ({"deblock": "2:-2", "qp": "30"}, {}),
+    ({}, {"lossless": True}),
+]
+
+
+@live
+@pytest.mark.parametrize("params,kw", _MATRIX)
+def test_live_crossval_matrix(params, kw):
+    """Fresh x265 encode (via libheif) decoded sample-exact against
+    the system libde265 across the intra parameter matrix."""
+    y, cb, cr = _content(19, 96, 128)
+    p = dict({"bframes": "0"}, **params)
+    heic = encode_heic_yuv420(y, cb, cr, quality=50, x265_params=p,
+                              **kw)
+    au = _tile_au(heic)
+    ly, lcb, lcr = _de265_decode_planes(au)
+    dy, dcb, dcr = hevc.decode_hevc_keyframe_yuv(au)
+    assert np.array_equal(dy, ly)
+    assert np.array_equal(dcb, lcb)
+    assert np.array_equal(dcr, lcr)
+
+
+@live
+def test_live_wpp_epb_substreams():
+    """WPP with emulation-prevention bytes inside the slice payload:
+    entry-point offsets are EPB-inclusive (spec 7.4.7.1) and must be
+    converted to RBSP boundaries."""
+    hits = 0
+    for seed in range(24):
+        rng = np.random.default_rng(seed)
+        h, w = 256, 320
+        y = np.where(rng.random((h, w)) < 0.002, 255, 0).astype(
+            np.uint8)
+        flat = np.full((h // 2, w // 2), 128, np.uint8)
+        heic = encode_heic_yuv420(y, flat, flat, quality=95,
+                                  x265_params={"bframes": "0",
+                                               "qp": "2"})
+        info = heif.parse_heif(heic)
+        tid = info["primary"]
+        if info["types"][tid] == b"grid":
+            tid = info["refs"][(b"dimg", tid)][0]
+        if info["item_bytes"](tid).count(b"\x00\x00\x03") == 0:
+            continue
+        au = _tile_au(heic)
+        for nt, rb in hevc.iter_nals_annexb(au):
+            if nt == 34 and not hevc.parse_pps(rb)["entropy_sync"]:
+                pytest.skip("encoder disabled WPP on this host")
+        ly, lcb, lcr = _de265_decode_planes(au)
+        dy, dcb, dcr = hevc.decode_hevc_keyframe_yuv(au)
+        assert np.array_equal(dy, ly)
+        assert np.array_equal(dcb, lcb)
+        assert np.array_equal(dcr, lcr)
+        hits += 1
+        if hits >= 2:
+            return
+    assert hits, "no EPB-bearing WPP stream produced in 24 tries"
+
+
+@live
+def test_context_tables_pinned_against_libde265():
+    """Every I-slice context initValue table in hevc_intra must equal
+    the u32 arrays compiled into the system libde265, and the
+    transform matrices its int8 tables (module-doc provenance)."""
+    import struct
+
+    from ragflow_ocr_spark.kernels import hevc_intra
+
+    path = None
+    for cand in ("/lib/x86_64-linux-gnu/libde265.so.0",
+                 "/usr/lib/x86_64-linux-gnu/libde265.so.0"):
+        if os.path.exists(cand):
+            path = cand
+    if path is None:
+        pytest.skip("libde265 shared object not found on disk")
+    blob = open(path, "rb").read()
+    for name, vals in hevc_intra._INIT_I.items():
+        if name == "last_y":
+            continue  # shares the last_x byte table
+        pat = struct.pack("<%dI" % len(vals), *vals)
+        assert blob.find(pat) >= 0, f"init table {name} not in .so"
+    t32 = hevc_intra._DCT[32]
+    pat = struct.pack("<32b", *t32[1])
+    assert blob.find(pat) >= 0, "DCT32 row1 not in .so"
+    pat = struct.pack("<16b", *hevc_intra._DST4.ravel())
+    assert blob.find(pat) >= 0, "DST4 not in .so"
+    assert tuple(hevc_intra._TC_TAB) == tuple(
+        blob[blob.find(bytes(hevc_intra._TC_TAB)):][:54])
