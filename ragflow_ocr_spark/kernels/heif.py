@@ -398,13 +398,22 @@ def encode_heic(img: np.ndarray) -> bytes:
 
 
 def encode_heic_yuv(y: np.ndarray, u: np.ndarray, v: np.ndarray,
-                    irot: int = 0, imir: int | None = None) -> bytes:
+                    irot: int = 0, imir: int | None = None,
+                    coder: str = "pcm") -> bytes:
     """YUV420 planes -> minimal HEIC (the coded layer is exact, so a
     chroma-neutral plane set decodes to the closed BT.601 gray form —
     the fixture construction the oracle-checked queries rely on).
     Optional irot (anti-clockwise 90° steps) / imir (mirror axis)
-    transformative properties for the orientation path."""
-    au = hevc.encode_hevc_ipcm_yuv(y, u, v)
+    transformative properties for the orientation path. coder="cabac"
+    uses the transquant-bypass intra encoder (kernels/hevc_intra) —
+    also byte-exact, but through the full entropy-coded decode path
+    every real camera/x265 HEIC takes."""
+    if coder == "cabac":
+        from ragflow_ocr_spark.kernels import hevc_intra
+
+        au = hevc_intra.encode_hevc_intra_lossless_yuv(y, u, v)
+    else:
+        au = hevc.encode_hevc_ipcm_yuv(y, u, v)
     body, vps, sps, pps = hevc.annexb_au_to_hvcc(au)
     hvcc = hevc.build_hvcc(vps, sps, pps)
     h, w = np.asarray(y).shape[:2]

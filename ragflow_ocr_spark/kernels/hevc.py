@@ -195,6 +195,24 @@ class _CabacEncoder:
             ctx[0] = min(ctx[0] + 1, 62)
         self._renorm()
 
+    def encode_bypass(self, bin_val: int) -> None:
+        """Spec 9.3.4.4.4 EncodeBypass (EP bins)."""
+        self.low <<= 1
+        if bin_val:
+            self.low += self.range
+        if self.low >= 1024:
+            self._put_bit(1)
+            self.low -= 1024
+        elif self.low < 512:
+            self._put_bit(0)
+        else:
+            self.outstanding += 1
+            self.low -= 512
+
+    def encode_bypass_bits(self, val: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.encode_bypass((val >> i) & 1)
+
     def encode_terminate(self, bin_val: int) -> None:
         """Terminate bin; bin_val=1 MUST be followed by flush()."""
         self.range -= 2

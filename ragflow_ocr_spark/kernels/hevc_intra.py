@@ -1318,3 +1318,358 @@ def decode_intra_au(sps: dict, pps: dict, slices, parse_header):
     d._deblock()
     d._apply_sao()
     return d.y, d.cb, d.cr
+
+
+# =====================================================================
+# Lossless intra ENCODER (cu_transquant_bypass): the mirror of the
+# decoder above, with fixed geometry CTB = CU = TU = 16 (chroma 8),
+# every CU PART_2Nx2N with one luma mode chosen via the decoder's own
+# MPM machinery, SDH off, loop filters off. Because transquant bypass
+# codes the spatial residual exactly, any conformant decoder
+# reconstructs the SOURCE planes byte-exactly — the system libde265
+# verifies that in tests, which falsifies this encoder AND (by
+# construction-symmetry) the residual/prediction clauses of the
+# decoder against an independent implementation.
+# =====================================================================
+
+def _sps_lossless_rbsp(pic_w, pic_h, crop_r, crop_b):
+    from ragflow_ocr_spark.kernels.h264 import _BitWriter
+    from ragflow_ocr_spark.kernels.hevc import _write_ptl
+
+    bw = _BitWriter()
+    bw.u(0, 4)  # sps_video_parameter_set_id
+    bw.u(0, 3)  # sps_max_sub_layers_minus1
+    bw.u(1, 1)  # sps_temporal_id_nesting_flag
+    _write_ptl(bw)
+    bw.ue(0)    # sps_seq_parameter_set_id
+    bw.ue(1)    # chroma_format_idc: 4:2:0
+    bw.ue(pic_w)
+    bw.ue(pic_h)
+    if crop_r or crop_b:
+        bw.u(1, 1)
+        bw.ue(0), bw.ue(crop_r // 2), bw.ue(0), bw.ue(crop_b // 2)
+    else:
+        bw.u(0, 1)
+    bw.ue(0)    # bit_depth_luma_minus8
+    bw.ue(0)    # bit_depth_chroma_minus8
+    bw.ue(0)    # log2_max_pic_order_cnt_lsb_minus4
+    bw.u(0, 1)  # sps_sub_layer_ordering_info_present_flag
+    bw.ue(0), bw.ue(0), bw.ue(0)
+    bw.ue(1)    # log2_min_luma_cb_size_minus3 (16)
+    bw.ue(0)    # log2_diff_max_min_luma_cb (CTB 16)
+    bw.ue(0)    # log2_min_luma_transform_block_size_minus2 (4)
+    bw.ue(2)    # log2_diff_max_min_luma_transform_block_size (16)
+    bw.ue(0)    # max_transform_hierarchy_depth_inter
+    bw.ue(0)    # max_transform_hierarchy_depth_intra
+    bw.u(0, 1)  # scaling_list_enabled_flag
+    bw.u(0, 1)  # amp_enabled_flag
+    bw.u(0, 1)  # sample_adaptive_offset_enabled_flag
+    bw.u(0, 1)  # pcm_enabled_flag
+    bw.ue(0)    # num_short_term_ref_pic_sets
+    bw.u(0, 1)  # long_term_ref_pics_present_flag
+    bw.u(0, 1)  # sps_temporal_mvp_enabled_flag
+    bw.u(0, 1)  # strong_intra_smoothing_enabled_flag
+    bw.u(0, 1)  # vui_parameters_present_flag
+    bw.u(0, 1)  # sps_extension_flag
+    return bw.rbsp_trailing()
+
+
+def _pps_lossless_rbsp():
+    from ragflow_ocr_spark.kernels.h264 import _BitWriter
+
+    bw = _BitWriter()
+    bw.ue(0)    # pps_pic_parameter_set_id
+    bw.ue(0)    # pps_seq_parameter_set_id
+    bw.u(0, 1)  # dependent_slice_segments_enabled_flag
+    bw.u(0, 1)  # output_flag_present_flag
+    bw.u(0, 3)  # num_extra_slice_header_bits
+    bw.u(0, 1)  # sign_data_hiding_enabled_flag
+    bw.u(0, 1)  # cabac_init_present_flag
+    bw.ue(0), bw.ue(0)
+    bw.se(0)    # init_qp_minus26
+    bw.u(0, 1)  # constrained_intra_pred_flag
+    bw.u(0, 1)  # transform_skip_enabled_flag
+    bw.u(0, 1)  # cu_qp_delta_enabled_flag
+    bw.se(0), bw.se(0)  # pps cb/cr qp offsets
+    bw.u(0, 1)  # pps_slice_chroma_qp_offsets_present_flag
+    bw.u(0, 1), bw.u(0, 1)  # weighted pred flags
+    bw.u(1, 1)  # transquant_bypass_enabled_flag
+    bw.u(0, 1)  # tiles_enabled_flag
+    bw.u(0, 1)  # entropy_coding_sync_enabled_flag
+    bw.u(0, 1)  # pps_loop_filter_across_slices_enabled_flag
+    bw.u(1, 1)  # deblocking_filter_control_present_flag
+    bw.u(0, 1)  # deblocking_filter_override_enabled_flag
+    bw.u(1, 1)  # pps_deblocking_filter_disabled_flag
+    bw.u(0, 1)  # pps_scaling_list_data_present_flag
+    bw.u(0, 1)  # lists_modification_present_flag
+    bw.ue(0)    # log2_parallel_merge_level_minus2
+    bw.u(0, 1)  # slice_segment_header_extension_present_flag
+    bw.u(0, 1)  # pps_extension_flag
+    return bw.rbsp_trailing()
+
+
+def _enc_rice(enc, v, k):
+    """Encode coeff_abs_level_remaining (dual of _rice)."""
+    if v < (4 << k):
+        p = v >> k
+        for _ in range(p):
+            enc.encode_bypass(1)
+        enc.encode_bypass(0)
+        if k:
+            enc.encode_bypass_bits(v & ((1 << k) - 1), k)
+        return
+    s = v.bit_length() - 1 - 1 - k  # v >= (2+b) << (s+k)
+    while (((1 << (s + 1)) + 2) << k) <= v:
+        s += 1
+    while (((1 << s) + 2) << k) > v:
+        s -= 1
+    base = ((1 << s) + 2) << k
+    p = s + 3
+    for _ in range(p):
+        enc.encode_bypass(1)
+    enc.encode_bypass(0)
+    enc.encode_bypass_bits(v - base, s + k)
+
+
+def _enc_last_prefix(enc, ctx_tab, v, cmax, off, shift):
+    p = v if v <= 3 else 2 * (v.bit_length() - 2) + 2 + \
+        ((v >> (v.bit_length() - 2)) & 1)
+    for i in range(p):
+        enc.encode_decision(ctx_tab[off + (i >> shift)], 1)
+    if p < cmax:
+        enc.encode_decision(ctx_tab[off + (p >> shift)], 0)
+    return p
+
+
+def _enc_residual(enc, ctx, coeff, log2, c_idx):
+    """Encode residual_coding (diag scan, SDH off, tqb levels)."""
+    n = 1 << log2
+    scan_idx = 0
+    pos_scan = _SCANS[(2, scan_idx)]
+    sb_log2 = log2 - 2
+    sb_scan = _SCANS[(sb_log2, scan_idx)] if sb_log2 else [(0, 0)]
+    # last significant position in scan order
+    last_flat = -1
+    for i_sb, (xs, ys) in enumerate(sb_scan):
+        for i_p, (xp, yp) in enumerate(pos_scan):
+            if coeff[(ys << 2) + yp, (xs << 2) + xp]:
+                last_flat = i_sb * 16 + i_p
+    if last_flat < 0:
+        raise ValueError("residual encoder called with all-zero block")
+    last_sb, last_pos = divmod(last_flat, 16)
+    xs, ys = sb_scan[last_sb]
+    xp, yp = pos_scan[last_pos]
+    lx, ly = (xs << 2) + xp, (ys << 2) + yp
+    cmax = (log2 << 1) - 1
+    if c_idx == 0:
+        off = 3 * (log2 - 2) + ((log2 - 1) >> 2)
+        shift = (log2 + 1) >> 2
+    else:
+        off, shift = 15, log2 - 2
+    for v, tab in ((lx, ctx["last_x"]), (ly, ctx["last_y"])):
+        _enc_last_prefix(enc, tab, v, cmax, off, shift)
+    for v in (lx, ly):
+        if v > 3:
+            s = v.bit_length() - 2
+            enc.encode_bypass_bits(v - ((2 + ((v >> s) & 1)) << s), s)
+    csbf = np.zeros((n >> 2, n >> 2), np.uint8)
+    for i_sb, (xs, ys) in enumerate(sb_scan):
+        blk = coeff[ys << 2:(ys << 2) + 4, xs << 2:(xs << 2) + 4]
+        csbf[ys, xs] = 1 if blk.any() else 0
+    prev_gt1_ctx = 1
+    first_subset = True
+    for i in range(last_sb, -1, -1):
+        xs, ys = sb_scan[i]
+        blk = coeff[ys << 2:(ys << 2) + 4, xs << 2:(xs << 2) + 4]
+        infer_dc = False
+        if i < last_sb and i > 0:
+            cinc = 0
+            if xs + 1 < csbf.shape[1] and csbf[ys, xs + 1]:
+                cinc = 1
+            elif ys + 1 < csbf.shape[0] and csbf[ys + 1, xs]:
+                cinc = 1
+            enc.encode_decision(ctx["csbf"][cinc + (2 if c_idx else 0)],
+                                int(csbf[ys, xs]))
+            if not csbf[ys, xs]:
+                continue
+            infer_dc = True
+        # significance flags
+        start = last_pos - 1 if i == last_sb else 15
+        any_sig = i == last_sb
+        sig = [False] * 16
+        if i == last_sb:
+            sig[last_pos] = True
+        for np_ in range(start, -1, -1):
+            xp, yp = pos_scan[np_]
+            v = int(blk[yp, xp])
+            if np_ == 0 and infer_dc and not any_sig:
+                if v == 0:
+                    raise ValueError("inferred DC sig but DC is zero")
+                sig[0] = True
+                break
+            xc, yc = (xs << 2) + xp, (ys << 2) + yp
+            # reuse the decoder's context derivation
+            s = IntraDecoder._sig_ctx(None, log2, c_idx, scan_idx, xc,
+                                      yc, xp, yp, xs, ys, csbf)
+            enc.encode_decision(ctx["sig"][s], 1 if v else 0)
+            if v:
+                sig[np_] = True
+                any_sig = True
+        order = [np_ for np_ in range(15, -1, -1) if sig[np_]]
+        if not order:
+            continue
+        levels = {np_: abs(int(blk[pos_scan[np_][1],
+                                   pos_scan[np_][0]])) for np_ in order}
+        ctx_set = (0 if (i == 0 or c_idx > 0) else 2)
+        if not first_subset and prev_gt1_ctx == 0:
+            ctx_set += 1
+        first_subset = False
+        gt1_ctx = 1
+        gt1 = {}
+        for j, np_ in enumerate(order[:8]):
+            f = 1 if levels[np_] > 1 else 0
+            cinc = ctx_set * 4 + min(3, gt1_ctx) + (16 if c_idx else 0)
+            enc.encode_decision(ctx["gt1"][cinc], f)
+            gt1[np_] = f
+            if f:
+                gt1_ctx = 0
+            elif gt1_ctx:
+                gt1_ctx += 1
+        prev_gt1_ctx = gt1_ctx
+        gt2_pos = next((p for p in order[:8] if gt1.get(p)), None)
+        gt2 = 0
+        if gt2_pos is not None:
+            gt2 = 1 if levels[gt2_pos] > 2 else 0
+            enc.encode_decision(ctx["gt2"][ctx_set
+                                           + (4 if c_idx else 0)], gt2)
+        for np_ in order:   # signs (SDH off in this PPS)
+            xp, yp = pos_scan[np_]
+            enc.encode_bypass(1 if blk[yp, xp] < 0 else 0)
+        rice = 0
+        for j, np_ in enumerate(order):
+            base = 1
+            if j < 8:
+                base += gt1.get(np_, 0)
+                if np_ == gt2_pos:
+                    base += gt2
+            has_rem = (j >= 8) or (gt1.get(np_, 0)
+                                   and (np_ != gt2_pos or gt2))
+            lvl = levels[np_]
+            if has_rem:
+                _enc_rice(enc, lvl - base, rice)
+            if lvl > 3 << rice:
+                rice = min(rice + 1, 4)
+
+
+def encode_hevc_intra_lossless_yuv(y, u, v) -> bytes:
+    """YUV420 planes -> Annex-B IDR access unit of transquant-bypass
+    intra CUs (CTB = CU = TU = 16). Byte-exact: any conformant
+    decoder reconstructs the planes exactly (libde265-verified in
+    tests). Luma dims must be even."""
+    from ragflow_ocr_spark.kernels import hevc as H
+    from ragflow_ocr_spark.kernels.h264 import _BitWriter
+
+    y = np.asarray(y, np.uint8)
+    h, w = y.shape
+    if w % 2 or h % 2 or w < 2 or h < 2 or w * h > H.MAX_HEVC_PIXELS:
+        raise ValueError("encode_hevc_intra_lossless_yuv needs even "
+                         "dims in budget")
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    u = np.asarray(u, np.uint8)
+    v = np.asarray(v, np.uint8)
+    if u.shape != (ch, cw) or v.shape != (ch, cw):
+        raise ValueError("chroma plane shape mismatch")
+    ctb = 16
+    w_ctbs, h_ctbs = -(-w // ctb), -(-h // ctb)
+    pic_w, pic_h = w_ctbs * ctb, h_ctbs * ctb
+    yp = np.pad(y, ((0, pic_h - h), (0, pic_w - w)), "edge")
+    up = np.pad(u, ((0, pic_h // 2 - ch), (0, pic_w // 2 - cw)),
+                "edge")
+    vp = np.pad(v, ((0, pic_h // 2 - ch), (0, pic_w // 2 - cw)),
+                "edge")
+
+    sps_rbsp = _sps_lossless_rbsp(pic_w, pic_h, pic_w - w, pic_h - h)
+    pps_rbsp = _pps_lossless_rbsp()
+    sps = H.parse_sps(sps_rbsp)
+    pps = H.parse_pps(pps_rbsp)
+    state = IntraDecoder(sps, pps)
+
+    bw = _BitWriter()
+    bw.u(1, 1)  # first_slice_segment_in_pic_flag
+    bw.u(0, 1)  # no_output_of_prior_pics_flag
+    bw.ue(0)    # slice_pic_parameter_set_id
+    bw.ue(2)    # slice_type: I
+    bw.se(0)    # slice_qp_delta (QP 26)
+    bw.u(1, 1)  # alignment_bit_equal_to_one
+    bw.byte_align_zero()
+
+    enc = H._CabacEncoder(bw)
+    ctx = _Ctx(26).t
+    n_ctbs = w_ctbs * h_ctbs
+    for addr in range(n_ctbs):
+        cy, cx = divmod(addr, w_ctbs)
+        x0, y0 = cx * ctb, cy * ctb
+        # log2CbSize == MinCbLog2: no split_cu_flag
+        enc.encode_decision(ctx["tqb"][0], 1)
+        enc.encode_decision(ctx["part_mode"][0], 1)  # PART_2Nx2N
+        mpm = state._mpm(x0, y0)
+        mode = 1 if 1 in mpm else 0 if 0 in mpm else mpm[0]
+        if mode in mpm:
+            idx = mpm.index(mode)
+            enc.encode_decision(ctx["prev_intra"][0], 1)
+            enc.encode_bypass(0 if idx == 0 else 1)
+            if idx:
+                enc.encode_bypass(idx - 1)
+        else:  # unreachable with the choices above; kept for clarity
+            rem = mode - sum(1 for c in mpm if c < mode)
+            enc.encode_decision(ctx["prev_intra"][0], 0)
+            enc.encode_bypass_bits(rem, 5)
+        state.mode4[y0 >> 2:(y0 + ctb) >> 2,
+                    x0 >> 2:(x0 + ctb) >> 2] = mode
+        state.parsed4[y0 >> 2:(y0 + ctb) >> 2,
+                      x0 >> 2:(x0 + ctb) >> 2] = True
+        enc.encode_decision(ctx["intra_chroma"][0], 0)  # DM
+        # transform tree: TU == CU == 16, no split flag signalled
+        src_y = yp[y0:y0 + ctb, x0:x0 + ctb].astype(np.int32)
+        pred_y = state._predict(state.y, x0, y0, 4, 0, mode)
+        res_y = src_y - pred_y
+        state.y[y0:y0 + ctb, x0:x0 + ctb] = src_y.astype(np.uint8)
+        state.done4[y0 >> 2:(y0 + ctb) >> 2,
+                    x0 >> 2:(x0 + ctb) >> 2] = True
+        cx0, cy0 = x0 >> 1, y0 >> 1
+        half = ctb >> 1
+        src_cb = up[cy0:cy0 + half, cx0:cx0 + half].astype(np.int32)
+        src_cr = vp[cy0:cy0 + half, cx0:cx0 + half].astype(np.int32)
+        pred_cb = state._predict(state.cb, cx0, cy0, 3, 1, mode)
+        res_cb = src_cb - pred_cb
+        state.cb[cy0:cy0 + half, cx0:cx0 + half] = \
+            src_cb.astype(np.uint8)
+        pred_cr = state._predict(state.cr, cx0, cy0, 3, 2, mode)
+        res_cr = src_cr - pred_cr
+        state.cr[cy0:cy0 + half, cx0:cx0 + half] = \
+            src_cr.astype(np.uint8)
+        cbf_cb = bool(res_cb.any())
+        cbf_cr = bool(res_cr.any())
+        cbf_luma = bool(res_y.any())
+        enc.encode_decision(ctx["cbf_chroma"][0], int(cbf_cb))
+        enc.encode_decision(ctx["cbf_chroma"][0], int(cbf_cr))
+        enc.encode_decision(ctx["cbf_luma"][1], int(cbf_luma))
+        if cbf_luma:
+            _enc_residual(enc, ctx, res_y, 4, 0)
+        if cbf_cb:
+            _enc_residual(enc, ctx, res_cb, 3, 1)
+        if cbf_cr:
+            _enc_residual(enc, ctx, res_cr, 3, 2)
+        last = addr == n_ctbs - 1
+        enc.encode_terminate(1 if last else 0)
+        if last:
+            enc.flush()
+    bw.byte_align_zero()
+    slice_rbsp = bytes(bw.out)
+    out = bytearray()
+    for nal in (H._nal(H.NAL_VPS, H._vps_rbsp()),
+                H._nal(H.NAL_SPS, sps_rbsp),
+                H._nal(H.NAL_PPS, pps_rbsp),
+                H._nal_hdr(H.NAL_IDR_W_RADL) + H._add_epb(slice_rbsp)):
+        out += b"\x00\x00\x00\x01" + nal
+    return bytes(out)

@@ -1098,17 +1098,21 @@ def q_media_image_stats(spark, sf_dir: str):
                     img[:, :32] = a
                     img[:, 32:] = v
                     if did % 16 == 11:
-                        # HEIC: the same two-tone laid into the PCM
-                        # LUMA plane with neutral chroma — the coded
-                        # layer is byte-exact (kernels/hevc, libde265-
-                        # cross-validated) so the decoded gray is the
-                        # clipped BT.601 map of each tone: closed form
-                        # in SQL while the real HEIF item-layer parse
-                        # (meta/pitm/iinf/iloc/ipco/ipma) runs
+                        # HEIC: the same two-tone laid into the LUMA
+                        # plane with neutral chroma — the coded layer
+                        # is byte-exact (kernels/hevc + hevc_intra,
+                        # libde265-cross-validated) so the decoded
+                        # gray is the clipped BT.601 map of each tone:
+                        # closed form in SQL while the real HEIF item
+                        # layer parse runs. Alternating coders: PCM
+                        # CTBs and CABAC transquant-bypass intra (the
+                        # path every real camera/x265 HEIC takes)
                         from ragflow_ocr_spark.kernels import heif
 
                         cp = np.full((24, 32), 128, np.uint8)
-                        payload, codec = heif.encode_heic_yuv(img, cp, cp), "heic"
+                        coder = "cabac" if did % 32 == 27 else "pcm"
+                        payload, codec = heif.encode_heic_yuv(
+                            img, cp, cp, coder=coder), "heic"
                     elif did % 8 == 3:
                         payload, codec = imgcodecs.encode_gif(img, interlace=True), "gif"
                     else:

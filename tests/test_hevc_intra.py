@@ -215,3 +215,99 @@ def test_context_tables_pinned_against_libde265():
     assert blob.find(pat) >= 0, "DST4 not in .so"
     assert tuple(hevc_intra._TC_TAB) == tuple(
         blob[blob.find(bytes(hevc_intra._TC_TAB)):][:54])
+
+
+# ------------------------------------------------------------- encoder
+def test_lossless_encoder_roundtrip_geometries():
+    """transquant-bypass intra encoder -> our decoder, byte-exact at
+    CTB-aligned, cropped, and tiny geometries."""
+    from ragflow_ocr_spark.kernels.hevc_intra import (
+        encode_hevc_intra_lossless_yuv)
+
+    rng = np.random.default_rng(7)
+    for h, w in ((16, 16), (48, 64), (50, 70), (2, 2), (34, 18)):
+        y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        cb = rng.integers(0, 256,
+                          ((h + 1) // 2, (w + 1) // 2)).astype(np.uint8)
+        cr = rng.integers(0, 256,
+                          ((h + 1) // 2, (w + 1) // 2)).astype(np.uint8)
+        au = encode_hevc_intra_lossless_yuv(y, cb, cr)
+        dy, dcb, dcr = hevc.decode_hevc_keyframe_yuv(au)
+        assert np.array_equal(dy, y)
+        assert np.array_equal(dcb, cb)
+        assert np.array_equal(dcr, cr)
+
+
+def test_lossless_encoder_content_sweep():
+    """Flat, gradient, checker and impulse content exercise every
+    residual path (all-zero cbf, inferred-DC subblocks, rice
+    escapes, sign coding)."""
+    from ragflow_ocr_spark.kernels.hevc_intra import (
+        encode_hevc_intra_lossless_yuv)
+
+    h, w = 32, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    contents = [
+        np.full((h, w), 128, np.uint8),
+        ((xx * 8 + yy) % 256).astype(np.uint8),
+        (((xx // 2 + yy // 2) % 2) * 255).astype(np.uint8),
+        np.where((xx % 13 == 0) & (yy % 7 == 0), 255, 0).astype(
+            np.uint8),
+    ]
+    flat = np.full((h // 2, w // 2), 128, np.uint8)
+    for y in contents:
+        au = encode_hevc_intra_lossless_yuv(y, flat, flat)
+        dy, dcb, dcr = hevc.decode_hevc_keyframe_yuv(au)
+        assert np.array_equal(dy, y)
+        assert np.array_equal(dcb, flat)
+
+
+def test_cabac_heic_container_roundtrip():
+    from ragflow_ocr_spark.kernels import heif
+
+    rng = np.random.default_rng(8)
+    y = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    cb = np.full((24, 32), 100, np.uint8)
+    cr = np.full((24, 32), 160, np.uint8)
+    data = heif.encode_heic_yuv(y, cb, cr, coder="cabac")
+    from ragflow_ocr_spark.kernels.h264 import _yuv_to_rgb
+    assert np.array_equal(heif.decode_heif(data),
+                          _yuv_to_rgb(y, cb, cr))
+
+
+def test_cabac_heic_page_ocr_byte_identical():
+    """A rendered page wrapped as an entropy-coded (CABAC) HEIC OCRs
+    to byte-identical text through the full extraction route — the
+    per-url invariant, now on the path real camera HEICs take."""
+    from ragflow_ocr_spark.kernels import font5x7, heif
+    from ragflow_ocr_spark.kernels.h264 import _rgb_to_yuv
+    from ragflow_ocr_spark.kernels.ocr_pipeline import extract_payload
+
+    img, drawn = font5x7.render_page(["CABAC HEIC EXTRACT 7"],
+                                     960, 128, 2)
+    y, cb, cr = _rgb_to_yuv(img)
+    data = heif.encode_heic_yuv(y, cb, cr, coder="cabac")
+    r = extract_payload(data)
+    assert r.status == "ok"
+    assert r.text == "\n".join(drawn)
+
+
+@live
+def test_lossless_encoder_libde265_crossval():
+    """The system libde265 must reconstruct our transquant-bypass
+    intra streams byte-exactly — the independent falsifier for the
+    encoder's residual/prediction symmetry."""
+    rng = np.random.default_rng(11)
+    for h, w in ((16, 16), (50, 70), (34, 18)):
+        y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        cb = rng.integers(0, 256,
+                          ((h + 1) // 2, (w + 1) // 2)).astype(np.uint8)
+        cr = rng.integers(0, 256,
+                          ((h + 1) // 2, (w + 1) // 2)).astype(np.uint8)
+        from ragflow_ocr_spark.kernels.hevc_intra import (
+            encode_hevc_intra_lossless_yuv)
+        au = encode_hevc_intra_lossless_yuv(y, cb, cr)
+        ly, lcb, lcr = _de265_decode_planes(au)
+        assert np.array_equal(ly, y)
+        assert np.array_equal(lcb, cb)
+        assert np.array_equal(lcr, cr)
