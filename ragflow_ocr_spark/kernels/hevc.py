@@ -772,10 +772,10 @@ def decode_hevc_keyframe_yuv(data: bytes):
             slices.append((nal_type, rbsp, epb_pos))
     if sps is None or pps is None or not slices:
         raise ValueError("HEVC access unit missing SPS/PPS/slice")
-    if sps["chroma"] != 1 or sps["bit_depth"] != 8 \
-            or sps["bit_depth_c"] != 8:
+    if sps["chroma"] != 1 or sps["bit_depth"] not in (8, 10) \
+            or sps["bit_depth_c"] != sps["bit_depth"]:
         raise NotImplementedError(
-            "HEVC non-4:2:0 or high-bit-depth streams not bundled")
+            "HEVC non-4:2:0 or >10-bit streams not bundled")
     ctb_log2 = sps["ctb_log2"]
     ctb = 1 << ctb_log2
     # pure-PCM fast path only for our own encoder's stream shape
@@ -784,6 +784,7 @@ def decode_hevc_keyframe_yuv(data: bytes):
     # full Main-intra decoder in kernels/hevc_intra.py
     pcm_fast = (
         sps["pcm"]
+        and sps["bit_depth"] == 8
         and sps["pcm"]["bit_depth"] == 8
         and sps["pcm"]["bit_depth_c"] == 8
         and sps["pcm"]["log2_min"] == ctb_log2
@@ -801,6 +802,12 @@ def decode_hevc_keyframe_yuv(data: bytes):
 
         yp, up, vp = hevc_intra.decode_intra_au(
             sps, pps, slices, _parse_slice_header)
+        if sps["bit_depth"] > 8:
+            # keep the high byte, the repo's 16-bit-PNG convention
+            sh = sps["bit_depth"] - 8
+            yp = (yp >> sh).astype(np.uint8)
+            up = (up >> sh).astype(np.uint8)
+            vp = (vp >> sh).astype(np.uint8)
         w, h = sps["width"], sps["height"]
         return (yp[:h, :w], up[:(h + 1) // 2, :(w + 1) // 2],
                 vp[:(h + 1) // 2, :(w + 1) // 2])

@@ -198,10 +198,14 @@ class IntraDecoder:
     """
 
     def __init__(self, sps: dict, pps: dict) -> None:
-        if sps["chroma"] != 1 or sps["bit_depth"] != 8 \
-                or sps["bit_depth_c"] != 8:
+        if sps["chroma"] != 1 \
+                or sps["bit_depth"] not in (8, 10) \
+                or sps["bit_depth_c"] != sps["bit_depth"]:
             raise NotImplementedError(
-                "HEVC non-4:2:0 or high-bit-depth streams not bundled")
+                "HEVC non-4:2:0 or >10-bit streams not bundled")
+        self.bd = sps["bit_depth"]
+        self.maxval = (1 << self.bd) - 1
+        self.qp_bd = 6 * (self.bd - 8)  # QpBdOffsetY/C
         self.sps = sps
         self.pps = pps
         self.ctb_log2 = sps["ctb_log2"]
@@ -218,8 +222,9 @@ class IntraDecoder:
         self.n_ctbs = self.w_ctbs * self.h_ctbs
         pw = self.w_ctbs * self.ctb
         ph = self.h_ctbs * self.ctb
-        self.y = np.zeros((ph, pw), np.uint8)
-        self.cb = np.zeros((ph // 2, pw // 2), np.uint8)
+        dt = np.uint8 if self.bd == 8 else np.uint16
+        self.y = np.zeros((ph, pw), dt)
+        self.cb = np.zeros((ph // 2, pw // 2), dt)
         self.cr = np.zeros_like(self.cb)
         g = (ph // 4, pw // 4)
         self.done4 = np.zeros(g, bool)
@@ -351,9 +356,11 @@ class IntraDecoder:
                 params.append((0,))
                 continue
             offs = []
-            for _ in range(4):  # sao_offset_abs, TR cMax 7, bypass
+            # sao_offset_abs, TR cMax (1 << (min(bd,10)-5)) - 1, bypass
+            omax = (1 << (min(self.bd, 10) - 5)) - 1
+            for _ in range(4):
                 v = 0
-                while v < 7 and dec.decode_bypass():
+                while v < omax and dec.decode_bypass():
                     v += 1
                 offs.append(v)
             if t == 1:  # band: per-component signs + position
@@ -427,7 +434,9 @@ class IntraDecoder:
     def _cu_qp(self) -> int:
         if not self.pps["cu_qp_delta"]:
             return self.slice_qp
-        return ((self._qp_pred() + self.cu_qp_delta_val + 52) % 52)
+        m = 52 + self.qp_bd
+        return ((self._qp_pred() + self.cu_qp_delta_val + 52
+                 + 2 * self.qp_bd) % m) - self.qp_bd
 
     # ------------------------------------------------------ coding unit
     def _coding_unit(self, x0: int, y0: int, log2: int,
@@ -855,34 +864,36 @@ class IntraDecoder:
     def _dequant_itransform(self, coeff, log2, c_idx, tskip, mode):
         qp_y = self._cu_qp()
         if c_idx == 0:
-            qp = qp_y
+            qp = qp_y + self.qp_bd  # Qp'Y
         else:
             off = self.hdr["cb_qp_off"] if c_idx == 1 \
                 else self.hdr["cr_qp_off"]
-            qpi = min(max(qp_y + off, 0), 57)
+            qpi = min(max(qp_y + off, -self.qp_bd), 57)
             if qpi < 30:
                 qp = qpi
             elif qpi > 43:
                 qp = qpi - 6
             else:
                 qp = _CHROMA_QP[qpi - 30]
+            qp += self.qp_bd  # Qp'Cb/Cr
         if self.tqb:
             return coeff
-        bd_shift = 8 + log2 - 5
+        bd_shift = self.bd + log2 - 5
         scale = (_LEVEL_SCALE[qp % 6] << (qp // 6)) * 16
         d = coeff.astype(np.int64) * scale
         d = (d + (1 << (bd_shift - 1))) >> bd_shift
         d = np.clip(d, -32768, 32767)
+        sh2 = 20 - self.bd
         if tskip:
             r = (d << 7)
-            r = (r + 2048) >> 12
+            r = (r + (1 << (sh2 - 1))) >> sh2
             return np.clip(r, -32768, 32767).astype(np.int32)
         # 8.6.4: DST-VII for 4x4 intra luma, DCT-II otherwise
         t = _DST4 if (log2 == 2 and c_idx == 0) else _DCT[1 << log2]
         e = t.T @ d
         e = np.clip((e + 64) >> 7, -32768, 32767)
         r = e @ t
-        r = np.clip((r + 2048) >> 12, -32768, 32767)
+        r = np.clip((r + (1 << (sh2 - 1))) >> sh2, -32768, 32767)
         return r.astype(np.int32)
 
     # ------------------------------------------------- reconstruction
@@ -891,9 +902,10 @@ class IntraDecoder:
         if resid is None:
             out = pred
         else:
-            out = _clip8(pred.astype(np.int32) + resid)
+            out = np.clip(pred.astype(np.int32) + resid, 0,
+                          self.maxval)
         n = 1 << log2
-        plane[y0:y0 + n, x0:x0 + n] = out.astype(np.uint8)
+        plane[y0:y0 + n, x0:x0 + n] = out.astype(plane.dtype)
 
     def _refs(self, plane, x0, y0, n, c_idx):
         """8.4.4.2.2 reference array with substitution. Returns
@@ -922,7 +934,7 @@ class IntraDecoder:
             if avail(xx, y0 - 1):
                 vals[2 * n + 1 + i] = plane[y0 - 1, xx]
         if (vals < 0).all():
-            vals[:] = 128
+            vals[:] = 1 << (self.bd - 1)
         else:
             # substitution scan per 8.4.4.2.2
             if vals[0] < 0:
@@ -947,9 +959,11 @@ class IntraDecoder:
             if mode == 0 or dist > _HV_DIST_THRES[log2]:
                 if self.sps["strong_smoothing"] and n == 32 \
                         and abs(int(top[0]) + int(top[2 * n])
-                                - 2 * int(top[n])) < 8 \
+                                - 2 * int(top[n])) \
+                        < (1 << (self.bd - 5)) \
                         and abs(int(top[0]) + int(left[2 * n - 1])
-                                - 2 * int(left[n - 1])) < 8:
+                                - 2 * int(left[n - 1])) \
+                        < (1 << (self.bd - 5)):
                     c0, ctn = int(top[0]), int(top[2 * n])
                     cl = int(left[2 * n - 1])
                     x = np.arange(2 * n, dtype=np.int32)
@@ -977,7 +991,8 @@ class IntraDecoder:
             return self._pred_planar(top, left, n, log2)
         if mode == 1:
             return self._pred_dc(top, left, n, log2, c_idx)
-        return self._pred_angular(top, left, n, mode, c_idx)
+        return self._pred_angular(top, left, n, mode, c_idx,
+                                  self.maxval)
 
     @staticmethod
     def _pred_planar(top, left, n, log2):
@@ -1006,7 +1021,7 @@ class IntraDecoder:
         return pred
 
     @staticmethod
-    def _pred_angular(top, left, n, mode, c_idx):
+    def _pred_angular(top, left, n, mode, c_idx, maxval=255):
         angle = _PRED_ANGLE[mode - 2]
         vertical = mode >= 18
         # main/side reference selection (8.4.4.2.6); ref[-n..2n] plus
@@ -1041,15 +1056,16 @@ class IntraDecoder:
             out = pred
             if mode == 26 and c_idx == 0 and n < 32:
                 out = out.copy()
-                out[:, 0] = _clip8(int(top[1])
-                                   + ((left[:n] - int(top[0])) >> 1))
+                out[:, 0] = np.clip(
+                    int(top[1]) + ((left[:n] - int(top[0])) >> 1),
+                    0, maxval)
         else:
             out = pred.T
             if mode == 10 and c_idx == 0 and n < 32:
                 out = out.copy()
-                out[0, :] = _clip8(int(left[0])
-                                   + ((top[1:n + 1] - int(top[0]))
-                                      >> 1))
+                out[0, :] = np.clip(
+                    int(left[0]) + ((top[1:n + 1] - int(top[0]))
+                                    >> 1), 0, maxval)
         return out.astype(np.int32)
 
     # --------------------------------------------------- loop filters
@@ -1123,8 +1139,9 @@ class IntraDecoder:
             qp_p = self._qp_at(seg, pos - 1)
             qp_q = self._qp_at(seg, pos)
         qp_l = (qp_p + qp_q + 1) >> 1
-        beta = _BETA_TAB[min(max(qp_l + beta_off, 0), 51)]
-        tc = _TC_TAB[min(max(qp_l + 2 + tc_off, 0), 53)]
+        sh = self.bd - 8
+        beta = _BETA_TAB[min(max(qp_l + beta_off, 0), 51)] << sh
+        tc = _TC_TAB[min(max(qp_l + 2 + tc_off, 0), 53)] << sh
         if beta == 0:
             return
         p = [[get(-1 - i, ln) for i in range(4)] for ln in range(4)]
@@ -1179,17 +1196,18 @@ class IntraDecoder:
                 if abs(delta) >= 10 * tc:
                     continue
                 delta = min(max(delta, -tc), tc)
-                put(-1, ln, int(_clip8(pl[0] + delta)))
-                put(0, ln, int(_clip8(ql[0] - delta)))
+                mx = self.maxval
+                put(-1, ln, min(max(pl[0] + delta, 0), mx))
+                put(0, ln, min(max(ql[0] - delta, 0), mx))
                 half = tc >> 1
                 if dep:
                     dp = min(max((((pl[2] + pl[0] + 1) >> 1) - pl[1]
                                   + delta) >> 1, -half), half)
-                    put(-2, ln, int(_clip8(pl[1] + dp)))
+                    put(-2, ln, min(max(pl[1] + dp, 0), mx))
                 if deq:
                     dq = min(max((((ql[2] + ql[0] + 1) >> 1) - ql[1]
                                   - delta) >> 1, -half), half)
-                    put(1, ln, int(_clip8(ql[1] + dq)))
+                    put(1, ln, min(max(ql[1] + dq, 0), mx))
 
     def _deblock_chroma_seg(self, vertical, pos, seg, tc_off):
         """8.7.2.5.5: chroma filtered only for bS==2 (always, intra);
@@ -1210,7 +1228,8 @@ class IntraDecoder:
                 qpc = qpi - 6
             else:
                 qpc = _CHROMA_QP[qpi - 30]
-            tc = _TC_TAB[min(max(qpc + 2 + tc_off, 0), 53)]
+            tc = _TC_TAB[min(max(qpc + 2 + tc_off, 0), 53)] \
+                << (self.bd - 8)
             if tc == 0:
                 continue
             for ln in range(2):   # 4 luma lines = 2 chroma lines
@@ -1231,12 +1250,13 @@ class IntraDecoder:
                     q1 = int(plane[cpos + 1, cl])
                 delta = min(max((((q0 - p0) << 2) + p1 - q1 + 4) >> 3,
                                 -tc), tc)
+                mx = self.maxval
                 if vertical:
-                    plane[cl, cpos - 1] = _clip8(p0 + delta)
-                    plane[cl, cpos] = _clip8(q0 - delta)
+                    plane[cl, cpos - 1] = min(max(p0 + delta, 0), mx)
+                    plane[cl, cpos] = min(max(q0 - delta, 0), mx)
                 else:
-                    plane[cpos - 1, cl] = _clip8(p0 + delta)
-                    plane[cpos, cl] = _clip8(q0 - delta)
+                    plane[cpos - 1, cl] = min(max(p0 + delta, 0), mx)
+                    plane[cpos, cl] = min(max(q0 - delta, 0), mx)
 
     # ------------------------------------------------------------- SAO
     def _apply_sao(self):
@@ -1264,19 +1284,21 @@ class IntraDecoder:
                     continue
                 if p[0] == 1:
                     self._sao_band(plane, src, bx0, by0, bw, bh,
-                                   p[1], p[2])
+                                   p[1], p[2], self.bd, self.maxval)
                 else:
                     self._sao_edge(plane, src, bx0, by0, bw, bh,
                                    p[1], p[3], sh)
 
     @staticmethod
-    def _sao_band(plane, src, x0, y0, w, h, offs, band_pos):
+    def _sao_band(plane, src, x0, y0, w, h, offs, band_pos, bd,
+                  maxval):
         blk = src[y0:y0 + h, x0:x0 + w].astype(np.int32)
-        bands = blk >> 3
+        bands = blk >> (bd - 5)
         out = blk.copy()
         for k in range(4):
             out[bands == ((band_pos + k) & 31)] += offs[k]
-        plane[y0:y0 + h, x0:x0 + w] = _clip8(out).astype(np.uint8)
+        plane[y0:y0 + h, x0:x0 + w] = np.clip(
+            out, 0, maxval).astype(plane.dtype)
 
     def _sao_edge(self, plane, src, x0, y0, w, h, offs, eo, sh):
         pw = self.pic_w >> sh
@@ -1298,7 +1320,8 @@ class IntraDecoder:
         # edgeTable {1,2,0,3,4} -> offsets for categories 1..4
         for raw, cat in ((0, 1), (1, 2), (3, 3), (4, 4)):
             out[edge == raw] += offs[cat - 1]
-        plane[ylo:yhi, xlo:xhi] = _clip8(out).astype(np.uint8)
+        plane[ylo:yhi, xlo:xhi] = np.clip(
+            out, 0, self.maxval).astype(plane.dtype)
 
 
 def decode_intra_au(sps: dict, pps: dict, slices, parse_header):

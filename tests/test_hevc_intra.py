@@ -311,3 +311,34 @@ def test_lossless_encoder_libde265_crossval():
         assert np.array_equal(ly, y)
         assert np.array_equal(lcb, cb)
         assert np.array_equal(lcr, cr)
+
+
+# ------------------------------------------------------------- Main10
+def test_main10_fixture_sample_exact():
+    """A real x265 Main10 (10-bit) HEIC decodes sample-exact against
+    the committed libde265 16-bit truth planes; the uint8 route keeps
+    the high byte (the repo's 16-bit-PNG convention)."""
+    data = open(f"{FIX}/heic_cabac_m10.heic", "rb").read()
+    au = _tile_au(data)
+    truth = np.load(f"{FIX}/heic_cabac_m10_truth.npz")
+    from ragflow_ocr_spark.kernels import hevc_intra
+    sps = pps = None
+    slices = []
+    for nt, rb, ep in hevc._iter_nals_annexb_epb(au):
+        if nt == 33:
+            sps = hevc.parse_sps(rb)
+        elif nt == 34:
+            pps = hevc.parse_pps(rb)
+        elif nt in hevc._IRAP_TYPES:
+            slices.append((nt, rb, ep))
+    assert sps["bit_depth"] == 10
+    yp, up, vp = hevc_intra.decode_intra_au(
+        sps, pps, slices, hevc._parse_slice_header)
+    hh, ww = truth["y"].shape
+    assert np.array_equal(yp[:hh, :ww], truth["y"])
+    assert np.array_equal(up[:hh // 2, :ww // 2], truth["cb"])
+    assert np.array_equal(vp[:hh // 2, :ww // 2], truth["cr"])
+    y8, _, _ = hevc.decode_hevc_keyframe_yuv(au)
+    assert y8.dtype == np.uint8
+    assert np.array_equal(y8, (truth["y"][:hh, :ww] >> 2).astype(
+        np.uint8))
