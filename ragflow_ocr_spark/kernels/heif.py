@@ -11,12 +11,13 @@ item to the libde265-cross-validated HEVC keyframe layer
 (kernels/hevc.py).
 
 Decode coverage is exactly the HEVC module's: PCM coding units decode
-byte-exactly (our fixture encoder emits them); entropy-coded HEVC
-items — i.e. every real camera HEIC — surface kernels/hevc's NAMED
-NotImplementedError seam, and AVIF (av01 items in the same container)
-raises its own named seam. Either way the Spark stages map the error
-to a per-row status; before this module existed the whole 'heic'
-kind was an unnamed per-row None.
+byte-exactly (our fixture encoder emits them) AND entropy-coded hvc1
+items — i.e. every real camera/x265 HEIC, 8-bit and Main10 — decode
+through the full intra decoder (kernels/hevc_intra, libde265-
+validated). AVIF (av01 items in the same container) raises a named
+seam that carries the REAL coded facts from the AV1 OBU sequence-
+header parse below (geometry/bit depth without decode); the Spark
+stages map the error to a per-row status.
 
 Error contract: ValueError on malformed boxes, NotImplementedError on
 the named codec seams — never a silent wrong image.
@@ -366,9 +367,16 @@ def decode_heif(data: bytes) -> np.ndarray:
     the named seams (per-row error upstream)."""
     info = parse_heif(data)
     if info["item_type"] == b"av01":
+        try:
+            facts = parse_av1_sequence_header(info["item"])
+            shape = (f"{facts['width']}x{facts['height']} "
+                     f"{facts['bit_depth']}-bit")
+        except (ValueError, NotImplementedError):
+            shape = "unparsed"
         raise NotImplementedError(
-            "AVIF (AV1 items) not bundled — no AV1 entropy tables can "
-            "be validated offline (named seam)")
+            f"AVIF (AV1 {shape} item) decode not bundled — the AV1 "
+            "default CDF tables cannot be validated offline "
+            "(named seam; header facts via parse_avif_header)")
     if info["item_type"] == b"grid":
         img = _decode_grid(info)
     elif info["item_type"] == b"hvc1":
@@ -559,3 +567,119 @@ def encode_heic_grid(img: np.ndarray, rows: int, cols: int) -> bytes:
         out[pos:pos + 4] = struct.pack(">I", off)
         off += ln
     return bytes(out)
+
+
+# ------------------------------------------------------------- AVIF
+# AV1 OBU sequence-header parse (AV1 spec 5.3/5.5, public): enough to
+# report the real coded geometry / bit depth / chroma of av01 items.
+# Full AV1 sample decode stays a NAMED seam — the default CDF tables
+# cannot be independently validated on this host (no AV1 spec tables
+# or extractable anchor values; the VP8-tables rule applies).
+
+def _leb128(data: bytes, p: int) -> tuple[int, int]:
+    v = 0
+    for i in range(8):
+        if p >= len(data):
+            raise ValueError("truncated AV1 leb128")
+        b = data[p]
+        p += 1
+        v |= (b & 0x7F) << (7 * i)
+        if not b & 0x80:
+            return v, p
+    raise ValueError("overlong AV1 leb128")
+
+
+def parse_av1_sequence_header(obus: bytes) -> dict:
+    """OBU stream (an av01 item payload) -> sequence-header facts:
+    width/height, bit_depth, monochrome, profile, still_picture."""
+    from ragflow_ocr_spark.kernels.h264 import _BitReader
+
+    p = 0
+    while p < len(obus):
+        hdr = obus[p]
+        if hdr & 0x80:
+            raise ValueError("AV1 obu_forbidden_bit set")
+        obu_type = (hdr >> 3) & 0xF
+        ext = (hdr >> 2) & 1
+        has_size = (hdr >> 1) & 1
+        p += 1
+        if ext:
+            p += 1
+        if has_size:
+            size, p = _leb128(obus, p)
+        else:
+            size = len(obus) - p
+        if p + size > len(obus):
+            raise ValueError("truncated AV1 OBU")
+        if obu_type == 1:  # OBU_SEQUENCE_HEADER
+            r = _BitReader(obus[p:p + size])
+            profile = r.u(3)
+            still = r.u(1)
+            reduced = r.u(1)
+            if reduced:
+                r.u(5)  # seq_level_idx[0]
+            else:
+                if r.u(1):  # timing_info_present_flag
+                    raise NotImplementedError(
+                        "AV1 timing/decoder-model headers not bundled")
+                if r.u(1):  # initial_display_delay_present_flag
+                    raise NotImplementedError(
+                        "AV1 initial display delay not bundled")
+                for _ in range(r.u(5) + 1):  # operating points
+                    r.u(12)
+                    if r.u(5) > 7:  # seq_level_idx
+                        r.u(1)      # seq_tier
+            wbits = r.u(4) + 1
+            hbits = r.u(4) + 1
+            width = r.u(wbits) + 1
+            height = r.u(hbits) + 1
+            if not reduced:
+                if r.u(1):  # frame_id_numbers_present_flag
+                    r.u(4), r.u(3)
+            r.u(1)  # use_128x128_superblock
+            r.u(1), r.u(1)  # filter_intra / intra_edge_filter
+            if not reduced:
+                r.u(1), r.u(1), r.u(1), r.u(1)  # interintra..dualflt
+                order_hint = r.u(1)
+                if order_hint:
+                    r.u(1), r.u(1)  # jnt_comp, ref_frame_mvs
+                # seq_choose_screen_content_tools -> force value
+                force_sc = 2 if r.u(1) else r.u(1)
+                if force_sc > 0:
+                    if not r.u(1):  # seq_choose_integer_mv
+                        r.u(1)      # seq_force_integer_mv
+                if order_hint:
+                    r.u(3)  # order_hint_bits_minus_1
+            r.u(1)  # enable_superres
+            r.u(1)  # enable_cdef
+            r.u(1)  # enable_restoration
+            high_bd = r.u(1)
+            if profile == 2 and high_bd:
+                bit_depth = 12 if r.u(1) else 10
+            else:
+                bit_depth = 10 if high_bd else 8
+            mono = r.u(1) if profile != 1 else 0
+            return {"profile": profile, "still_picture": still,
+                    "reduced": reduced, "width": width,
+                    "height": height, "bit_depth": bit_depth,
+                    "monochrome": mono}
+        p += size
+    raise ValueError("AV1 stream without a sequence header OBU")
+
+
+def parse_avif_header(data: bytes) -> dict:
+    """AVIF container -> primary av01 item's sequence-header facts
+    (real coded geometry without decoding; the decode itself is the
+    named AV1 seam)."""
+    info = parse_heif(data)
+    tid = info["primary"]
+    if info["types"].get(tid) == b"grid":
+        refs = info["refs"].get((b"dimg", tid))
+        if not refs:
+            raise ValueError("avif grid without dimg tiles")
+        tid = refs[0]
+    if info["types"].get(tid) != b"av01":
+        raise ValueError("not an AVIF (no av01 item)")
+    out = parse_av1_sequence_header(info["item_bytes"](tid))
+    out["ispe"] = info["ispe"]
+    return out

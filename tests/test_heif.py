@@ -243,3 +243,30 @@ def test_imir_mirrors_expected_axis(imir, flip):
         assert bright_right and not bright_left
     else:  # up-down flip leaves the left edge bright
         assert bright_left and not bright_right
+
+
+def test_avif_header_parse_real_aom_fixture():
+    """A real libaom-encoded AVIF (committed fixture): the AV1 OBU
+    sequence-header parse reports the true coded geometry and depth,
+    and the decode seam names them."""
+    import os
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "avif_a.avif")
+    data = open(fix, "rb").read()
+    facts = heif.parse_avif_header(data)
+    assert facts["width"] == 64 and facts["height"] == 48
+    assert facts["bit_depth"] == 8 and facts["still_picture"] == 1
+    assert facts["ispe"] == (64, 48)
+    with pytest.raises(NotImplementedError, match="64x48 8-bit"):
+        heif.decode_heif(data)
+
+
+def test_avif_header_parse_rejects_garbage():
+    with pytest.raises(ValueError):
+        heif.parse_av1_sequence_header(b"\x80garbage")
+    with pytest.raises(ValueError):
+        heif.parse_av1_sequence_header(b"")
+    # truncated leb128 size
+    with pytest.raises(ValueError):
+        heif.parse_av1_sequence_header(bytes([0x0A, 0xFF]))
