@@ -142,9 +142,10 @@ def decode_image(payload: bytes, codec: str) -> np.ndarray:
             "tiff": imgcodecs.decode_tiff,
         }[kind](payload)
     if kind in ("heic", "avif"):
-        # HEIF item layer (kernels/heif): PCM hvc1 items decode via
-        # the libde265-cross-validated kernels/hevc; entropy-coded
-        # camera HEICs and AVIF raise their named seams
+        # HEIF item layer (kernels/heif): hvc1 items — PCM and
+        # entropy-coded (camera/x265, 8-bit + Main10) — decode via
+        # the libde265-validated kernels/hevc + hevc_intra; AVIF
+        # raises its named seam carrying real sequence-header facts
         from ragflow_ocr_spark.kernels import heif
 
         return heif.decode_heif(payload)
@@ -157,9 +158,9 @@ def _decode_frame(frame: bytes) -> "np.ndarray":
     (webm V_VP8), Annex-B H.264 access units (mp4 avc1 / webm
     V_MPEG4/ISO/AVC — I_PCM decodes, entropy-coded frames are the
     named per-row seam, kernels/h264), or Annex-B HEVC access units
-    (mp4 hvc1 / webm V_MPEGH/ISO/HEVC — PCM CUs decode through the
-    libde265-cross-validated kernels/hevc, entropy-coded content is
-    the named seam)."""
+    (mp4 hvc1 / webm V_MPEGH/ISO/HEVC — PCM and entropy-coded intra
+    frames decode through the libde265-validated kernels/hevc +
+    hevc_intra; inter P/B frames are the named seam)."""
     if frame.startswith(b"\xff\xd8"):
         from ragflow_ocr_spark.kernels import imgcodecs
 
@@ -677,7 +678,7 @@ def _iter_webm_frames(payload: bytes) -> Iterator[bytes]:
         # HEVC in Matroska: CodecPrivate is the hvcC record and
         # blocks are HVCC samples — re-emit as Annex-B access units
         # (same contract as the mp4 hvc1 route; kernels/hevc decodes
-        # PCM CUs, entropy-coded content is the named per-row seam)
+        # PCM and entropy-coded INTRA frames decode; inter is the seam)
         from ragflow_ocr_spark.kernels import hevc as hevcmod
 
         if codec_private is None:
