@@ -258,14 +258,32 @@ class _CabacDecoder:
         else:
             bin_val = ctx[1]
             ctx[0] = min(ctx[0] + 1, 62)
-        while self.range < 256:
-            self.range <<= 1
-            self.offset = (self.offset << 1) | self.r.u(1)
+        rng = self.range
+        if rng < 256:
+            # renormalization with the single-bit reads inlined —
+            # decode_decision is the engine's hottest path
+            r = self.r
+            p, n, d, off = r.pos, r.n, r.data, self.offset
+            while rng < 256:
+                if p >= n:
+                    raise ValueError("truncated H.264 RBSP")
+                off = (off << 1) | ((d[p >> 3] >> (7 - (p & 7))) & 1)
+                p += 1
+                rng <<= 1
+            r.pos = p
+            self.range = rng
+            self.offset = off
         return bin_val
 
     def decode_bypass(self) -> int:
         """Spec 9.3.4.3.4 DecodeBypass (EP bins)."""
-        self.offset = (self.offset << 1) | self.r.u(1)
+        r = self.r
+        p = r.pos
+        if p >= r.n:
+            raise ValueError("truncated H.264 RBSP")
+        r.pos = p + 1
+        self.offset = (self.offset << 1) | (
+            (r.data[p >> 3] >> (7 - (p & 7))) & 1)
         if self.offset >= self.range:
             self.offset -= self.range
             return 1
