@@ -416,14 +416,17 @@ def encode_heic_yuv(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     uses the transquant-bypass intra encoder (kernels/hevc_intra) —
     also byte-exact, but through the full entropy-coded decode path
     every real camera/x265 HEIC takes."""
-    if coder == "cabac":
+    bit_depth = 8
+    if coder in ("cabac", "cabac10"):
         from ragflow_ocr_spark.kernels import hevc_intra
 
-        au = hevc_intra.encode_hevc_intra_lossless_yuv(y, u, v)
+        bit_depth = 10 if coder == "cabac10" else 8
+        au = hevc_intra.encode_hevc_intra_lossless_yuv(
+            y, u, v, bit_depth=bit_depth)
     else:
         au = hevc.encode_hevc_ipcm_yuv(y, u, v)
     body, vps, sps, pps = hevc.annexb_au_to_hvcc(au)
-    hvcc = hevc.build_hvcc(vps, sps, pps)
+    hvcc = hevc.build_hvcc(vps, sps, pps, bit_depth=bit_depth)
     h, w = np.asarray(y).shape[:2]
 
     def box(tag: bytes, payload: bytes) -> bytes:

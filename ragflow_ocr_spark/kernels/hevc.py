@@ -44,8 +44,9 @@ profile INTRA decoder in kernels/hevc_intra.py — CABAC coding
 quadtree, all 35 intra modes, residual coding, DST/DCT inverse
 transforms, deblocking, SAO, WPP substreams — validated sample-exact
 against the system libde265 on real x265 encodes
-(tests/test_hevc_intra.py). Remaining named seams: non-I slices
-(inter prediction), tiles, scaling lists, >8-bit / non-4:2:0.
+(tests/test_hevc_intra.py), for 8-bit AND Main10 streams. Remaining
+named seams: non-I slices (inter prediction), tiles, scaling lists,
+>10-bit / non-4:2:0.
 
 Error contract: ValueError on malformed input, NotImplementedError on
 the named seam — the Spark media stages map both to per-row error
@@ -972,21 +973,23 @@ def encode_hevc_ipcm(img: np.ndarray) -> bytes:
 
 # ------------------------------------------------------------ hvcC / mp4
 def build_hvcc(vps_nals: list[bytes], sps_nals: list[bytes],
-               pps_nals: list[bytes], nal_length_size: int = 4) -> bytes:
+               pps_nals: list[bytes], nal_length_size: int = 4,
+               bit_depth: int = 8) -> bytes:
     """VPS/SPS/PPS NAL units -> HEVCDecoderConfigurationRecord."""
     if not vps_nals or not sps_nals or not pps_nals:
         raise ValueError("hvcC needs at least one VPS, SPS and PPS")
     out = bytearray()
     out.append(1)                       # configurationVersion
-    out.append(1)                       # profile_space/tier/profile(Main)
-    out += struct.pack(">I", 1 << 30)   # compatibility flags
+    # profile: Main (1) for 8-bit, Main10 (2) otherwise
+    out.append(1 if bit_depth == 8 else 2)
+    out += struct.pack(">I", 1 << (31 - (1 if bit_depth == 8 else 2)))
     out += bytes([0b10110000, 0, 0, 0, 0, 0])  # constraint flags
     out.append(153)                     # level 5.1
     out += struct.pack(">H", 0xF000)    # min_spatial_segmentation_idc
     out.append(0xFC)                    # parallelismType
     out.append(0xFC | 1)                # chroma_format_idc 4:2:0
-    out.append(0xF8)                    # bit_depth_luma_minus8
-    out.append(0xF8)                    # bit_depth_chroma_minus8
+    out.append(0xF8 | (bit_depth - 8))  # bit_depth_luma_minus8
+    out.append(0xF8 | (bit_depth - 8))  # bit_depth_chroma_minus8
     out += struct.pack(">H", 0)         # avgFrameRate
     out.append((1 << 3) | (1 << 2) | (nal_length_size - 1))
     arrays = ((NAL_VPS, vps_nals), (NAL_SPS, sps_nals),

@@ -1355,7 +1355,7 @@ def decode_intra_au(sps: dict, pps: dict, slices, parse_header):
 # decoder against an independent implementation.
 # =====================================================================
 
-def _sps_lossless_rbsp(pic_w, pic_h, crop_r, crop_b):
+def _sps_lossless_rbsp(pic_w, pic_h, crop_r, crop_b, bit_depth=8):
     from ragflow_ocr_spark.kernels.h264 import _BitWriter
     from ragflow_ocr_spark.kernels.hevc import _write_ptl
 
@@ -1373,8 +1373,8 @@ def _sps_lossless_rbsp(pic_w, pic_h, crop_r, crop_b):
         bw.ue(0), bw.ue(crop_r // 2), bw.ue(0), bw.ue(crop_b // 2)
     else:
         bw.u(0, 1)
-    bw.ue(0)    # bit_depth_luma_minus8
-    bw.ue(0)    # bit_depth_chroma_minus8
+    bw.ue(bit_depth - 8)    # bit_depth_luma_minus8
+    bw.ue(bit_depth - 8)    # bit_depth_chroma_minus8
     bw.ue(0)    # log2_max_pic_order_cnt_lsb_minus4
     bw.u(0, 1)  # sps_sub_layer_ordering_info_present_flag
     bw.ue(0), bw.ue(0), bw.ue(0)
@@ -1584,24 +1584,32 @@ def _enc_residual(enc, ctx, coeff, log2, c_idx):
                 rice = min(rice + 1, 4)
 
 
-def encode_hevc_intra_lossless_yuv(y, u, v) -> bytes:
+def encode_hevc_intra_lossless_yuv(y, u, v, bit_depth: int = 8
+                                   ) -> bytes:
     """YUV420 planes -> Annex-B IDR access unit of transquant-bypass
     intra CUs (CTB = CU = TU = 16). Byte-exact: any conformant
     decoder reconstructs the planes exactly (libde265-verified in
-    tests). Luma dims must be even."""
+    tests). Luma dims must be even. bit_depth 8 (uint8 planes) or
+    10 (uint16 planes, values < 1024) — Main10."""
     from ragflow_ocr_spark.kernels import hevc as H
     from ragflow_ocr_spark.kernels.h264 import _BitWriter
 
-    y = np.asarray(y, np.uint8)
+    if bit_depth not in (8, 10):
+        raise ValueError("bit_depth must be 8 or 10")
+    dt = np.uint8 if bit_depth == 8 else np.uint16
+    y = np.asarray(y, dt)
     h, w = y.shape
     if w % 2 or h % 2 or w < 2 or h < 2 or w * h > H.MAX_HEVC_PIXELS:
         raise ValueError("encode_hevc_intra_lossless_yuv needs even "
                          "dims in budget")
     ch, cw = (h + 1) // 2, (w + 1) // 2
-    u = np.asarray(u, np.uint8)
-    v = np.asarray(v, np.uint8)
+    u = np.asarray(u, dt)
+    v = np.asarray(v, dt)
     if u.shape != (ch, cw) or v.shape != (ch, cw):
         raise ValueError("chroma plane shape mismatch")
+    if bit_depth == 10 and max(int(y.max()), int(u.max()),
+                               int(v.max())) > 1023:
+        raise ValueError("10-bit plane values must be < 1024")
     ctb = 16
     w_ctbs, h_ctbs = -(-w // ctb), -(-h // ctb)
     pic_w, pic_h = w_ctbs * ctb, h_ctbs * ctb
@@ -1611,7 +1619,8 @@ def encode_hevc_intra_lossless_yuv(y, u, v) -> bytes:
     vp = np.pad(v, ((0, pic_h // 2 - ch), (0, pic_w // 2 - cw)),
                 "edge")
 
-    sps_rbsp = _sps_lossless_rbsp(pic_w, pic_h, pic_w - w, pic_h - h)
+    sps_rbsp = _sps_lossless_rbsp(pic_w, pic_h, pic_w - w, pic_h - h,
+                                  bit_depth)
     pps_rbsp = _pps_lossless_rbsp()
     sps = H.parse_sps(sps_rbsp)
     pps = H.parse_pps(pps_rbsp)
@@ -1656,7 +1665,8 @@ def encode_hevc_intra_lossless_yuv(y, u, v) -> bytes:
         src_y = yp[y0:y0 + ctb, x0:x0 + ctb].astype(np.int32)
         pred_y = state._predict(state.y, x0, y0, 4, 0, mode)
         res_y = src_y - pred_y
-        state.y[y0:y0 + ctb, x0:x0 + ctb] = src_y.astype(np.uint8)
+        state.y[y0:y0 + ctb, x0:x0 + ctb] = src_y.astype(
+            state.y.dtype)
         state.done4[y0 >> 2:(y0 + ctb) >> 2,
                     x0 >> 2:(x0 + ctb) >> 2] = True
         cx0, cy0 = x0 >> 1, y0 >> 1
@@ -1666,11 +1676,11 @@ def encode_hevc_intra_lossless_yuv(y, u, v) -> bytes:
         pred_cb = state._predict(state.cb, cx0, cy0, 3, 1, mode)
         res_cb = src_cb - pred_cb
         state.cb[cy0:cy0 + half, cx0:cx0 + half] = \
-            src_cb.astype(np.uint8)
+            src_cb.astype(state.cb.dtype)
         pred_cr = state._predict(state.cr, cx0, cy0, 3, 2, mode)
         res_cr = src_cr - pred_cr
         state.cr[cy0:cy0 + half, cx0:cx0 + half] = \
-            src_cr.astype(np.uint8)
+            src_cr.astype(state.cr.dtype)
         cbf_cb = bool(res_cb.any())
         cbf_cr = bool(res_cr.any())
         cbf_luma = bool(res_y.any())

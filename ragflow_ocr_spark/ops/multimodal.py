@@ -1106,14 +1106,25 @@ def q_media_image_stats(spark, sf_dir: str):
                         # gray is the clipped BT.601 map of each tone:
                         # closed form in SQL while the real HEIF item
                         # layer parse runs. Alternating coders: PCM
-                        # CTBs and CABAC transquant-bypass intra (the
-                        # path every real camera/x265 HEIC takes)
+                        # CTBs, CABAC transquant-bypass intra (the
+                        # path every real camera/x265 HEIC takes) and
+                        # Main10 CABAC (10-bit planes; the uint8 route
+                        # keeps the high byte so the closed form holds)
                         from ragflow_ocr_spark.kernels import heif
 
-                        cp = np.full((24, 32), 128, np.uint8)
-                        coder = "cabac" if did % 32 == 27 else "pcm"
-                        payload, codec = heif.encode_heic_yuv(
-                            img, cp, cp, coder=coder), "heic"
+                        if did % 64 == 59:
+                            payload = heif.encode_heic_yuv(
+                                img.astype(np.uint16) << 2,
+                                np.full((24, 32), 512, np.uint16),
+                                np.full((24, 32), 512, np.uint16),
+                                coder="cabac10")
+                        else:
+                            cp = np.full((24, 32), 128, np.uint8)
+                            coder = "cabac" if did % 32 == 27 \
+                                else "pcm"
+                            payload = heif.encode_heic_yuv(
+                                img, cp, cp, coder=coder)
+                        codec = "heic"
                     elif did % 8 == 3:
                         payload, codec = imgcodecs.encode_gif(img, interlace=True), "gif"
                     else:

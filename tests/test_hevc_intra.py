@@ -342,3 +342,67 @@ def test_main10_fixture_sample_exact():
     assert y8.dtype == np.uint8
     assert np.array_equal(y8, (truth["y"][:hh, :ww] >> 2).astype(
         np.uint8))
+
+
+def test_lossless_encoder_main10_roundtrip():
+    from ragflow_ocr_spark.kernels import hevc_intra
+
+    rng = np.random.default_rng(13)
+    y = rng.integers(0, 1024, (34, 50)).astype(np.uint16)
+    cb = rng.integers(0, 1024, (17, 25)).astype(np.uint16)
+    cr = rng.integers(0, 1024, (17, 25)).astype(np.uint16)
+    au = hevc_intra.encode_hevc_intra_lossless_yuv(y, cb, cr,
+                                                   bit_depth=10)
+    sps = pps = None
+    slices = []
+    for nt, rb, ep in hevc._iter_nals_annexb_epb(au):
+        if nt == 33:
+            sps = hevc.parse_sps(rb)
+        elif nt == 34:
+            pps = hevc.parse_pps(rb)
+        elif nt in hevc._IRAP_TYPES:
+            slices.append((nt, rb, ep))
+    yp, up, vp = hevc_intra.decode_intra_au(
+        sps, pps, slices, hevc._parse_slice_header)
+    assert np.array_equal(yp[:34, :50], y)
+    assert np.array_equal(up[:17, :25], cb)
+    assert np.array_equal(vp[:17, :25], cr)
+
+
+@live
+def test_lossless_encoder_main10_libde265_crossval():
+    import ctypes
+
+    from ragflow_ocr_spark.kernels import hevc_intra
+
+    rng = np.random.default_rng(17)
+    y = rng.integers(0, 1024, (48, 64)).astype(np.uint16)
+    cb = rng.integers(0, 1024, (24, 32)).astype(np.uint16)
+    cr = rng.integers(0, 1024, (24, 32)).astype(np.uint16)
+    au = hevc_intra.encode_hevc_intra_lossless_yuv(y, cb, cr,
+                                                   bit_depth=10)
+    L = _LIB
+    ctx = L.de265_new_decoder()
+    try:
+        assert L.de265_push_data(ctx, au, len(au), 0, None) == 0
+        assert L.de265_flush_data(ctx) == 0
+        more = ctypes.c_int(1)
+        img = None
+        for _ in range(64):
+            L.de265_decode(ctx, ctypes.byref(more))
+            img = L.de265_get_next_picture(ctx)
+            if img or not more.value:
+                break
+        assert img
+        for ch, exp in ((0, y), (1, cb), (2, cr)):
+            w = L.de265_get_image_width(img, ch)
+            h = L.de265_get_image_height(img, ch)
+            stride = ctypes.c_int()
+            ptr = L.de265_get_image_plane(img, ch,
+                                          ctypes.byref(stride))
+            a = np.frombuffer(
+                ctypes.string_at(ptr, stride.value * h),
+                np.uint16).reshape(h, stride.value // 2)[:, :w]
+            assert np.array_equal(a, exp)
+    finally:
+        L.de265_free_decoder(ctx)
