@@ -1358,10 +1358,16 @@ def _synth_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     # hvcC/HVCC demux + NAL/CABAC/PCM decode run
                     # inside this driver-oracle-checked query
                     from ragflow_ocr_spark.kernels import hevc as hevcmod
+                    from ragflow_ocr_spark.kernels import hevc_intra
 
                     cp = np.full((12, 16), 128, np.uint8)
+                    # alternate coded forms per frame: PCM CTBs and
+                    # CABAC transquant-bypass intra — both byte-exact,
+                    # so the closed-form oracle is unchanged while the
+                    # entropy-coded video-keyframe path is exercised
                     aus = [
-                        hevcmod.encode_hevc_ipcm_yuv(
+                        (hevc_intra.encode_hevc_intra_lossless_yuv
+                         if idx % 2 else hevcmod.encode_hevc_ipcm_yuv)(
                             np.full((24, 32),
                                     64 + (did * 31 + idx * 7) % 128,
                                     np.uint8), cp, cp)
