@@ -44,9 +44,13 @@ profile INTRA decoder in kernels/hevc_intra.py — CABAC coding
 quadtree, all 35 intra modes, residual coding, DST/DCT inverse
 transforms, deblocking, SAO, WPP substreams — validated sample-exact
 against the system libde265 on real x265 encodes
-(tests/test_hevc_intra.py), for 8-bit AND Main10 streams. Remaining
-named seams: non-I slices (inter prediction), tiles, scaling lists,
->10-bit / non-4:2:0.
+(tests/test_hevc_intra.py), for 8-bit AND Main10 streams; low-delay
+P pictures (merge/skip, AMVP integer-MV motion compensation, inter
+residual, MV-derived deblocking strengths) decode via
+kernels/hevc_inter with the same libde265 falsification
+(tests/test_hevc_inter.py). Remaining named seams: B slices,
+multi-reference/TMVP, fractional-pel MC, non-2Nx2N inter partitions,
+tiles, scaling lists, >10-bit / non-4:2:0.
 
 Error contract: ValueError on malformed input, NotImplementedError on
 the named seam — the Spark media stages map both to per-row error
@@ -510,7 +514,7 @@ def parse_sps(rbsp: bytes) -> dict:
     if r.u(1):  # long_term_ref_pics_present_flag
         raise NotImplementedError(
             "HEVC long-term references not bundled (keyframe layer)")
-    r.u(1)  # sps_temporal_mvp_enabled_flag
+    tmvp = r.u(1)  # sps_temporal_mvp_enabled_flag
     strong_smoothing = r.u(1)
     # VUI and extensions are ignorable for the keyframe layer
     if chroma == 1:
@@ -533,7 +537,7 @@ def parse_sps(rbsp: bytes) -> dict:
         "min_cb_log2": min_cb_log2, "ctb_log2": ctb_log2,
         "min_tb_log2": min_tb_log2, "max_tb_log2": max_tb_log2,
         "hier_inter": hier_inter, "hier_intra": hier_intra,
-        "strong_smoothing": strong_smoothing,
+        "strong_smoothing": strong_smoothing, "tmvp": tmvp,
         "amp": amp, "sao": sao, "pcm": pcm,
         "log2_max_poc": log2_max_poc,
     }
@@ -718,16 +722,58 @@ def _parse_slice_header(r: _BitReader, nal_type: int, sps: dict,
     slice_type = r.ue()
     if pps["output_flag_present"]:
         r.u(1)
+    poc_lsb = 0
+    n_neg_refs = 0
     if nal_type not in (NAL_IDR_W_RADL, NAL_IDR_N_LP):
-        raise NotImplementedError(
-            "HEVC non-IDR pictures not bundled (keyframe layer)")
-    if slice_type != 2:
-        raise NotImplementedError(
-            "HEVC non-I slices not bundled (keyframe layer)")
+        if nal_type in _IRAP_TYPES:
+            raise NotImplementedError(
+                "HEVC CRA/BLA pictures not bundled (IDR + trailing)")
+        # trailing picture: POC lsb + slice-header short-term RPS
+        poc_lsb = r.u(sps["log2_max_poc"])
+        if not r.u(1):  # short_term_ref_pic_set_sps_flag
+            # st_ref_pic_set(idx == num_short_term_ref_pic_sets):
+            # sps carries zero sets, so no prediction flag
+            n_neg = r.ue()  # num_negative_pics
+            n_pos = r.ue()
+            if n_pos:
+                raise NotImplementedError(
+                    "HEVC positive (future) references not bundled "
+                    "(low-delay P layer)")
+            for _ in range(n_neg):
+                r.ue()      # delta_poc_s0_minus1
+                if r.u(1):  # used_by_curr_pic_s0_flag
+                    n_neg_refs += 1
+        else:
+            raise ValueError("HEVC slice references an SPS RPS but "
+                             "the SPS carries none")
+        # (sps long-term refs are parse-gated off in parse_sps)
+        if sps["tmvp"]:
+            if r.u(1):  # slice_temporal_mvp_enabled_flag
+                raise NotImplementedError(
+                    "HEVC temporal MV prediction not bundled")
+    if slice_type == 0:
+        raise NotImplementedError("HEVC B slices not bundled")
+    if slice_type not in (1, 2):
+        raise ValueError("HEVC invalid slice_type")
+    if slice_type != 2 and nal_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP):
+        raise ValueError("HEVC IDR with non-I slice")
     sao_luma = sao_chroma = 0
     if sps["sao"]:
         sao_luma = r.u(1)
         sao_chroma = r.u(1)
+    n_ref_l0 = 1
+    max_merge = 5
+    if slice_type == 1:  # P
+        if r.u(1):  # num_ref_idx_active_override_flag
+            n_ref_l0 = r.ue() + 1
+        # pps lists_modification/weighted-pred/cabac_init gated off in
+        # the shapes we parse (flags checked below for foreign PPS)
+        if pps["cabac_init_present"]:
+            raise NotImplementedError(
+                "HEVC cabac_init_flag not bundled")
+        max_merge = 5 - r.ue()
+        if not 1 <= max_merge <= 5:
+            raise ValueError("HEVC five_minus_max_num_merge_cand")
     qp = pps["init_qp"] + r.se()
     cb_qp_off = pps["cb_qp_offset"]
     cr_qp_off = pps["cr_qp_offset"]
@@ -762,6 +808,9 @@ def _parse_slice_header(r: _BitReader, nal_type: int, sps: dict,
         raise ValueError("bad HEVC slice header byte alignment")
     r.byte_align()
     return {"first": first, "addr": addr, "qp": qp,
+            "slice_type": slice_type, "poc_lsb": poc_lsb,
+            "n_neg_refs": n_neg_refs, "n_ref_l0": n_ref_l0,
+            "max_merge": max_merge,
             "sao_luma": sao_luma, "sao_chroma": sao_chroma,
             "cb_qp_off": cb_qp_off, "cr_qp_off": cr_qp_off,
             "deblock_disabled": deblock_disabled,

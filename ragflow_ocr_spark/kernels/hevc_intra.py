@@ -180,9 +180,9 @@ class _Ctx:
 
     __slots__ = ("t",)
 
-    def __init__(self, qp: int) -> None:
+    def __init__(self, qp: int, table: dict = None) -> None:
         self.t = {name: [_ctx_init(v, qp) for v in vals]
-                  for name, vals in _INIT_I.items()}
+                  for name, vals in (table or _INIT_I).items()}
 
     def snapshot(self) -> dict:
         return {k: [c[:] for c in v] for k, v in self.t.items()}
@@ -196,6 +196,8 @@ class IntraDecoder:
     + _parse_slice_header in kernels/hevc.py. Returns full-size (un-
     cropped) Y/Cb/Cr planes; the caller applies the conformance crop.
     """
+
+    CTX_TABLE = _INIT_I  # P subclass swaps in initType-1 values
 
     def __init__(self, sps: dict, pps: dict) -> None:
         if sps["chroma"] != 1 \
@@ -231,6 +233,8 @@ class IntraDecoder:
         # parse-time z-order availability (MPM neighbours may be
         # earlier PUs of the same CU, parsed but not yet recon'd)
         self.parsed4 = np.zeros(g, bool)
+        self.intra4 = np.zeros(g, bool)   # MODE_INTRA per 4x4
+        self.cbf4 = np.zeros(g, bool)     # nonzero luma TU coeffs
         self.mode4 = np.ones(g, np.uint8)      # DC until written
         self.depth4 = np.zeros(g, np.uint8)
         self.qp4 = np.zeros(g, np.int16)
@@ -249,7 +253,7 @@ class IntraDecoder:
         self.slice_qp = hdr["qp"]
         if not -26 <= self.slice_qp <= 51:
             raise ValueError("HEVC slice QP out of range")
-        ctx = _Ctx(self.slice_qp)
+        ctx = _Ctx(self.slice_qp, self.CTX_TABLE)
         self.ctx = ctx.t
         byte0 = (data_bit_pos + 7) // 8
         entry = hdr["entry_points"]
@@ -302,7 +306,7 @@ class IntraDecoder:
                     ctx.restore(snap)
                     self.ctx = ctx.t
                 else:
-                    ctx = _Ctx(self.slice_qp)
+                    ctx = _Ctx(self.slice_qp, self.CTX_TABLE)
                     self.ctx = ctx.t
                 self.qpy_last = self.slice_qp
             self._decode_ctu(cx, cy)
@@ -442,10 +446,17 @@ class IntraDecoder:
     def _coding_unit(self, x0: int, y0: int, log2: int,
                      depth: int) -> None:
         dec, ctx = self.dec, self.ctx
-        n = 1 << log2
         self.tqb = 0
         if self.pps["transquant_bypass"]:
             self.tqb = dec.decode_decision(ctx["tqb"][0])
+        self._coding_unit_intra(x0, y0, log2, depth)
+
+    def _coding_unit_intra(self, x0: int, y0: int, log2: int,
+                           depth: int) -> None:
+        """Intra CU body after cu_transquant_bypass (and, in P
+        slices, after cu_skip/pred_mode) — spec 7.3.8.5."""
+        dec, ctx = self.dec, self.ctx
+        n = 1 << log2
         part_nxn = False
         if log2 == self.min_cb_log2:
             if not dec.decode_decision(ctx["part_mode"][0]):
@@ -490,6 +501,8 @@ class IntraDecoder:
                        px >> 2:(px + pu_n) >> 2] = mode
             self.parsed4[py >> 2:(py + pu_n) >> 2,
                          px >> 2:(px + pu_n) >> 2] = True
+            self.intra4[py >> 2:(py + pu_n) >> 2,
+                        px >> 2:(px + pu_n) >> 2] = True
         # chroma mode (4:2:0: one per CU)
         if dec.decode_decision(ctx["intra_chroma"][0]):
             idx = dec.decode_bypass_bits(2)
@@ -516,6 +529,7 @@ class IntraDecoder:
             self.mode4[ys, xs] = 1  # DC candidate per 8.4.2
             self.done4[ys, xs] = True
         self.parsed4[ys, xs] = True
+        self.intra4[ys, xs] = True
         self.qpy_last = qp
         # deblocking: CU boundary edges (TU marking covers them too,
         # but PCM CUs have no TU tree)
@@ -531,9 +545,11 @@ class IntraDecoder:
         """8.4.2 three most-probable-mode candidates."""
         cand_a = cand_b = 1  # DC
         if px > 0 and self.parsed4[py >> 2, (px - 1) >> 2] \
+                and self.intra4[py >> 2, (px - 1) >> 2] \
                 and not self.pcm4[py >> 2, (px - 1) >> 2]:
             cand_a = int(self.mode4[py >> 2, (px - 1) >> 2])
         if py > 0 and self.parsed4[(py - 1) >> 2, px >> 2] \
+                and self.intra4[(py - 1) >> 2, px >> 2] \
                 and not self.pcm4[(py - 1) >> 2, px >> 2] \
                 and (py - 1) >> self.ctb_log2 == py >> self.ctb_log2:
             cand_b = int(self.mode4[(py - 1) >> 2, px >> 2])
@@ -635,6 +651,9 @@ class IntraDecoder:
             if cbf_luma else None
         self._recon(self.y, x0, y0, log2, 0, mode, coeff)
         n4 = 1 << (log2 - 2)
+        if cbf_luma:
+            self.cbf4[y0 >> 2:(y0 >> 2) + n4,
+                      x0 >> 2:(x0 >> 2) + n4] = True
         self.done4[y0 >> 2:(y0 >> 2) + n4,
                    x0 >> 2:(x0 >> 2) + n4] = True
         self._mark_edges(x0, y0, 1 << log2)
@@ -675,7 +694,8 @@ class IntraDecoder:
         if self.pps["transform_skip"] and log2 == 2 and not self.tqb:
             tskip = bool(dec.decode_decision(
                 ctx["tskip"][0 if c_idx == 0 else 1]))
-        scan_idx = _scan_idx_for(mode, log2, c_idx)
+        scan_idx = 0 if mode is None \
+            else _scan_idx_for(mode, log2, c_idx)
         # last significant position
         cmax = (log2 << 1) - 1
         if c_idx == 0:
@@ -888,8 +908,9 @@ class IntraDecoder:
             r = (d << 7)
             r = (r + (1 << (sh2 - 1))) >> sh2
             return np.clip(r, -32768, 32767).astype(np.int32)
-        # 8.6.4: DST-VII for 4x4 intra luma, DCT-II otherwise
-        t = _DST4 if (log2 == 2 and c_idx == 0) else _DCT[1 << log2]
+        # 8.6.4: DST-VII for 4x4 INTRA luma (mode None = inter: DCT)
+        t = _DST4 if (log2 == 2 and c_idx == 0 and mode is not None) \
+            else _DCT[1 << log2]
         e = t.T @ d
         e = np.clip((e + 64) >> 7, -32768, 32767)
         r = e @ t
@@ -1115,6 +1136,12 @@ class IntraDecoder:
     def _qp_at(self, x, y):
         return int(self.qp4[y >> 2, x >> 2])
 
+    def _edge_bs(self, vertical, pos, seg) -> int:
+        """Boundary strength for the 4-line segment at a filtered
+        edge; every edge in a pure-intra picture is bS 2 (8.7.2.4).
+        The P-slice subclass derives 2/1/0 from intra/cbf/MV state."""
+        return 2
+
     def _deblock_luma_seg(self, vertical, pos, seg, beta_off, tc_off):
         """Filter one 4-line luma segment across an 8x8-grid edge
         (spec 8.7.2.5.3/8.7.2.5.7); bS = 2 everywhere (intra)."""
@@ -1132,6 +1159,9 @@ class IntraDecoder:
             else:
                 y[pos + side, seg + line] = v
 
+        bs = self._edge_bs(vertical, pos, seg)
+        if bs == 0:
+            return
         if vertical:
             qp_p = self._qp_at(pos - 1, seg)
             qp_q = self._qp_at(pos, seg)
@@ -1141,7 +1171,8 @@ class IntraDecoder:
         qp_l = (qp_p + qp_q + 1) >> 1
         sh = self.bd - 8
         beta = _BETA_TAB[min(max(qp_l + beta_off, 0), 51)] << sh
-        tc = _TC_TAB[min(max(qp_l + 2 + tc_off, 0), 53)] << sh
+        tc = _TC_TAB[min(max(qp_l + 2 * (bs - 1) + tc_off, 0),
+                         53)] << sh
         if beta == 0:
             return
         p = [[get(-1 - i, ln) for i in range(4)] for ln in range(4)]
@@ -1212,6 +1243,8 @@ class IntraDecoder:
     def _deblock_chroma_seg(self, vertical, pos, seg, tc_off):
         """8.7.2.5.5: chroma filtered only for bS==2 (always, intra);
         `pos`/`seg` are LUMA coordinates on the 16/4 grids."""
+        if self._edge_bs(vertical, pos, seg) != 2:
+            return  # chroma is filtered only across intra (bS 2) edges
         cpos = pos >> 1
         for plane, qp_off in ((self.cb, self.pps["cb_qp_offset"]),
                               (self.cr, self.pps["cr_qp_offset"])):
@@ -1375,7 +1408,7 @@ def _sps_lossless_rbsp(pic_w, pic_h, crop_r, crop_b, bit_depth=8):
         bw.u(0, 1)
     bw.ue(bit_depth - 8)    # bit_depth_luma_minus8
     bw.ue(bit_depth - 8)    # bit_depth_chroma_minus8
-    bw.ue(0)    # log2_max_pic_order_cnt_lsb_minus4
+    bw.ue(4)    # log2_max_pic_order_cnt_lsb_minus4 (8-bit POC)
     bw.u(0, 1)  # sps_sub_layer_ordering_info_present_flag
     bw.ue(0), bw.ue(0), bw.ue(0)
     bw.ue(1)    # log2_min_luma_cb_size_minus3 (16)
@@ -1584,6 +1617,64 @@ def _enc_residual(enc, ctx, coeff, log2, c_idx):
                 rice = min(rice + 1, 4)
 
 
+def _encode_intra_cu16(state, enc, ctx, x0, y0, yp, up, vp):
+    """Encode one 16x16 intra CU (PART_2Nx2N, DM chroma) losslessly
+    against the decoder-twin `state` — shared by the still encoder
+    and the P-GOP encoder's forced-intra CUs."""
+    ctb = 16
+    enc.encode_decision(ctx["part_mode"][0], 1)  # PART_2Nx2N
+    mpm = state._mpm(x0, y0)
+    mode = 1 if 1 in mpm else 0 if 0 in mpm else mpm[0]
+    idx = mpm.index(mode)
+    enc.encode_decision(ctx["prev_intra"][0], 1)
+    enc.encode_bypass(0 if idx == 0 else 1)
+    if idx:
+        enc.encode_bypass(idx - 1)
+    state.mode4[y0 >> 2:(y0 + ctb) >> 2,
+                x0 >> 2:(x0 + ctb) >> 2] = mode
+    state.parsed4[y0 >> 2:(y0 + ctb) >> 2,
+                  x0 >> 2:(x0 + ctb) >> 2] = True
+    state.intra4[y0 >> 2:(y0 + ctb) >> 2,
+                 x0 >> 2:(x0 + ctb) >> 2] = True
+    enc.encode_decision(ctx["intra_chroma"][0], 0)  # DM
+    # transform tree: TU == CU == 16, no split flag signalled
+    src_y = yp[y0:y0 + ctb, x0:x0 + ctb].astype(np.int32)
+    pred_y = state._predict(state.y, x0, y0, 4, 0, mode)
+    res_y = src_y - pred_y
+    state.y[y0:y0 + ctb, x0:x0 + ctb] = src_y.astype(state.y.dtype)
+    state.done4[y0 >> 2:(y0 + ctb) >> 2,
+                x0 >> 2:(x0 + ctb) >> 2] = True
+    cx0, cy0 = x0 >> 1, y0 >> 1
+    half = ctb >> 1
+    src_cb = up[cy0:cy0 + half, cx0:cx0 + half].astype(np.int32)
+    src_cr = vp[cy0:cy0 + half, cx0:cx0 + half].astype(np.int32)
+    pred_cb = state._predict(state.cb, cx0, cy0, 3, 1, mode)
+    res_cb = src_cb - pred_cb
+    state.cb[cy0:cy0 + half, cx0:cx0 + half] = \
+        src_cb.astype(state.cb.dtype)
+    pred_cr = state._predict(state.cr, cx0, cy0, 3, 2, mode)
+    res_cr = src_cr - pred_cr
+    state.cr[cy0:cy0 + half, cx0:cx0 + half] = \
+        src_cr.astype(state.cr.dtype)
+    cbf_cb = bool(res_cb.any())
+    cbf_cr = bool(res_cr.any())
+    cbf_luma = bool(res_y.any())
+    enc.encode_decision(ctx["cbf_chroma"][0], int(cbf_cb))
+    enc.encode_decision(ctx["cbf_chroma"][0], int(cbf_cr))
+    enc.encode_decision(ctx["cbf_luma"][1], int(cbf_luma))
+    if cbf_luma:
+        _enc_residual(enc, ctx, res_y, 4, 0)
+    if cbf_cb:
+        _enc_residual(enc, ctx, res_cb, 3, 1)
+    if cbf_cr:
+        _enc_residual(enc, ctx, res_cr, 3, 2)
+    # the caller's qp bookkeeping (slice QP everywhere in this layer)
+    state.depth4[y0 >> 2:(y0 + ctb) >> 2,
+                 x0 >> 2:(x0 + ctb) >> 2] = 0
+    state.qp4[y0 >> 2:(y0 + ctb) >> 2,
+              x0 >> 2:(x0 + ctb) >> 2] = 26
+
+
 def encode_hevc_intra_lossless_yuv(y, u, v, bit_depth: int = 8
                                    ) -> bytes:
     """YUV420 planes -> Annex-B IDR access unit of transquant-bypass
@@ -1643,56 +1734,7 @@ def encode_hevc_intra_lossless_yuv(y, u, v, bit_depth: int = 8
         x0, y0 = cx * ctb, cy * ctb
         # log2CbSize == MinCbLog2: no split_cu_flag
         enc.encode_decision(ctx["tqb"][0], 1)
-        enc.encode_decision(ctx["part_mode"][0], 1)  # PART_2Nx2N
-        mpm = state._mpm(x0, y0)
-        mode = 1 if 1 in mpm else 0 if 0 in mpm else mpm[0]
-        if mode in mpm:
-            idx = mpm.index(mode)
-            enc.encode_decision(ctx["prev_intra"][0], 1)
-            enc.encode_bypass(0 if idx == 0 else 1)
-            if idx:
-                enc.encode_bypass(idx - 1)
-        else:  # unreachable with the choices above; kept for clarity
-            rem = mode - sum(1 for c in mpm if c < mode)
-            enc.encode_decision(ctx["prev_intra"][0], 0)
-            enc.encode_bypass_bits(rem, 5)
-        state.mode4[y0 >> 2:(y0 + ctb) >> 2,
-                    x0 >> 2:(x0 + ctb) >> 2] = mode
-        state.parsed4[y0 >> 2:(y0 + ctb) >> 2,
-                      x0 >> 2:(x0 + ctb) >> 2] = True
-        enc.encode_decision(ctx["intra_chroma"][0], 0)  # DM
-        # transform tree: TU == CU == 16, no split flag signalled
-        src_y = yp[y0:y0 + ctb, x0:x0 + ctb].astype(np.int32)
-        pred_y = state._predict(state.y, x0, y0, 4, 0, mode)
-        res_y = src_y - pred_y
-        state.y[y0:y0 + ctb, x0:x0 + ctb] = src_y.astype(
-            state.y.dtype)
-        state.done4[y0 >> 2:(y0 + ctb) >> 2,
-                    x0 >> 2:(x0 + ctb) >> 2] = True
-        cx0, cy0 = x0 >> 1, y0 >> 1
-        half = ctb >> 1
-        src_cb = up[cy0:cy0 + half, cx0:cx0 + half].astype(np.int32)
-        src_cr = vp[cy0:cy0 + half, cx0:cx0 + half].astype(np.int32)
-        pred_cb = state._predict(state.cb, cx0, cy0, 3, 1, mode)
-        res_cb = src_cb - pred_cb
-        state.cb[cy0:cy0 + half, cx0:cx0 + half] = \
-            src_cb.astype(state.cb.dtype)
-        pred_cr = state._predict(state.cr, cx0, cy0, 3, 2, mode)
-        res_cr = src_cr - pred_cr
-        state.cr[cy0:cy0 + half, cx0:cx0 + half] = \
-            src_cr.astype(state.cr.dtype)
-        cbf_cb = bool(res_cb.any())
-        cbf_cr = bool(res_cr.any())
-        cbf_luma = bool(res_y.any())
-        enc.encode_decision(ctx["cbf_chroma"][0], int(cbf_cb))
-        enc.encode_decision(ctx["cbf_chroma"][0], int(cbf_cr))
-        enc.encode_decision(ctx["cbf_luma"][1], int(cbf_luma))
-        if cbf_luma:
-            _enc_residual(enc, ctx, res_y, 4, 0)
-        if cbf_cb:
-            _enc_residual(enc, ctx, res_cb, 3, 1)
-        if cbf_cr:
-            _enc_residual(enc, ctx, res_cr, 3, 2)
+        _encode_intra_cu16(state, enc, ctx, x0, y0, yp, up, vp)
         last = addr == n_ctbs - 1
         enc.encode_terminate(1 if last else 0)
         if last:

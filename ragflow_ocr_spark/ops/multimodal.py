@@ -158,9 +158,10 @@ def _decode_frame(frame: bytes) -> "np.ndarray":
     (webm V_VP8), Annex-B H.264 access units (mp4 avc1 / webm
     V_MPEG4/ISO/AVC — I_PCM decodes, entropy-coded frames are the
     named per-row seam, kernels/h264), or Annex-B HEVC access units
-    (mp4 hvc1 / webm V_MPEGH/ISO/HEVC — PCM and entropy-coded intra
-    frames decode through the libde265-validated kernels/hevc +
-    hevc_intra; inter P/B frames are the named seam)."""
+    (mp4 hvc1 / webm V_MPEGH/ISO/HEVC tracks are converted to PNG by
+    the stateful kernels/hevc_inter sequence decoder upstream — IDR
+    and trailing-P pictures; B slices/fractional MC are the named
+    seams)."""
     if frame.startswith(b"\xff\xd8"):
         from ragflow_ocr_spark.kernels import imgcodecs
 
@@ -485,16 +486,22 @@ def _iter_mp4_frames(payload: bytes) -> Iterator[bytes]:
                 return h264mod.avcc_sample_to_annexb(s, _n, _p)
 
         elif t["codec"] in (b"hvc1", b"hev1"):
-            # HEVC: same out-of-band parameter-set shape; kernels/hevc
-            # decodes PCM CUs and names the entropy seam
+            # HEVC: same out-of-band parameter-set shape. Samples
+            # decode STATEFULLY (kernels/hevc_inter sequence decoder:
+            # IDR + trailing P pictures — real GOPs, not just
+            # keyframes) and re-emit as lossless PNG, the V_VP8
+            # convention
             from ragflow_ocr_spark.kernels import hevc as hevcmod
+            from ragflow_ocr_spark.kernels import hevc_inter
 
             if "hvcC" not in t:
                 raise ValueError("hvc1 track without hvcC record")
             nls, param_nals = hevcmod.parse_hvcc(t["hvcC"])
+            _hevc_dec = hevc_inter.HevcSequenceDecoder()
 
-            def to_annexb(s, _n=nls, _p=param_nals):
-                return hevcmod.hvcc_sample_to_annexb(s, _n, _p)
+            def to_annexb(s, _n=nls, _p=param_nals, _d=_hevc_dec):
+                au = hevcmod.hvcc_sample_to_annexb(s, _n, _p)
+                return pngcodec.encode_png(_d.decode_au(au))
 
         elif t["codec"] not in (b"jpeg", b"mjpa", b"mjpb", b"MJPG"):
             raise NotImplementedError(
@@ -676,16 +683,19 @@ def _iter_webm_frames(payload: bytes) -> Iterator[bytes]:
         return
     if cid == b"V_MPEGH/ISO/HEVC":
         # HEVC in Matroska: CodecPrivate is the hvcC record and
-        # blocks are HVCC samples — re-emit as Annex-B access units
-        # (same contract as the mp4 hvc1 route; kernels/hevc decodes
-        # PCM and entropy-coded INTRA frames decode; inter is the seam)
+        # blocks are HVCC samples. Decoded STATEFULLY (kernels/
+        # hevc_inter sequence decoder: IDR + trailing P pictures)
+        # and re-emitted as lossless PNG, the V_VP8 convention
         from ragflow_ocr_spark.kernels import hevc as hevcmod
+        from ragflow_ocr_spark.kernels import hevc_inter
 
         if codec_private is None:
             raise ValueError("V_MPEGH/ISO/HEVC track without CodecPrivate")
         nls, param_nals = hevcmod.parse_hvcc(codec_private)
-        yield from (hevcmod.hvcc_sample_to_annexb(fr, nls, param_nals)
-                    for fr in frames)
+        dec = hevc_inter.HevcSequenceDecoder()
+        yield from (pngcodec.encode_png(dec.decode_au(
+            hevcmod.hvcc_sample_to_annexb(fr, nls, param_nals)))
+            for fr in frames)
         return
     if cid != b"V_MJPEG":
         raise NotImplementedError(
@@ -1352,27 +1362,31 @@ def _synth_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     ]
                     payload, codec = encode_mp4_avc1(aus, 32, 24), "avc1_mp4"
                 elif did % 16 == 9:
-                    # HEVC hvc1 mp4: PCM flat-luma keyframes
-                    # (kernels/hevc, byte-exact and libde265-cross-
-                    # validated), same BT.601 closed form — the real
-                    # hvcC/HVCC demux + NAL/CABAC/PCM decode run
-                    # inside this driver-oracle-checked query
+                    # HEVC hvc1 mp4, flat-luma frames, BT.601 closed
+                    # form. Alternating shapes (one SPS per track —
+                    # hvcC carries the first AU's parameter sets):
+                    # PCM keyframe tracks, and REAL GOPs from the
+                    # lossless low-delay P encoder (IDR + TRAIL_R
+                    # pictures with skip/merge/AMVP/residual CUs and
+                    # forced intra refresh) decoded statefully by
+                    # kernels/hevc_inter — all byte-exact, so the
+                    # oracle is unchanged
                     from ragflow_ocr_spark.kernels import hevc as hevcmod
-                    from ragflow_ocr_spark.kernels import hevc_intra
+                    from ragflow_ocr_spark.kernels import hevc_inter
 
                     cp = np.full((12, 16), 128, np.uint8)
-                    # alternate coded forms per frame: PCM CTBs and
-                    # CABAC transquant-bypass intra — both byte-exact,
-                    # so the closed-form oracle is unchanged while the
-                    # entropy-coded video-keyframe path is exercised
-                    aus = [
-                        (hevc_intra.encode_hevc_intra_lossless_yuv
-                         if idx % 2 else hevcmod.encode_hevc_ipcm_yuv)(
-                            np.full((24, 32),
-                                    64 + (did * 31 + idx * 7) % 128,
-                                    np.uint8), cp, cp)
+                    frames_yuv = [
+                        (np.full((24, 32),
+                                 64 + (did * 31 + idx * 7) % 128,
+                                 np.uint8), cp, cp)
                         for idx in range(n_frames)
                     ]
+                    if did % 32 == 25:
+                        aus = hevc_inter.encode_hevc_lossless_gop_aus(
+                            frames_yuv, intra_every=2)
+                    else:
+                        aus = [hevcmod.encode_hevc_ipcm_yuv(*f)
+                               for f in frames_yuv]
                     payload, codec = encode_mp4_hvc1(aus, 32, 24), "hvc1_mp4"
                 elif did % 4 == 1:
                     payload, codec = encode_mp4_mjpeg(frames, 32, 24), "mjpeg_mp4"
