@@ -45,11 +45,11 @@ quadtree, all 35 intra modes, residual coding, DST/DCT inverse
 transforms, deblocking, SAO, WPP substreams — validated sample-exact
 against the system libde265 on real x265 encodes
 (tests/test_hevc_intra.py), for 8-bit AND Main10 streams; low-delay
-P pictures (merge/skip, AMVP integer-MV motion compensation, inter
-residual, MV-derived deblocking strengths) decode via
-kernels/hevc_inter with the same libde265 falsification
-(tests/test_hevc_inter.py). Remaining named seams: B slices,
-multi-reference/TMVP, fractional-pel MC, non-2Nx2N inter partitions,
+P pictures (merge/skip, AMVP motion vectors, quarter-pel 8-tap /
+eighth-pel 4-tap motion compensation, inter residual, MV-derived
+deblocking strengths) decode via kernels/hevc_inter with the same
+libde265 falsification (tests/test_hevc_inter.py). Remaining named
+seams: B slices, multi-reference/TMVP, non-2Nx2N inter partitions,
 tiles, scaling lists, >10-bit / non-4:2:0.
 
 Error contract: ValueError on malformed input, NotImplementedError on

@@ -4,16 +4,17 @@ kernels/hevc_intra.py.
 
 Scope: P slices over ONE reference picture (the previously decoded
 picture — the low-delay shape every single-layer GOP uses), 2Nx2N
-inter CUs with merge/skip and AMVP-coded motion vectors, INTEGER-pel
-motion compensation, inter residual coding (same transform machinery
-as intra, incl. transquant bypass), deblocking with real boundary
-strengths (intra/cbf/MV-derived), and intra CUs inside P slices.
+inter CUs with merge/skip and AMVP-coded motion vectors,
+QUARTER-PEL luma / EIGHTH-PEL chroma motion compensation (the spec
+8-tap and 4-tap interpolation filters with exact intermediate
+scaling), inter residual coding (same transform machinery as intra,
+incl. transquant bypass), deblocking with real boundary strengths
+(intra/cbf/MV-derived), and intra CUs inside P slices.
 
 NAMED SEAMS (per-row errors upstream): B slices, multiple/long-term
-references, temporal MV prediction (TMVP), fractional-pel motion
-compensation (the 8/4-tap interpolation filters), non-2Nx2N inter
-partitions, weighted prediction. The encoder below emits none of
-them.
+references, temporal MV prediction (TMVP), non-2Nx2N inter
+partitions, inter 4x4 TUs, weighted prediction. The encoder below
+emits none of them.
 
 PROVENANCE: every P-slice (initType 1) context initValue is
 transcribed from spec Tables 9-19..9-32 and byte-verified against the
@@ -93,6 +94,60 @@ _INIT_P = {
     "rqt_root": (79,),
     "ref_idx": (153, 153),
 }
+
+
+# spec 8.5.3.3.3 luma sub-sample interpolation filters (qpel)
+_LUMA_FILT = {
+    1: (-1, 4, -10, 58, 17, -5, 1, 0),
+    2: (-1, 4, -11, 40, 40, -11, 4, -1),
+    3: (0, 1, -5, 17, 58, -10, 4, -1),
+}
+# spec 8.5.3.3.4 chroma sub-sample filters (1/8 precision)
+_CHROMA_FILT = {
+    1: (-2, 58, 10, -2), 2: (-4, 54, 16, -2), 3: (-6, 46, 28, -4),
+    4: (-4, 36, 36, -4), 5: (-4, 28, 46, -6), 6: (-2, 16, 54, -4),
+    7: (-2, 10, 58, -2),
+}
+
+
+def _interp_block(ref, x0, y0, w, h, mvi_x, mvi_y, fx, fy, filt,
+                  taps_before, pic_w, pic_h, bd):
+    """Sub-sample interpolation per spec 8.5.3.3.3/8.5.3.3.4 with the
+    default uni-prediction rounding of 8.5.3.3.6: picture-edge
+    clamped gather, horizontal pass, vertical pass over the 14-bit
+    intermediates. fx/fy are the fractional parts in the plane's MV
+    precision (quarter-pel luma, eighth-pel chroma); integer
+    positions take the shift3 path."""
+    taps = len(next(iter(filt.values())))
+    nb = taps_before
+    na = taps - 1 - nb
+    shift1 = min(4, bd - 8)
+    rows = np.clip(np.arange(y0 + mvi_y - (nb if fy else 0),
+                             y0 + mvi_y + h + (na if fy else 0)),
+                   0, pic_h - 1)
+    cols = np.clip(np.arange(x0 + mvi_x - (nb if fx else 0),
+                             x0 + mvi_x + w + (na if fx else 0)),
+                   0, pic_w - 1)
+    blk = ref[np.ix_(rows, cols)].astype(np.int64)
+    if fx and fy:
+        f = filt[fx]
+        tmp = sum(int(f[k]) * blk[:, k:k + w] for k in range(taps))
+        tmp >>= shift1
+        f = filt[fy]
+        p14 = sum(int(f[k]) * tmp[k:k + h, :] for k in range(taps))
+        p14 >>= 6
+    elif fx:
+        f = filt[fx]
+        p14 = sum(int(f[k]) * blk[:, k:k + w] for k in range(taps))
+        p14 >>= shift1
+    elif fy:
+        f = filt[fy]
+        p14 = sum(int(f[k]) * blk[k:k + h, :] for k in range(taps))
+        p14 >>= shift1
+    else:
+        p14 = blk << max(2, 14 - bd)
+    sh = 14 - bd
+    return np.clip((p14 + (1 << (sh - 1))) >> sh, 0, (1 << bd) - 1)
 
 
 class PSliceDecoder(IntraDecoder):
@@ -247,35 +302,32 @@ class PSliceDecoder(IntraDecoder):
         return cands
 
     # -------------------------------------------------- inter recon
-    def _mc_block(self, ref, x0, y0, w, h, mvx, mvy, shift):
-        """Integer-pel motion compensation with spec 8.5.3.3.2
-        picture-edge clamping; shift=1 for chroma coords."""
-        pw = self.pic_w >> shift
-        ph = self.pic_h >> shift
-        rows = np.clip(np.arange(y0 + mvy, y0 + mvy + h), 0, ph - 1)
-        cols = np.clip(np.arange(x0 + mvx, x0 + mvx + w), 0, pw - 1)
-        return ref[np.ix_(rows, cols)]
+    def _mc_pred(self, x0, y0, n, mv):
+        """Motion-compensated prediction for the CU: quarter-pel luma
+        (8-tap), eighth-pel chroma (4-tap)."""
+        py = _interp_block(self.ref_y, x0, y0, n, n,
+                           mv[0] >> 2, mv[1] >> 2, mv[0] & 3,
+                           mv[1] & 3, _LUMA_FILT, 3,
+                           self.pic_w, self.pic_h, self.bd)
+        pcb = _interp_block(self.ref_cb, x0 >> 1, y0 >> 1,
+                            n >> 1, n >> 1, mv[0] >> 3, mv[1] >> 3,
+                            mv[0] & 7, mv[1] & 7, _CHROMA_FILT, 1,
+                            self.pic_w >> 1, self.pic_h >> 1, self.bd)
+        pcr = _interp_block(self.ref_cr, x0 >> 1, y0 >> 1,
+                            n >> 1, n >> 1, mv[0] >> 3, mv[1] >> 3,
+                            mv[0] & 7, mv[1] & 7, _CHROMA_FILT, 1,
+                            self.pic_w >> 1, self.pic_h >> 1, self.bd)
+        return py, pcb, pcr
 
     def _recon_inter(self, x0, y0, log2, mv, residual):
-        if (mv[0] & 3) or (mv[1] & 3):
-            raise NotImplementedError(
-                "HEVC fractional-pel luma MC not bundled "
-                "(integer-MV layer)")
-        if (mv[0] & 7) or (mv[1] & 7):
-            raise NotImplementedError(
-                "HEVC fractional-pel chroma MC not bundled "
-                "(even-integer-MV layer)")
         n = 1 << log2
-        py = self._mc_block(self.ref_y, x0, y0, n, n,
-                            mv[0] >> 2, mv[1] >> 2, 0)
-        pcb = self._mc_block(self.ref_cb, x0 >> 1, y0 >> 1,
-                             n >> 1, n >> 1, mv[0] >> 3, mv[1] >> 3, 1)
-        pcr = self._mc_block(self.ref_cr, x0 >> 1, y0 >> 1,
-                             n >> 1, n >> 1, mv[0] >> 3, mv[1] >> 3, 1)
+        py, pcb, pcr = self._mc_pred(x0, y0, n, mv)
         if not residual:
-            self.y[y0:y0 + n, x0:x0 + n] = py
-            self.cb[y0 >> 1:(y0 + n) >> 1, x0 >> 1:(x0 + n) >> 1] = pcb
-            self.cr[y0 >> 1:(y0 + n) >> 1, x0 >> 1:(x0 + n) >> 1] = pcr
+            self.y[y0:y0 + n, x0:x0 + n] = py.astype(self.y.dtype)
+            self.cb[y0 >> 1:(y0 + n) >> 1,
+                    x0 >> 1:(x0 + n) >> 1] = pcb.astype(self.cb.dtype)
+            self.cr[y0 >> 1:(y0 + n) >> 1,
+                    x0 >> 1:(x0 + n) >> 1] = pcr.astype(self.cr.dtype)
             return
         self._inter_pred = (py.astype(np.int32), pcb.astype(np.int32),
                             pcr.astype(np.int32), x0, y0)
@@ -511,17 +563,19 @@ _MV_CANDS = ((0, 0), (2, 0), (-2, 0), (0, 2), (0, -2), (4, 0),
 #                                         chroma offsets in 4:2:0)
 
 
-def encode_hevc_lossless_gop_aus(frames, intra_every: int = 0
+def encode_hevc_lossless_gop_aus(frames, intra_every: int = 0,
+                                 frac_mv_every: int = 0
                                  ) -> list[bytes]:
     """Per-picture Annex-B access units of the lossless GOP: [0] is
     VPS/SPS/PPS + IDR, the rest one TRAIL_R P picture each (the mp4
     sample shape)."""
     return split_hevc_aus(
-        encode_hevc_lossless_gop_yuv(frames, intra_every))
+        encode_hevc_lossless_gop_yuv(frames, intra_every,
+                                     frac_mv_every))
 
 
-def encode_hevc_lossless_gop_yuv(frames, intra_every: int = 0
-                                 ) -> bytes:
+def encode_hevc_lossless_gop_yuv(frames, intra_every: int = 0,
+                                 frac_mv_every: int = 0) -> bytes:
     """[(y, u, v), ...] -> Annex-B IDR + trailing-P stream, lossless
     (transquant bypass; CTB = CU = TU = 16; skip / merge / AMVP
     integer-MV inter CUs chosen by exact-match search over
@@ -547,13 +601,14 @@ def encode_hevc_lossless_gop_yuv(frames, intra_every: int = 0
         if fy.shape != (h, w):
             raise ValueError("GOP frames must share one geometry")
         out += _encode_p_picture(fy, fu, fv, prev, poc, w, h,
-                                 intra_every)
+                                 intra_every, frac_mv_every)
         prev = (fy, fu, fv)
     return bytes(out)
 
 
 def _encode_p_picture(fy, fu, fv, ref, poc, w, h,
-                      intra_every: int = 0) -> bytes:
+                      intra_every: int = 0,
+                      frac_mv_every: int = 0) -> bytes:
     ctb = 16
     w_ctbs, h_ctbs = -(-w // ctb), -(-h // ctb)
     pic_w, pic_h = w_ctbs * ctb, h_ctbs * ctb
@@ -686,13 +741,18 @@ def _encode_p_picture(fy, fu, fv, ref, poc, w, h,
             coded_root = True
         else:
             mv = (0, 0)
-            if merge0 == (0, 0):
+            if frac_mv_every and addr % frac_mv_every \
+                    == frac_mv_every - 1:
+                # fractional-pel MV (residual-corrected): exercises
+                # the 8/4-tap interpolation filters end to end
+                mv = (1, 2)  # quarter-pel luma, eighth-pel chroma
+            if mv == merge0:
                 enc.encode_decision(ctx["merge_flag"][0], 1)
                 has_resid = True   # rqt_root_cbf inferred 1
                 coded_root = False
             else:
                 enc.encode_decision(ctx["merge_flag"][0], 0)
-                encode_amvp((0, 0))
+                encode_amvp(mv)
                 has_resid = True
                 coded_root = True
         if not has_resid:
@@ -702,14 +762,12 @@ def _encode_p_picture(fy, fu, fv, ref, poc, w, h,
             state._recon_inter(x0, y0, 4, mv, residual=False)
             state._finish_inter_cu(x0, y0, 4, 0, mv, skip=False)
         else:
-            pred_y = mc(ry, x0, y0, ctb, mv[0] >> 2, mv[1] >> 2, 0)
-            pred_u = mc(ru, x0 >> 1, y0 >> 1, half, mv[0] >> 3,
-                        mv[1] >> 3, 1)
-            pred_v = mc(rv, x0 >> 1, y0 >> 1, half, mv[0] >> 3,
-                        mv[1] >> 3, 1)
-            res_y = src_y.astype(np.int32) - pred_y
-            res_u = src_u.astype(np.int32) - pred_u
-            res_v = src_v.astype(np.int32) - pred_v
+            # prediction through the decoder twin's interpolator so
+            # the residual corrects against the exact spec pred
+            pred_y, pred_u, pred_v = state._mc_pred(x0, y0, ctb, mv)
+            res_y = src_y.astype(np.int32) - pred_y.astype(np.int32)
+            res_u = src_u.astype(np.int32) - pred_u.astype(np.int32)
+            res_v = src_v.astype(np.int32) - pred_v.astype(np.int32)
             cbf_l = bool(res_y.any())
             cbf_b = bool(res_u.any())
             cbf_r = bool(res_v.any())

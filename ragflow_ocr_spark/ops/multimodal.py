@@ -1383,7 +1383,8 @@ def _synth_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     ]
                     if did % 32 == 25:
                         aus = hevc_inter.encode_hevc_lossless_gop_aus(
-                            frames_yuv, intra_every=2)
+                            frames_yuv, intra_every=2,
+                            frac_mv_every=3)
                     else:
                         aus = [hevcmod.encode_hevc_ipcm_yuv(*f)
                                for f in frames_yuv]

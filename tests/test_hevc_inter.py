@@ -229,3 +229,64 @@ def test_video_gop_mp4_route():
     for (ey, eu, ev), fr in zip(frames, iter_video_frames(payload)):
         img = decode_png(fr)
         assert np.array_equal(img, _yuv_to_rgb(ey, eu, ev))
+
+
+def test_fractional_mv_roundtrip_self():
+    """Quarter-pel luma / eighth-pel chroma MC: residual-corrected
+    fractional MVs round-trip byte-exactly through our decoder."""
+    frames = _gop(seed=55, h=48, w=64, n_frames=5)
+    au = hevc_inter.encode_hevc_lossless_gop_yuv(
+        frames, intra_every=7, frac_mv_every=2)
+    out = hevc_inter.decode_hevc_gop_yuv(au)
+    for (ey, eu, ev), (dy, du, dv) in zip(frames, out):
+        assert np.array_equal(dy, ey)
+        assert np.array_equal(du, eu)
+        assert np.array_equal(dv, ev)
+
+
+@live
+def test_fractional_mv_libde265_crossval():
+    """libde265 must agree on fractional-pel streams — a wrong
+    interpolation filter tap or intermediate shift makes its
+    prediction (and hence recon) diverge from the residual-corrected
+    source."""
+    def de265_all(au):
+        L = _LIB
+        ctx = L.de265_new_decoder()
+        try:
+            assert L.de265_push_data(ctx, au, len(au), 0, None) == 0
+            assert L.de265_flush_data(ctx) == 0
+            pics = []
+            more = ctypes.c_int(1)
+            for _ in range(400):
+                L.de265_decode(ctx, ctypes.byref(more))
+                img = L.de265_get_next_picture(ctx)
+                if img:
+                    planes = []
+                    for ch in range(3):
+                        w = L.de265_get_image_width(img, ch)
+                        h = L.de265_get_image_height(img, ch)
+                        stride = ctypes.c_int()
+                        ptr = L.de265_get_image_plane(
+                            img, ch, ctypes.byref(stride))
+                        planes.append(np.frombuffer(
+                            ctypes.string_at(ptr, stride.value * h),
+                            np.uint8).reshape(
+                                h, stride.value)[:, :w].copy())
+                    pics.append(planes)
+                    L.de265_release_next_picture(ctx)
+                if not more.value and not img:
+                    break
+            return pics
+        finally:
+            L.de265_free_decoder(ctx)
+
+    frames = _gop(seed=55, h=48, w=64, n_frames=5)
+    au = hevc_inter.encode_hevc_lossless_gop_yuv(
+        frames, intra_every=7, frac_mv_every=2)
+    pics = de265_all(au)
+    assert len(pics) == len(frames)
+    for (ey, eu, ev), p in zip(frames, pics):
+        assert np.array_equal(p[0], ey)
+        assert np.array_equal(p[1], eu)
+        assert np.array_equal(p[2], ev)
