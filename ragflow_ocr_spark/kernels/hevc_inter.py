@@ -564,18 +564,19 @@ _MV_CANDS = ((0, 0), (2, 0), (-2, 0), (0, 2), (0, -2), (4, 0),
 
 
 def encode_hevc_lossless_gop_aus(frames, intra_every: int = 0,
-                                 frac_mv_every: int = 0
-                                 ) -> list[bytes]:
+                                 frac_mv_every: int = 0,
+                                 bit_depth: int = 8) -> list[bytes]:
     """Per-picture Annex-B access units of the lossless GOP: [0] is
     VPS/SPS/PPS + IDR, the rest one TRAIL_R P picture each (the mp4
     sample shape)."""
     return split_hevc_aus(
         encode_hevc_lossless_gop_yuv(frames, intra_every,
-                                     frac_mv_every))
+                                     frac_mv_every, bit_depth))
 
 
 def encode_hevc_lossless_gop_yuv(frames, intra_every: int = 0,
-                                 frac_mv_every: int = 0) -> bytes:
+                                 frac_mv_every: int = 0,
+                                 bit_depth: int = 8) -> bytes:
     """[(y, u, v), ...] -> Annex-B IDR + trailing-P stream, lossless
     (transquant bypass; CTB = CU = TU = 16; skip / merge / AMVP
     integer-MV inter CUs chosen by exact-match search over
@@ -589,26 +590,32 @@ def encode_hevc_lossless_gop_yuv(frames, intra_every: int = 0,
         raise ValueError("empty GOP")
     if len(frames) > 250:
         raise ValueError("GOP exceeds the 8-bit POC budget")
+    if bit_depth not in (8, 10):
+        raise ValueError("bit_depth must be 8 or 10")
+    dt = np.uint8 if bit_depth == 8 else np.uint16
     y0, u0, v0 = frames[0]
     h, w = np.asarray(y0).shape
-    out = bytearray(encode_hevc_intra_lossless_yuv(y0, u0, v0))
-    prev = (np.asarray(y0, np.uint8), np.asarray(u0, np.uint8),
-            np.asarray(v0, np.uint8))
+    out = bytearray(encode_hevc_intra_lossless_yuv(
+        y0, u0, v0, bit_depth=bit_depth))
+    prev = (np.asarray(y0, dt), np.asarray(u0, dt),
+            np.asarray(v0, dt))
     for poc, (fy, fu, fv) in enumerate(frames[1:], start=1):
-        fy = np.asarray(fy, np.uint8)
-        fu = np.asarray(fu, np.uint8)
-        fv = np.asarray(fv, np.uint8)
+        fy = np.asarray(fy, dt)
+        fu = np.asarray(fu, dt)
+        fv = np.asarray(fv, dt)
         if fy.shape != (h, w):
             raise ValueError("GOP frames must share one geometry")
         out += _encode_p_picture(fy, fu, fv, prev, poc, w, h,
-                                 intra_every, frac_mv_every)
+                                 intra_every, frac_mv_every,
+                                 bit_depth)
         prev = (fy, fu, fv)
     return bytes(out)
 
 
 def _encode_p_picture(fy, fu, fv, ref, poc, w, h,
                       intra_every: int = 0,
-                      frac_mv_every: int = 0) -> bytes:
+                      frac_mv_every: int = 0,
+                      bit_depth: int = 8) -> bytes:
     ctb = 16
     w_ctbs, h_ctbs = -(-w // ctb), -(-h // ctb)
     pic_w, pic_h = w_ctbs * ctb, h_ctbs * ctb
@@ -623,7 +630,8 @@ def _encode_p_picture(fy, fu, fv, ref, poc, w, h,
     rv = np.pad(ref[2], ((0, pic_h // 2 - ((h + 1) // 2)),
                          (0, pic_w // 2 - ((w + 1) // 2))), "edge")
 
-    sps_rbsp = _sps_lossless_rbsp(pic_w, pic_h, pic_w - w, pic_h - h)
+    sps_rbsp = _sps_lossless_rbsp(pic_w, pic_h, pic_w - w,
+                                  pic_h - h, bit_depth)
     sps = H.parse_sps(sps_rbsp)
     pps = H.parse_pps(_pps_lossless_rbsp())
     # decoder-state twin: prediction/candidate derivation must match

@@ -290,3 +290,72 @@ def test_fractional_mv_libde265_crossval():
         assert np.array_equal(p[0], ey)
         assert np.array_equal(p[1], eu)
         assert np.array_equal(p[2], ev)
+
+
+def test_main10_gop_roundtrip_self():
+    rng = np.random.default_rng(8)
+    h, w = 34, 50
+    frames = [(rng.integers(0, 1024, (h, w)).astype(np.uint16),
+               rng.integers(0, 1024, (17, 25)).astype(np.uint16),
+               rng.integers(0, 1024, (17, 25)).astype(np.uint16))]
+    for _ in range(3):
+        py, pu, pv = frames[-1]
+        frames.append((np.roll(py, 2, axis=1), np.roll(pu, 1, axis=1),
+                       pv.copy()))
+    au = hevc_inter.encode_hevc_lossless_gop_yuv(
+        frames, frac_mv_every=2, bit_depth=10)
+    out = hevc_inter.decode_hevc_gop_yuv(au)
+    for (ey, eu, ev), (dy, du, dv) in zip(frames, out):
+        assert np.array_equal(dy, ey)
+        assert np.array_equal(du, eu)
+        assert np.array_equal(dv, ev)
+
+
+def test_randomized_gop_soak_self():
+    """Bounded version of the development soak: random geometries
+    (incl. 2x2 and crops), 8/10-bit, every knob combination — all
+    frames must round-trip byte-exactly. (The 40-case libde265 soak
+    ran 0-failure during development; the live crossval tests above
+    keep the referee in the loop.)"""
+    for trial in range(8):
+        rng = np.random.default_rng(1000 + trial)
+        bd = 10 if trial % 4 == 3 else 8
+        dt = np.uint16 if bd == 10 else np.uint8
+        mx = 1 << bd
+        h = max(2, int(rng.integers(1, 6)) * 2
+                + int(rng.integers(0, 3)) * 16)
+        w = max(2, int(rng.integers(1, 6)) * 2
+                + int(rng.integers(0, 3)) * 16)
+        n_frames = int(rng.integers(2, 6))
+        ch, cw = (h + 1) // 2, (w + 1) // 2
+        frames = [(rng.integers(0, mx, (h, w)).astype(dt),
+                   rng.integers(0, mx, (ch, cw)).astype(dt),
+                   rng.integers(0, mx, (ch, cw)).astype(dt))]
+        for _ in range(1, n_frames):
+            py, pu, pv = frames[-1]
+            r = int(rng.integers(0, 4))
+            if r == 0:
+                nxt = (py.copy(), pu.copy(), pv.copy())
+            elif r == 1:
+                sx = int(rng.integers(-3, 4)) * 2
+                nxt = (np.roll(py, sx, axis=1),
+                       np.roll(pu, sx // 2, axis=1),
+                       np.roll(pv, sx // 2, axis=1))
+            elif r == 2:
+                y2 = py.copy()
+                bh = min(int(rng.integers(4, 20)), h)
+                bw = min(int(rng.integers(4, 20)), w)
+                y2[:bh, :bw] = rng.integers(0, mx, (bh, bw))
+                nxt = (y2, pu.copy(), pv.copy())
+            else:
+                nxt = (rng.integers(0, mx, (h, w)).astype(dt),
+                       pu.copy(), pv.copy())
+            frames.append(tuple(np.asarray(a, dt) for a in nxt))
+        au = hevc_inter.encode_hevc_lossless_gop_yuv(
+            frames, intra_every=int(rng.integers(0, 7)),
+            frac_mv_every=int(rng.integers(0, 4)), bit_depth=bd)
+        out = hevc_inter.decode_hevc_gop_yuv(au)
+        for (ey, eu, ev), (dy, du, dv) in zip(frames, out):
+            assert np.array_equal(dy, ey)
+            assert np.array_equal(du, eu)
+            assert np.array_equal(dv, ev)
